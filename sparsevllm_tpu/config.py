@@ -1,0 +1,332 @@
+"""Engine configuration.
+
+Re-expresses the reference's Config contract (src/sparsevllm/config.py:583-1598):
+a single dataclass holding scheduler caps, parallel sizes, sparse-method
+budgets, and per-method knobs, with exhaustive fail-fast ``__post_init__``
+validation, plus ``RuntimeLayout`` mapping layers to full/sparse attention
+roles (config.py:396-543).
+
+TPU-first differences from the reference:
+  * KV memory sizing is **analytic** (weights + pools + workspace arithmetic
+    against an HBM budget) instead of the CUDA allocator peak-probe
+    (reference base.py:286-474) — TPUs expose no equivalent probe.
+  * The cache is **page-granular** (``page_size`` tokens/page) rather than
+    token-granular slot pools: pages map onto Pallas block shapes and Quest
+    metadata directly.
+  * "Decode graph" knobs become jit **shape-bucket** knobs: batch buckets are
+    powers of two up to ``max_decoding_seqs`` and context buckets grow
+    geometrically up to ``max_model_len`` (same bucketing math as reference
+    config.py:122-221; "capture" is the jit compile cache).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+from . import method_registry as registry
+from .utils.log import logger
+
+
+def _pow2_buckets(max_value: int, start: int = 1) -> list[int]:
+    """Powers of two from `start` capped at max_value (always includes cap)."""
+    out = []
+    v = start
+    while v < max_value:
+        out.append(v)
+        v *= 2
+    out.append(max_value)
+    return out
+
+
+def _geometric_context_buckets(base: int, max_value: int) -> list[int]:
+    """base·2^n token buckets capped at max_value (reference config.py:175-187)."""
+    out = []
+    v = base
+    while v < max_value:
+        out.append(v)
+        v *= 2
+    out.append(max_value)
+    return out
+
+
+@dataclass(frozen=True)
+class RuntimeLayout:
+    """Layer role map (reference config.py:396-543).
+
+    ``full_attn_layers`` lists layer indices that always run dense attention
+    (OmniKV observation layers / DeltaKV reference layers); everything else is
+    a sparse-eligible layer. ``kv_layer_index[l]`` maps a model layer to its
+    KV-cache layer slot (identity unless KV-sharing is configured).
+    """
+
+    num_layers: int
+    full_attn_layers: tuple[int, ...]
+    kv_layer_index: tuple[int, ...]
+
+    @property
+    def sparse_layers(self) -> tuple[int, ...]:
+        full = set(self.full_attn_layers)
+        return tuple(i for i in range(self.num_layers) if i not in full)
+
+    @property
+    def num_kv_layers(self) -> int:
+        return max(self.kv_layer_index) + 1 if self.kv_layer_index else 0
+
+    @staticmethod
+    def create(num_layers: int, full_attn_layers) -> "RuntimeLayout":
+        full = tuple(sorted(set(int(i) for i in (full_attn_layers or ()))))
+        for i in full:
+            if not 0 <= i < num_layers:
+                raise ValueError(
+                    f"full_attn_layers entry {i} out of range [0, {num_layers})"
+                )
+        return RuntimeLayout(
+            num_layers=num_layers,
+            full_attn_layers=full,
+            kv_layer_index=tuple(range(num_layers)),
+        )
+
+
+@dataclass
+class Config:
+    """Engine configuration. Field groups mirror reference config.py:583-763."""
+
+    # --- model -----------------------------------------------------------
+    model: str = ""
+    tokenizer: str | None = None
+    dtype: str = "bfloat16"
+    trust_remote_code: bool = True
+    # Tiny-random debug model (reference debug/tiny_random.py): if set, the
+    # model path is ignored and a small randomly-initialized model with this
+    # architecture is built (seeded; see utils/tiny_random.py).
+    tiny_random: bool = False
+    tiny_random_config: dict | None = None
+    tiny_random_seed: int = 0
+
+    # --- scheduler caps (reference defaults, config.py:583-599) ----------
+    max_num_batched_tokens: int = 65536
+    max_num_seqs_in_batch: int = 32
+    max_decoding_seqs: int = 64
+    max_model_len: int = 131072
+    max_num_seqs_in_gpu: int | None = None  # resident-row cap; None = rows cap
+    chunk_prefill_size: int = 8192
+    long_prefill_offload_threshold: int = 98304
+    prefill_policy: str | None = None  # resolved via method registry
+    prompt_admission_failure_action: str = "defer"  # defer | raise
+
+    # --- KV cache / memory (TPU analytic sizing) --------------------------
+    page_size: int = 64  # tokens per KV page; multiple of TPU sublane tile
+    num_kv_pages: int | None = None  # explicit page count; None = derive
+    hbm_utilization: float = 0.9  # fraction of per-chip HBM usable
+    hbm_bytes_per_chip: int | None = None  # None = query device
+    kv_cache_dtype: str = "auto"  # auto | bfloat16 | int8 | int4 (KIVI)
+
+    # --- parallel sizes (reference config.py:597-599) ---------------------
+    tensor_parallel_size: int = 1
+    expert_parallel_size: int = 1
+    data_parallel_size: int = 1
+
+    # --- bucketed-jit decode ("graph") knobs (config.py:635-651) ----------
+    decode_bucketed_jit: bool = True
+    enforce_eager: bool = False
+    decode_batch_buckets: tuple[int, ...] | None = None  # None = pow2 default
+    decode_context_bucket_base: int = 1024
+    capture_sampling: bool = True  # greedy argmax inside jitted decode step
+
+    # --- sparse budgets (config.py:626-628) --------------------------------
+    method: str = ""
+    num_sink_tokens: int = 64
+    num_recent_tokens: int = 512
+    decode_keep_tokens: int = 4096
+    prefill_keep_tokens: int = 4096
+
+    # --- snapkv / pyramidkv knobs (config.py:658-659,693-697) -------------
+    snapkv_obs_window: int = 32
+    snapkv_kernel_size: int = 7
+    pyramidkv_beta: int = 20
+
+    # --- omnikv / quest knobs (config.py:653-655) --------------------------
+    full_attn_layers: tuple[int, ...] = ()
+    quest_page_size: int = 16
+    quest_skip_layers: int = 2
+
+    # --- rkv / skipkv knobs (config.py:662-690) ----------------------------
+    rkv_compression_interval: int = 128
+    rkv_query_cache_size: int = 32
+    rkv_redundancy_weight: float = 0.1
+    skipkv_delimiter_tokens: tuple[int, ...] = ()
+    skipkv_steering_alpha: float = 0.0
+
+    # --- deltakv knobs (config.py:699-757) ----------------------------------
+    deltakv_checkpoint_path: str | None = None
+    deltakv_cluster_ratio: float = 0.1
+    deltakv_latent_bits: int = 4
+    deltakv_kivi_bits: int = 4
+    kivi_group_size: int = 32
+    kivi_residual_tokens: int = 32
+
+    # --- misc ---------------------------------------------------------------
+    enable_prefix_cache: bool = False
+    prefix_cache_block_size: int = 64
+    attention_impl: str = "auto"  # auto | pallas | ref
+    enable_profiler: bool = False
+    seed: int = 0
+    allow_unknown_config_keys: bool = False
+
+    # Derived (set in __post_init__).
+    resolved_prefill_policy: str = field(init=False, default=registry.ALL_CHUNKED)
+
+    @classmethod
+    def field_names(cls) -> list[str]:
+        return [f.name for f in dataclasses.fields(cls) if f.init]
+
+    def __post_init__(self) -> None:
+        self.method = registry.normalize_method(self.method)
+        prof = registry.get_profile(self.method)
+        self.resolved_prefill_policy = registry.resolve_prefill_policy(
+            self.method, self.prefill_policy
+        )
+
+        # tuple-ify list-ish fields from JSON/kwargs.
+        for name in ("full_attn_layers", "skipkv_delimiter_tokens",
+                     "decode_batch_buckets"):
+            v = getattr(self, name)
+            if isinstance(v, list):
+                setattr(self, name, tuple(v))
+
+        if self.page_size <= 0 or self.page_size % 8 != 0:
+            raise ValueError(
+                f"page_size must be a positive multiple of 8 (TPU sublane "
+                f"tile); got {self.page_size}"
+            )
+        if self.max_model_len % self.page_size != 0:
+            # round up so page math is exact.
+            self.max_model_len = (
+                (self.max_model_len + self.page_size - 1)
+                // self.page_size * self.page_size
+            )
+        if self.chunk_prefill_size <= 0:
+            raise ValueError("chunk_prefill_size must be positive")
+        if self.chunk_prefill_size % self.page_size != 0:
+            raise ValueError(
+                f"chunk_prefill_size ({self.chunk_prefill_size}) must be a "
+                f"multiple of page_size ({self.page_size}) so chunk ends align "
+                f"with page boundaries"
+            )
+        if self.max_num_batched_tokens < self.chunk_prefill_size:
+            raise ValueError(
+                "max_num_batched_tokens must be >= chunk_prefill_size"
+            )
+        if self.prompt_admission_failure_action not in ("defer", "raise"):
+            raise ValueError(
+                "prompt_admission_failure_action must be 'defer' or 'raise'"
+            )
+        if self.dtype not in ("bfloat16", "float32", "float16"):
+            raise ValueError(f"unsupported dtype {self.dtype!r}")
+        if self.kv_cache_dtype not in ("auto", "bfloat16", "float32", "int8", "int4"):
+            raise ValueError(f"unsupported kv_cache_dtype {self.kv_cache_dtype!r}")
+        if not (0.0 < self.hbm_utilization <= 1.0):
+            raise ValueError("hbm_utilization must be in (0, 1]")
+        for name in ("tensor_parallel_size", "expert_parallel_size",
+                     "data_parallel_size"):
+            if getattr(self, name) < 1:
+                raise ValueError(f"{name} must be >= 1")
+
+        # sparse-budget sanity (reference config.py token-budget checks).
+        if prof.name in (registry.STREAMINGLLM, registry.SNAPKV,
+                         registry.PYRAMIDKV, registry.RKV, registry.SKIPKV):
+            if self.num_sink_tokens + self.num_recent_tokens >= self.max_model_len:
+                raise ValueError(
+                    "num_sink_tokens + num_recent_tokens must be < max_model_len"
+                )
+        if prof.needs_prefill_scores:
+            if self.snapkv_obs_window <= 0:
+                raise ValueError("snapkv_obs_window must be positive")
+            if self.snapkv_obs_window > self.chunk_prefill_size:
+                raise ValueError(
+                    "snapkv_obs_window must fit inside the final prefill chunk"
+                )
+        if prof.name in (registry.OMNIKV, registry.DELTAKV):
+            if not self.full_attn_layers:
+                raise ValueError(
+                    f"method {prof.name!r} requires full_attn_layers "
+                    f"(observation/reference layers)"
+                )
+            if 0 not in self.full_attn_layers:
+                raise ValueError(
+                    f"method {prof.name!r} requires layer 0 in full_attn_layers "
+                    f"(first selection must come from a full layer)"
+                )
+        if prof.name == registry.QUEST:
+            if self.quest_page_size <= 0 or self.page_size % self.quest_page_size:
+                raise ValueError(
+                    f"quest_page_size ({self.quest_page_size}) must divide "
+                    f"page_size ({self.page_size})"
+                )
+        if prof.name == registry.DELTAKV:
+            if self.deltakv_latent_bits not in (2, 4, 16):
+                raise ValueError("deltakv_latent_bits must be 2, 4, or 16")
+            if self.deltakv_kivi_bits not in (2, 4, 16):
+                raise ValueError("deltakv_kivi_bits must be 2, 4, or 16")
+            if self.tensor_parallel_size != 1:
+                raise ValueError(
+                    "deltakv supports tensor_parallel_size=1 only "
+                    "(mirrors reference deltakv_base.py:74)"
+                )
+        if self.enable_prefix_cache and not prof.supports_prefix_cache:
+            raise ValueError(
+                f"prefix cache unsupported for method {prof.name or 'vanilla'!r} "
+                f"(supported: vanilla, omnikv, quest)"
+            )
+        if self.enforce_eager:
+            self.decode_bucketed_jit = False
+        if self.max_num_seqs_in_gpu is None:
+            self.max_num_seqs_in_gpu = self.max_decoding_seqs
+
+        if self.decode_batch_buckets is None:
+            self.decode_batch_buckets = tuple(
+                _pow2_buckets(self.max_decoding_seqs)
+            )
+
+    # --- derived helpers ---------------------------------------------------
+
+    @property
+    def method_profile(self) -> registry.MethodProfile:
+        return registry.get_profile(self.method)
+
+    @property
+    def max_pages_per_seq(self) -> int:
+        return self.max_model_len // self.page_size
+
+    def context_page_buckets(self) -> list[int]:
+        """Context buckets in PAGES for decode-kernel grids."""
+        base_pages = max(self.decode_context_bucket_base // self.page_size, 1)
+        return _geometric_context_buckets(base_pages, self.max_pages_per_seq)
+
+    def batch_bucket(self, batch: int) -> int:
+        for b in self.decode_batch_buckets:
+            if batch <= b:
+                return b
+        raise ValueError(
+            f"batch {batch} exceeds max bucket {self.decode_batch_buckets[-1]}"
+        )
+
+    def context_bucket_pages(self, pages: int) -> int:
+        for b in self.context_page_buckets():
+            if pages <= b:
+                return b
+        raise ValueError(
+            f"context pages {pages} exceed max bucket "
+            f"{self.context_page_buckets()[-1]}"
+        )
+
+    @staticmethod
+    def from_json(path: str, **overrides) -> "Config":
+        with open(path) as f:
+            data = json.load(f)
+        data.update(overrides)
+        return Config(**data)

@@ -1,0 +1,282 @@
+"""Generic functional decoder-only transformer (scan over layers).
+
+TPU-first design notes (vs reference models/llama.py:120-263 etc.):
+  * The model is a pure function over a params pytree whose per-layer weights
+    are **stacked on a leading layer axis** and consumed by ``jax.lax.scan`` —
+    one layer is traced/compiled regardless of depth, keeping jit-bucket
+    compile times flat.
+  * The paged KV caches ride in the scan **carry** and are updated with
+    scatters at per-token destination slots; XLA keeps carry updates in-place,
+    which is the TPU replacement for the reference's in-place slot-pool writes
+    (triton store_kvcache).
+  * The reference's per-layer hook choreography (save_rope_kv_if_needed →
+    Attention → sparse_controller.on_layer_end, models/llama.py:120-141) is
+    re-expressed *inside* the scan body: KV store, attention, observation-score
+    emission, and OmniKV-style top-k selection propagation are all
+    fixed-shape ops on the carry, so the whole step stays jit-stable (the
+    "graph-stable decode" contract, reference docs/design/control-map.md).
+
+Two entry points — ``prefill_forward`` ([B, S] padded chunk) and
+``decode_forward`` ([B] single token) — plus ``compute_logits``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..layers.rope import apply_rope
+from ..ops import attention as attn_ops
+from .spec import ModelSpec
+
+NEG_INF = -1e30
+
+
+@dataclass(frozen=True)
+class StepRuntime:
+    """Static per-step-variant flags (part of the jit specialization key)."""
+
+    impl: str = "ref"  # 'ref' (pure XLA) | 'pallas'
+    # SnapKV/PyramidKV observation-score emission during prefill
+    # (reference sparse_controller._needs_attn_score:1398-1448).
+    emit_prefill_scores: bool = False
+    obs_window: int = 0
+    score_pooling: int = 0
+    # OmniKV-style decode selection: full layers emit head-summed token scores
+    # and refresh a keep-mask that sparse layers attend through
+    # (reference sparse_controller.on_layer_end:542-625).
+    decode_select: bool = False
+    select_keep: int = 0
+    sink_tokens: int = 0
+    recent_tokens: int = 0
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return normed * w.astype(x.dtype)
+
+
+def _per_head_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    """Qwen3 q/k norm: RMS over head_dim for [..., H, Dh]."""
+    return rms_norm(x, w, eps)
+
+
+def _qkv(x, lp, spec: ModelSpec):
+    """x: [..., H] -> q [..., Nq, Dh], k/v [..., Nkv, Dh]."""
+    q = x @ lp["wq"]
+    k = x @ lp["wk"]
+    v = x @ lp["wv"]
+    if spec.attn_bias:
+        q = q + lp["bq"]
+        k = k + lp["bk"]
+        v = v + lp["bv"]
+    q = q.reshape(*x.shape[:-1], spec.num_q_heads, spec.head_dim)
+    k = k.reshape(*x.shape[:-1], spec.num_kv_heads, spec.head_dim)
+    v = v.reshape(*x.shape[:-1], spec.num_kv_heads, spec.head_dim)
+    if spec.qk_norm:
+        q = _per_head_norm(q, lp["q_norm"], spec.rms_norm_eps)
+        k = _per_head_norm(k, lp["k_norm"], spec.rms_norm_eps)
+    return q, k, v
+
+
+def _mlp(x, lp):
+    gate = x @ lp["w_gate"]
+    up = x @ lp["w_up"]
+    return (jax.nn.silu(gate) * up) @ lp["w_down"]
+
+
+def _layer_xs(params, spec: ModelSpec, extra: dict | None = None):
+    """Scan xs pytree: stacked layer params + layer index (+ per-layer plan)."""
+    xs = dict(params["layers"])
+    xs["_layer_idx"] = jnp.arange(spec.num_layers, dtype=jnp.int32)
+    if extra:
+        xs.update(extra)
+    return xs
+
+
+def build_keep_mask(
+    scores: jax.Array,  # [B, K] fp32 head-summed token scores
+    ctx_lens: jax.Array,  # [B]
+    sink: int,
+    recent: int,
+    keep: int,
+) -> jax.Array:
+    """Top-`keep` history tokens + sink + recent window as a [B, K] bool mask.
+
+    Mirrors the reference OmniKV index update
+    (sparse_controller._update_dynamic_omnikv_indices:1239-1397): sink/recent
+    regions always kept and masked out of the top-k candidate set.
+    """
+    b, k = scores.shape
+    pos = jnp.arange(k, dtype=jnp.int32)[None, :]
+    in_ctx = pos < ctx_lens[:, None]
+    sink_m = (pos < sink) & in_ctx
+    recent_m = (pos >= jnp.maximum(ctx_lens[:, None] - recent, 0)) & in_ctx
+    middle = in_ctx & ~sink_m & ~recent_m
+    cand = jnp.where(middle, scores, NEG_INF)
+    _, top_idx = jax.lax.top_k(cand, keep)  # [B, keep]
+    picked_valid = jnp.take_along_axis(middle, top_idx, axis=1)
+    sel = jnp.zeros((b, k), dtype=bool)
+    sel = sel.at[jnp.arange(b)[:, None], top_idx].max(picked_valid)
+    return sel | sink_m | recent_m
+
+
+# ---------------------------------------------------------------------------
+# Prefill
+# ---------------------------------------------------------------------------
+
+
+def prefill_forward(
+    params,
+    k_cache: jax.Array,  # [L, pages, Nkv, P, Dh]
+    v_cache: jax.Array,
+    plan: dict,  # token_ids/positions/dest_slot [B,S], page_table [B,MP],
+    #               ctx_lens/new_lens [B]
+    rope: tuple[jax.Array, jax.Array],
+    *,
+    spec: ModelSpec,
+    rt: StepRuntime,
+):
+    """One chunked-prefill step. Returns (k_cache, v_cache, last_hidden [B,H],
+    obs_scores [L,B,K] or None)."""
+    cos, sin = rope
+    tokens = plan["token_ids"]  # [B, S]
+    positions = plan["positions"]
+    h = params["embed"][tokens].astype(k_cache.dtype)  # [B, S, H]
+    sm_scale = spec.head_dim ** -0.5
+
+    def body(carry, xs):
+        h, kc, vc = carry
+        li = xs["_layer_idx"]
+        x = rms_norm(h, xs["input_norm"], spec.rms_norm_eps)
+        q, k, v = _qkv(x, xs, spec)
+        q = apply_rope(q, positions, cos, sin)
+        k = apply_rope(k, positions, cos, sin)
+        kc, vc = attn_ops.store_kv_layer(
+            kc, vc, li, k, v, plan["dest_slot"]
+        )
+        out, obs = attn_ops.prefill_attention(
+            q, kc, vc, li,
+            plan["page_table"], plan["ctx_lens"], plan["new_lens"],
+            sm_scale=sm_scale,
+            obs_window=rt.obs_window if rt.emit_prefill_scores else 0,
+            score_pooling=rt.score_pooling,
+            impl=rt.impl,
+        )
+        attn_out = out.reshape(*x.shape[:-1], spec.q_dim) @ xs["wo"]
+        h = h + attn_out
+        x2 = rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
+        h = h + _mlp(x2, xs)
+        ys = obs if rt.emit_prefill_scores else None
+        return (h, kc, vc), ys
+
+    (h, k_cache, v_cache), obs_scores = jax.lax.scan(
+        body, (h, k_cache, v_cache), _layer_xs(params, spec)
+    )
+    h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
+    # last valid token's hidden state per sequence.
+    last_idx = jnp.maximum(plan["new_lens"] - 1, 0)  # [B]
+    last_h = jnp.take_along_axis(
+        h, last_idx[:, None, None], axis=1
+    ).squeeze(1)  # [B, H]
+    return k_cache, v_cache, last_h, obs_scores
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+
+def decode_forward(
+    params,
+    k_cache: jax.Array,  # [L, pages, Nkv, P, Dh]
+    v_cache: jax.Array,
+    tables: jax.Array,  # [L, R, MP_full] persistent device page table
+    plan: dict,  # token_ids/positions/row_ids [B], dest_slot [L,B],
+    #               ctx_lens [L,B]; static: mp_bucket via plan['_mp_bucket']
+    rope: tuple[jax.Array, jax.Array],
+    *,
+    spec: ModelSpec,
+    rt: StepRuntime,
+    mp_bucket: int,
+    is_full_layer: jax.Array | None = None,  # [L] bool (decode_select)
+):
+    """One decode step for [B] sequences. Returns (k_cache, v_cache, h [B,H])."""
+    cos, sin = rope
+    tokens = plan["token_ids"]  # [B]
+    positions = plan["positions"]
+    row_ids = plan["row_ids"]
+    h = params["embed"][tokens].astype(k_cache.dtype)  # [B, H]
+    sm_scale = spec.head_dim ** -0.5
+    b = tokens.shape[0]
+    k_tokens = mp_bucket * k_cache.shape[3]  # keys bucket in tokens
+
+    if rt.decode_select and is_full_layer is None:
+        raise ValueError("decode_select requires is_full_layer flags")
+
+    extra = {
+        "_dest": plan["dest_slot"],  # [L, B]
+        "_ctx": plan["ctx_lens"],  # [L, B]
+    }
+    if rt.decode_select:
+        extra["_is_full"] = is_full_layer
+
+    sel0 = jnp.ones((b, k_tokens), dtype=bool)
+
+    def body(carry, xs):
+        h, kc, vc, sel = carry
+        li = xs["_layer_idx"]
+        ctx = xs["_ctx"]  # [B]
+        table_l = jax.lax.dynamic_index_in_dim(
+            tables, li, 0, keepdims=False
+        )[row_ids, :mp_bucket]  # [B, MP_bucket]
+
+        x = rms_norm(h, xs["input_norm"], spec.rms_norm_eps)
+        q, k, v = _qkv(x, xs, spec)
+        q = apply_rope(q[:, None], positions[:, None], cos, sin)[:, 0]
+        k = apply_rope(k[:, None], positions[:, None], cos, sin)[:, 0]
+        kc, vc = attn_ops.store_kv_layer(kc, vc, li, k, v, xs["_dest"])
+
+        if rt.decode_select:
+            is_full = xs["_is_full"]
+            select_mask = jnp.where(is_full, jnp.ones_like(sel), sel)
+            out, scores = attn_ops.decode_attention(
+                q, kc, vc, li, table_l, ctx,
+                sm_scale=sm_scale, emit_scores=True,
+                select_mask=select_mask, impl=rt.impl,
+            )
+            def refresh(_):
+                return build_keep_mask(
+                    scores, ctx, rt.sink_tokens, rt.recent_tokens,
+                    rt.select_keep,
+                )
+            sel = jax.lax.cond(is_full, refresh, lambda _: sel, None)
+        else:
+            out, _ = attn_ops.decode_attention(
+                q, kc, vc, li, table_l, ctx,
+                sm_scale=sm_scale, emit_scores=False, impl=rt.impl,
+            )
+        attn_out = out.reshape(b, spec.q_dim) @ xs["wo"]
+        h = h + attn_out
+        x2 = rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
+        h = h + _mlp(x2, xs)
+        return (h, kc, vc, sel), None
+
+    (h, k_cache, v_cache, _), _ = jax.lax.scan(
+        body, (h, k_cache, v_cache, sel0), _layer_xs(params, spec, extra)
+    )
+    h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
+    return k_cache, v_cache, h
+
+
+def compute_logits(params, hidden: jax.Array, spec: ModelSpec) -> jax.Array:
+    """hidden [B, H] -> logits [B, V] (fp32)."""
+    if spec.tie_word_embeddings:
+        logits = hidden @ params["embed"].T.astype(hidden.dtype)
+    else:
+        logits = hidden @ params["lm_head"]
+    return logits.astype(jnp.float32)

@@ -1,0 +1,192 @@
+"""Pure-JAX (XLA) reference implementations of the paged-attention ops.
+
+These define the numerical semantics of the engine's attention path. The
+Pallas TPU kernels in ``ops/paged_decode.py`` / ``ops/prefill_attention.py``
+are verified against these functions; on CPU (tests) and as a fallback the
+engine runs these directly.
+
+KV-cache layout (TPU-first; contrast with the reference's token-granular slot
+pools, src/sparsevllm/engine/cache_manager/standard.py:104-112):
+
+    k_cache, v_cache: [num_pages, num_kv_heads, page_size, head_dim]
+
+i.e. page-granular, head-major-within-page, so one (page, kv_head) tile is a
+contiguous [page_size, head_dim] block that maps directly onto a TPU
+(sublane, lane) tile and a single DMA. Per-sequence state is a page table
+``page_table[b, i] -> page id`` plus a context length; padded page-table
+entries point at page 0, which is reserved as the trash page (never mapped to
+a live sequence).
+
+All functions take a single layer's cache slice and static (padded) shapes;
+masking handles the ragged reality. Scores use fp32 accumulation.
+
+Reference semantics mirrored:
+  * KV store scatter = store_kvcache (triton_kernel/store_kvcache.py:33-71)
+  * prefill attention = context_flashattention_nopad.py (varlen causal w/
+    cached prefix; here dense [B, S] padded instead of flat varlen — padding
+    is what the TPU wants anyway)
+  * decode attention ± score emission = gqa_flash_decoding*.py
+  * prefill observation scores = prefill_score.py:7-247
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def store_kv(
+    k_cache: jax.Array,  # [num_pages, Nkv, P, Dh]
+    v_cache: jax.Array,
+    k_new: jax.Array,  # [T, Nkv, Dh]
+    v_new: jax.Array,
+    dest_slot: jax.Array,  # [T] int32 global slot = page*P + offset; <0 = drop
+) -> tuple[jax.Array, jax.Array]:
+    """Scatter new K/V rows into the paged cache by global slot index."""
+    num_pages, nkv, p, dh = k_cache.shape
+    page = dest_slot // p
+    off = dest_slot % p
+    # flat index into [num_pages * Nkv * P, Dh]
+    head = jnp.arange(nkv, dtype=dest_slot.dtype)
+    flat = (page[:, None] * nkv + head[None, :]) * p + off[:, None]  # [T, Nkv]
+    flat = jnp.where(dest_slot[:, None] >= 0, flat, -1)
+    k_flat = k_cache.reshape(num_pages * nkv * p, dh)
+    v_flat = v_cache.reshape(num_pages * nkv * p, dh)
+    k_flat = k_flat.at[flat.reshape(-1)].set(
+        k_new.astype(k_cache.dtype).reshape(-1, dh), mode="drop"
+    )
+    v_flat = v_flat.at[flat.reshape(-1)].set(
+        v_new.astype(v_cache.dtype).reshape(-1, dh), mode="drop"
+    )
+    return k_flat.reshape(k_cache.shape), v_flat.reshape(v_cache.shape)
+
+
+def gather_pages(
+    cache: jax.Array,  # [num_pages, Nkv, P, Dh]
+    page_table: jax.Array,  # [B, max_pages] int32 (padded entries -> page 0)
+) -> jax.Array:
+    """Gather a sequence-major contiguous view: [B, Nkv, max_pages*P, Dh]."""
+    gathered = cache[page_table]  # [B, max_pages, Nkv, P, Dh]
+    b, mp, nkv, p, dh = gathered.shape
+    return gathered.transpose(0, 2, 1, 3, 4).reshape(b, nkv, mp * p, dh)
+
+
+def _expand_gqa(x: jax.Array, num_q_heads: int) -> jax.Array:
+    """[B, Nkv, S, Dh] -> [B, Nq, S, Dh] by repeating each kv head G times."""
+    b, nkv, s, dh = x.shape
+    g = num_q_heads // nkv
+    return jnp.repeat(x, g, axis=1)
+
+
+def prefill_attention_ref(
+    q: jax.Array,  # [B, S, Nq, Dh] (padded new tokens)
+    k_cache: jax.Array,  # [num_pages, Nkv, P, Dh] (already contains this chunk)
+    v_cache: jax.Array,
+    page_table: jax.Array,  # [B, max_pages]
+    ctx_lens: jax.Array,  # [B] total context incl. this chunk's new tokens
+    new_lens: jax.Array,  # [B] valid new tokens in this chunk (<= S)
+    *,
+    sm_scale: float,
+    obs_window: int = 0,
+    score_pooling: int = 0,
+) -> tuple[jax.Array, jax.Array | None]:
+    """Chunked-prefill causal attention over the paged cache.
+
+    Query i of sequence b has absolute position (ctx_lens[b] - new_lens[b] + i)
+    and attends keys [0, pos_i]. Returns output [B, S, Nq, Dh] and, when
+    ``obs_window > 0``, SnapKV observation scores: softmax probabilities of the
+    last ``obs_window`` valid queries, summed over those queries and all query
+    heads, optionally 1D-max-pooled with ``score_pooling`` kernel size
+    (reference prefill_score.py semantics + snapkv kernel_size pooling),
+    shaped [B, max_pages*P] in fp32.
+    """
+    b, s, nq, dh = q.shape
+    keys = gather_pages(k_cache, page_table)  # [B, Nkv, K, Dh]
+    vals = gather_pages(v_cache, page_table)
+    kk = keys.shape[2]
+
+    keys = _expand_gqa(keys, nq)
+    vals = _expand_gqa(vals, nq)
+    qf = q.transpose(0, 2, 1, 3).astype(jnp.float32)  # [B, Nq, S, Dh]
+    scores = jnp.einsum("bhsd,bhkd->bhsk", qf, keys.astype(jnp.float32))
+    scores = scores * sm_scale
+
+    q_pos = (ctx_lens - new_lens)[:, None] + jnp.arange(s)[None, :]  # [B, S]
+    k_pos = jnp.arange(kk)[None, :]  # [1, K]
+    causal = k_pos[:, None, :] <= q_pos[:, :, None]  # [B, S, K]
+    in_ctx = k_pos[:, None, :] < ctx_lens[:, None, None]  # [B, 1->S, K]
+    mask = (causal & in_ctx)[:, None, :, :]  # [B, 1, S, K]
+    scores = jnp.where(mask, scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    # fully-masked (padded) query rows produce uniform probs; zero them.
+    valid_q = (jnp.arange(s)[None, :] < new_lens[:, None])[:, None, :, None]
+    probs = probs * valid_q
+    out = jnp.einsum("bhsk,bhkd->bhsd", probs, vals.astype(jnp.float32))
+    out = out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+    obs_scores = None
+    if obs_window > 0:
+        # last obs_window VALID queries of each sequence.
+        q_idx = jnp.arange(s)[None, :]
+        is_obs = (q_idx >= (new_lens[:, None] - obs_window)) & (
+            q_idx < new_lens[:, None]
+        )  # [B, S]
+        obs_scores = jnp.einsum(
+            "bhsk,bs->bk", probs, is_obs.astype(jnp.float32)
+        )  # summed over heads and obs queries
+        if score_pooling > 1:
+            # 1D max pool with 'same' padding over the key axis
+            # (snapkv kernel_size smoothing).
+            pad = score_pooling // 2
+            padded = jnp.pad(
+                obs_scores, ((0, 0), (pad, score_pooling - 1 - pad)),
+                constant_values=0.0,
+            )
+            windows = jnp.stack(
+                [padded[:, i : i + kk] for i in range(score_pooling)], axis=-1
+            )
+            obs_scores = jnp.max(windows, axis=-1)
+    return out, obs_scores
+
+
+def decode_attention_ref(
+    q: jax.Array,  # [B, Nq, Dh]
+    k_cache: jax.Array,  # [num_pages, Nkv, P, Dh]
+    v_cache: jax.Array,
+    page_table: jax.Array,  # [B, max_pages]
+    ctx_lens: jax.Array,  # [B]
+    *,
+    sm_scale: float,
+    emit_scores: bool = False,
+    select_mask: jax.Array | None = None,  # [B, max_pages*P] bool, extra mask
+) -> tuple[jax.Array, jax.Array | None]:
+    """Single-token decode attention over the paged cache.
+
+    ``select_mask`` restricts attention to selected token slots (OmniKV/Quest
+    logical sparsity): positions where it is False are masked out in addition
+    to the context-length mask. When ``emit_scores`` the head-summed softmax
+    probabilities [B, max_pages*P] fp32 are returned (observation-layer score
+    emission, reference gqa_flash_decoding `_with_score`).
+    """
+    b, nq, dh = q.shape
+    keys = gather_pages(k_cache, page_table)  # [B, Nkv, K, Dh]
+    vals = gather_pages(v_cache, page_table)
+    kk = keys.shape[2]
+    keys = _expand_gqa(keys, nq)
+    vals = _expand_gqa(vals, nq)
+
+    qf = q.astype(jnp.float32)
+    scores = jnp.einsum("bhd,bhkd->bhk", qf, keys.astype(jnp.float32)) * sm_scale
+    mask = jnp.arange(kk)[None, :] < ctx_lens[:, None]  # [B, K]
+    if select_mask is not None:
+        mask = mask & select_mask
+    scores = jnp.where(mask[:, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhk,bhkd->bhd", probs, vals.astype(jnp.float32))
+    out = out.astype(q.dtype)
+    token_scores = None
+    if emit_scores:
+        token_scores = jnp.sum(probs, axis=1)  # [B, K] fp32
+    return out, token_scores
