@@ -1,0 +1,429 @@
+"""Model executor: device state + bucketed jitted step functions.
+
+This is the TPU re-expression of the reference's ModelRunner +
+DecodeCudaGraphRunner pair (engine/model_runner.py, decode_cuda_graph.py):
+
+  * "Graph capture" becomes the **jit compile cache**: step functions are
+    specialized on (phase, batch bucket, chunk bucket, context-pages bucket)
+    — the same bucketing math as reference config.py:122-221 — and reused;
+    replay is just calling the compiled function.
+  * All per-step metadata is padded to the bucket shapes host-side
+    (the reference's graph-stable `prepare_decode_static` contract,
+    decode_cuda_graph.py:266-302).
+  * KV caches are donated through every step, so updates are in-place in HBM.
+  * The persistent device page table ([L, R, MP]) is maintained by a scatter
+    op fed from the cache manager's incremental update queue — this replaces
+    per-step slot-mapping uploads.
+  * Sampling runs inside the jitted step (reference capture_sampling,
+    decode_cuda_graph.py:446-466) using per-seq temperature/top-k/top-p
+    arrays and a counter-derived PRNG key.
+
+Single-controller: there is no SHM RPC (reference model_runner.py:321-461);
+under multi-chip SPMD the same jitted program runs on all devices via GSPMD
+sharding (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..layers import sampler as sampler_ops
+from ..layers.rope import rope_table
+from ..models.spec import ModelSpec
+from ..models import transformer as tfm
+from ..utils.log import logger
+from ..utils.profiler import profiler
+
+
+def _round_up_pow2(x: int, lo: int = 1) -> int:
+    v = lo
+    while v < x:
+        v *= 2
+    return v
+
+
+class ModelExecutor:
+    def __init__(
+        self,
+        config: Config,
+        spec: ModelSpec,
+        params,
+        num_pages: int,
+        max_rows: int,
+        mesh=None,
+    ):
+        self.config = config
+        self.spec = spec
+        self.params = params
+        self.mesh = mesh
+        self.num_pages = num_pages
+        self.max_rows = max_rows
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                 "float16": jnp.float16}[config.dtype]
+        self.kv_dtype = dtype
+
+        l, p = spec.num_layers, config.page_size
+        kv_shape = (l, num_pages, spec.num_kv_heads, p, spec.head_dim)
+        self.k_cache = jnp.zeros(kv_shape, dtype)
+        self.v_cache = jnp.zeros(kv_shape, dtype)
+        self.tables = jnp.zeros(
+            (l, max_rows, config.max_pages_per_seq), jnp.int32
+        )
+        self.rope = rope_table(
+            spec.head_dim,
+            max(config.max_model_len, spec.max_position_embeddings) + 1,
+            spec.rope_theta,
+            spec.rope_scaling,
+        )
+        if mesh is not None:
+            from ..parallel.mesh import shard_executor_state
+            shard_executor_state(self)
+
+        prof = config.method_profile
+        self._rt = tfm.StepRuntime(
+            impl=self._resolve_impl(),
+            emit_prefill_scores=prof.needs_prefill_scores,
+            obs_window=config.snapkv_obs_window,
+            score_pooling=config.snapkv_kernel_size,
+            decode_select=config.method == "omnikv",
+            select_keep=config.decode_keep_tokens,
+            sink_tokens=config.num_sink_tokens,
+            recent_tokens=config.num_recent_tokens,
+        )
+        self._is_full_layer = (
+            jnp.asarray(
+                [i in set(config.full_attn_layers)
+                 for i in range(spec.num_layers)]
+            )
+            if self._rt.decode_select
+            else None
+        )
+        self._base_key = jax.random.PRNGKey(config.seed)
+        self._step_counter = 0
+        self._fn_cache: dict = {}
+        self._update_fn = jax.jit(self._update_tables_impl, donate_argnums=(0,))
+
+    def _resolve_impl(self) -> str:
+        if self.config.attention_impl in ("ref", "pallas"):
+            return self.config.attention_impl
+        return "pallas" if jax.default_backend() == "tpu" else "ref"
+
+    # --------------------------------------------------------- table updates
+
+    @staticmethod
+    def _update_tables_impl(tables, l_idx, r_idx, i_idx, pages):
+        return tables.at[l_idx, r_idx, i_idx].set(pages)
+
+    def apply_table_updates(self, updates) -> None:
+        if updates is None:
+            return
+        l_idx, r_idx, i_idx, pages = updates
+        self.tables = self._update_fn(
+            self.tables, jnp.asarray(l_idx), jnp.asarray(r_idx),
+            jnp.asarray(i_idx), jnp.asarray(pages),
+        )
+
+    # --------------------------------------------------------------- buckets
+
+    def _prefill_buckets(self, b: int, s: int, max_ctx_tokens: int):
+        bb = _round_up_pow2(b)
+        sb = min(
+            _round_up_pow2(s, lo=min(16, self.config.chunk_prefill_size)),
+            max(self.config.chunk_prefill_size, s),
+        )
+        mp = self.config.context_bucket_pages(
+            max(-(-max_ctx_tokens // self.config.page_size), 1)
+        )
+        return bb, sb, mp
+
+    def _decode_buckets(self, b: int, max_ctx_pages: int):
+        bb = self.config.batch_bucket(b)
+        mp = self.config.context_bucket_pages(max(max_ctx_pages, 1))
+        return bb, mp
+
+    # ------------------------------------------------------------- step fns
+
+    def _get_prefill_fn(self, bb: int, sb: int, mp: int):
+        key = ("prefill", bb, sb, mp)
+        fn = self._fn_cache.get(key)
+        if fn is not None:
+            return fn
+        spec, rt, rope = self.spec, self._rt, self.rope
+
+        def step(params, kc, vc, tables, plan):
+            page_table = tables[0][plan["row_ids"], :mp]
+            inner = dict(plan)
+            inner["page_table"] = page_table
+            kc, vc, last_h, obs = tfm.prefill_forward(
+                params, kc, vc, inner, rope, spec=spec, rt=rt
+            )
+            logits = tfm.compute_logits(params, last_h, spec)
+            key = jax.random.fold_in(self._base_key, plan["step"])
+            tokens = sampler_ops.sample(
+                logits, plan["temps"], plan["top_k"], plan["top_p"], key
+            )
+            return kc, vc, tokens, obs
+
+        fn = jax.jit(step, donate_argnums=(1, 2))
+        self._fn_cache[key] = fn
+        logger.info("compiled prefill step bucket B=%d S=%d MP=%d", bb, sb, mp)
+        return fn
+
+    def _get_decode_fn(self, bb: int, mp: int):
+        key = ("decode", bb, mp)
+        fn = self._fn_cache.get(key)
+        if fn is not None:
+            return fn
+        spec, rt, rope = self.spec, self._rt, self.rope
+        is_full = self._is_full_layer
+
+        def step(params, kc, vc, tables, plan):
+            kc, vc, h = tfm.decode_forward(
+                params, kc, vc, tables, plan, rope,
+                spec=spec, rt=rt, mp_bucket=mp, is_full_layer=is_full,
+            )
+            logits = tfm.compute_logits(params, h, spec)
+            key = jax.random.fold_in(self._base_key, plan["step"])
+            tokens = sampler_ops.sample(
+                logits, plan["temps"], plan["top_k"], plan["top_p"], key
+            )
+            return kc, vc, tokens
+
+        fn = jax.jit(step, donate_argnums=(1, 2))
+        self._fn_cache[key] = fn
+        logger.info("compiled decode step bucket B=%d MP=%d", bb, mp)
+        return fn
+
+    # ----------------------------------------------------------------- runs
+
+    @staticmethod
+    def _pad(arr: np.ndarray, shape: tuple[int, ...], fill=0) -> np.ndarray:
+        out = np.full(shape, fill, arr.dtype)
+        sl = tuple(slice(0, s) for s in arr.shape)
+        out[sl] = arr
+        return out
+
+    def _sampling_arrays(self, seqs, bb: int):
+        temps = np.zeros(bb, np.float32)
+        top_k = np.zeros(bb, np.int32)
+        top_p = np.ones(bb, np.float32)
+        for i, s in enumerate(seqs):
+            sp = s.sampling_params
+            temps[i] = sp.temperature
+            top_k[i] = sp.top_k
+            top_p[i] = sp.top_p
+        return temps, top_k, top_p
+
+    def run_prefill(
+        self,
+        seqs,
+        chunk_sizes: list[int],
+        dests: list[np.ndarray],  # per-seq layer-shared dest slots
+        row_ids: np.ndarray,
+        ctx_lens_tokens: np.ndarray,  # [B] resident tokens incl. this chunk
+    ):
+        """Returns (sampled_tokens [B] np, obs_scores device or None)."""
+        b = len(seqs)
+        s = max(chunk_sizes)
+        max_ctx = int(ctx_lens_tokens.max())
+        bb, sb, mp = self._prefill_buckets(b, s, max_ctx)
+
+        token_ids = np.zeros((bb, sb), np.int32)
+        positions = np.zeros((bb, sb), np.int32)
+        dest = np.full((bb, sb), -1, np.int32)
+        new_lens = np.zeros(bb, np.int32)
+        ctx = np.zeros(bb, np.int32)
+        for i, (seq, c) in enumerate(zip(seqs, chunk_sizes)):
+            start = seq.num_prefilled_tokens
+            token_ids[i, :c] = seq.prompt_token_ids[start : start + c]
+            positions[i, :c] = np.arange(start, start + c)
+            dest[i, :c] = dests[i]
+            new_lens[i] = c
+            ctx[i] = ctx_lens_tokens[i]
+        plan = {
+            "token_ids": jnp.asarray(token_ids),
+            "positions": jnp.asarray(positions),
+            "dest_slot": jnp.asarray(dest),
+            "row_ids": jnp.asarray(self._pad(row_ids, (bb,))),
+            "ctx_lens": jnp.asarray(ctx),
+            "new_lens": jnp.asarray(new_lens),
+            "step": jnp.asarray(self._step_counter, jnp.int32),
+        }
+        temps, top_k, top_p = self._sampling_arrays(seqs, bb)
+        plan.update(
+            temps=jnp.asarray(temps), top_k=jnp.asarray(top_k),
+            top_p=jnp.asarray(top_p),
+        )
+        self._step_counter += 1
+        fn = self._get_prefill_fn(bb, sb, mp)
+        with profiler.record("prefill_step"):
+            self.k_cache, self.v_cache, tokens, obs = fn(
+                self.params, self.k_cache, self.v_cache, self.tables, plan
+            )
+        return np.asarray(tokens)[:b], obs
+
+    def run_decode(
+        self,
+        seqs,
+        dest_slots: np.ndarray,  # [L, B]
+        ctx_lens: np.ndarray,  # [L, B]
+        row_ids: np.ndarray,  # [B]
+    ):
+        b = len(seqs)
+        l = self.spec.num_layers
+        max_pages = int(-(-ctx_lens.max() // self.config.page_size))
+        bb, mp = self._decode_buckets(b, max_pages)
+
+        token_ids = np.zeros(bb, np.int32)
+        positions = np.zeros(bb, np.int32)
+        for i, seq in enumerate(seqs):
+            token_ids[i] = seq.completion_token_ids[-1]
+            positions[i] = seq.num_tokens - 1
+        plan = {
+            "token_ids": jnp.asarray(token_ids),
+            "positions": jnp.asarray(positions),
+            "row_ids": jnp.asarray(self._pad(row_ids, (bb,))),
+            "dest_slot": jnp.asarray(self._pad(dest_slots, (l, bb), fill=-1)),
+            "ctx_lens": jnp.asarray(self._pad(ctx_lens, (l, bb))),
+            "step": jnp.asarray(self._step_counter, jnp.int32),
+        }
+        temps, top_k, top_p = self._sampling_arrays(seqs, bb)
+        plan.update(
+            temps=jnp.asarray(temps), top_k=jnp.asarray(top_k),
+            top_p=jnp.asarray(top_p),
+        )
+        self._step_counter += 1
+        fn = self._get_decode_fn(bb, mp)
+        with profiler.record("decode_step"):
+            self.k_cache, self.v_cache, tokens = fn(
+                self.params, self.k_cache, self.v_cache, self.tables, plan
+            )
+        return np.asarray(tokens)[:b]
+
+    # ----------------------------------------------- snapkv/pyramid compact
+
+    def compact_rows(self, plan: dict, obs_scores) -> None:
+        """Prefill-end top-k eviction: gather kept tokens into fresh pages and
+        rewrite device table rows. See kv_manager/snapkv.py for the protocol.
+        `obs_scores` is the [L, B_step, K] device array from the prefill step;
+        plan['batch_idx'] selects the finished sequences."""
+        rows = jnp.asarray(plan["rows"])
+        ctx = jnp.asarray(plan["ctx"])
+        keep = jnp.asarray(plan["keep"])
+        new_pages = jnp.asarray(plan["new_pages"])
+        batch_idx = jnp.asarray(plan["batch_idx"])
+        w = int(plan["obs_window"])
+        kt = int(plan["keep"].max())  # static top budget this call
+        key = ("compact", obs_scores.shape, new_pages.shape, kt, w)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(
+                    _compact_impl, obs_window=w, keep_max=kt,
+                    page_size=self.config.page_size,
+                ),
+                donate_argnums=(0, 1, 2),
+            )
+            self._fn_cache[key] = fn
+            logger.info("compiled compact op %s", key)
+        with profiler.record("compact"):
+            self.k_cache, self.v_cache, self.tables = fn(
+                self.k_cache, self.v_cache, self.tables,
+                obs_scores, batch_idx, rows, ctx, keep, new_pages,
+            )
+
+
+def _compact_impl(
+    kc, vc, tables, scores, batch_idx, rows, ctx, keep, new_pages,
+    *, obs_window: int, keep_max: int, page_size: int,
+):
+    """Per-layer ordered top-k compaction (SnapKV family).
+
+    scores: [L, B_step, K] fp32; batch_idx: [B] into B_step; rows/ctx: [B];
+    keep: [L, B]; new_pages: [L, B, MPK]. Token semantics mirror the reference
+    _snapkv_prefill_eviction (sparse_controller.py:631-665): the observation
+    window (last `obs_window` tokens) is always kept; the top (keep - W)
+    prefix tokens by score are kept in original order.
+    """
+    l_num, pages, nkv, p, dh = kc.shape
+    b = rows.shape[0]
+    k_len = scores.shape[-1]
+    w = obs_window
+    kt = keep_max  # static upper bound on kept tokens per (layer, seq)
+
+    scores_sel = scores[:, batch_idx]  # [L, B, K]
+
+    def layer_body(carry, xs):
+        kc, vc, tables = carry
+        li, sc, kp, npg = xs  # [B,K], [B], [B,MPK]
+        prefix_len = ctx - w  # [B]
+        pos = jnp.arange(k_len, dtype=jnp.int32)[None, :]
+        cand = jnp.where(pos < prefix_len[:, None], sc, -jnp.inf)
+        n_prefix = jnp.maximum(kp - w, 0)  # [B]
+        kt_prefix = min(kt, k_len)
+        _, top_idx = jax.lax.top_k(cand, kt_prefix)  # [B, KTp]
+        rank = jnp.arange(kt_prefix, dtype=jnp.int32)[None, :]
+        valid = rank < n_prefix[:, None]
+        # ascending original order for kept prefix tokens
+        src_prefix = jnp.sort(
+            jnp.where(valid, top_idx, k_len), axis=1
+        )  # invalid -> sentinel at end
+        dst_prefix = jnp.where(valid, rank, -1)
+        # observation window tokens
+        wj = jnp.arange(w, dtype=jnp.int32)[None, :]
+        src_win = prefix_len[:, None] + wj
+        win_valid = src_win >= 0
+        dst_win = jnp.where(win_valid, n_prefix[:, None] + wj, -1)
+        src = jnp.concatenate([src_prefix, src_win], axis=1)  # [B, KTp+W]
+        dst = jnp.concatenate([dst_prefix, dst_win], axis=1)
+        src = jnp.clip(src, 0, k_len - 1)
+
+        old_table = tables[li][rows]  # [B, MP]
+        mp_full = old_table.shape[1]
+        src_page = jnp.take_along_axis(
+            old_table, jnp.clip(src // p, 0, mp_full - 1), axis=1
+        )
+        src_slot = src_page * p + src % p  # [B, N]
+        dst_page = jnp.take_along_axis(
+            npg, jnp.clip(dst // p, 0, npg.shape[1] - 1), axis=1
+        )
+        dst_slot = jnp.where(dst >= 0, dst_page * p + dst % p, -1)
+
+        head = jnp.arange(nkv, dtype=jnp.int32)
+        def flat(slot):  # [B,N] -> [B,N,Nkv] flat row indices at layer li
+            return ((li * pages * nkv) + (slot // p)[..., None] * nkv
+                    + head[None, None, :]) * p + (slot % p)[..., None]
+        kc2 = kc.reshape(-1, dh)
+        vc2 = vc.reshape(-1, dh)
+        src_flat = flat(src_slot)
+        gathered_k = kc2[src_flat]  # [B, N, Nkv, Dh]
+        gathered_v = vc2[src_flat]
+        dst_flat = jnp.where(
+            (dst_slot >= 0)[..., None], flat(jnp.maximum(dst_slot, 0)), -1
+        )
+        kc2 = kc2.at[dst_flat.reshape(-1)].set(
+            gathered_k.reshape(-1, dh), mode="drop"
+        )
+        vc2 = vc2.at[dst_flat.reshape(-1)].set(
+            gathered_v.reshape(-1, dh), mode="drop"
+        )
+        kc = kc2.reshape(kc.shape)
+        vc = vc2.reshape(vc.shape)
+        mpk = npg.shape[1]
+        tables = tables.at[li, rows, :mpk].set(npg)
+        return (kc, vc, tables), None
+
+    xs = (
+        jnp.arange(scores_sel.shape[0], dtype=jnp.int32),
+        scores_sel,
+        keep,
+        new_pages,
+    )
+    (kc, vc, tables), _ = jax.lax.scan(layer_body, (kc, vc, tables), xs)
+    return kc, vc, tables

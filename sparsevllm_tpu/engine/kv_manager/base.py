@@ -1,0 +1,276 @@
+"""Paged KV-cache manager (host side).
+
+TPU-first re-design of the reference cache-manager layer
+(engine/cache_manager/base.py + standard.py): instead of token-granular slot
+pools with per-method view hooks, the TPU build uses **page-granular pools**
+(page = `page_size` tokens; one (page, kv_head) tile = one Pallas DMA block)
+with:
+
+  * per-layer page free-stacks (vectorized numpy) — per-layer state is what
+    lets SnapKV/PyramidKV keep different tokens per layer (reference
+    snapkv.py:46-58 "fully per-layer state");
+  * a host-side mirror of the per-layer page tables plus an incremental
+    update queue that the executor scatters into the persistent **device**
+    page-table array before each step (replaces slot_mapping H2D churn);
+  * the MemoryOracle budget protocol for the scheduler (reference
+    runtime_state.py:14-43).
+
+Methods whose layers stay identical (vanilla/streamingllm during prefill,
+omnikv, quest) keep the per-layer stacks in lockstep, so prefill destination
+slots are layer-shared; per-layer divergence begins only at method-specific
+eviction time (decode plans are per-layer regardless — they are tiny).
+
+The device-side KV payload itself lives in the executor
+([L, num_pages, Nkv, P, Dh] arrays); this class owns only identity/bookkeeping
+(which page belongs to whom), mirroring the reference split where CacheManager
+owns state and kernels own bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...config import Config
+from ...method_registry import get_profile
+from ...utils.log import logger
+from ..sequence import Sequence
+
+
+class KVCacheManager:
+    """Dense (vanilla) manager; sparse managers subclass."""
+
+    @staticmethod
+    def create(config: Config, num_kv_layers: int, num_pages: int,
+               max_rows: int) -> "KVCacheManager":
+        """Factory routing by method (reference base.py:244-284)."""
+        from .standard import StandardKVManager
+        from .streamingllm import StreamingLLMKVManager
+        from .snapkv import SnapKVManager
+        from .quest import QuestKVManager
+
+        method = config.method
+        cls = {
+            "": StandardKVManager,
+            "omnikv": StandardKVManager,  # storage-identical; selection is
+            # logical (reference omnikv.py:9-11)
+            "streamingllm": StreamingLLMKVManager,
+            "snapkv": SnapKVManager,
+            "pyramidkv": SnapKVManager,
+            "quest": QuestKVManager,
+            "rkv": SnapKVManager,  # rkv adds decode-time joint eviction on
+            # top of snapkv storage (round-1: storage parity)
+            "skipkv": SnapKVManager,
+        }.get(method)
+        if cls is None:
+            raise NotImplementedError(
+                f"cache manager for method {method!r} not implemented yet"
+            )
+        return cls(config, num_kv_layers, num_pages, max_rows)
+
+    def __init__(self, config: Config, num_kv_layers: int, num_pages: int,
+                 max_rows: int):
+        if num_pages < 2:
+            raise ValueError("need at least 2 pages (page 0 is reserved)")
+        self.config = config
+        self.profile = get_profile(config.method)
+        self.L = num_kv_layers
+        self.P = config.page_size
+        self.num_pages = num_pages
+        self.max_rows = max_rows
+        self.MP = config.max_pages_per_seq
+
+        # page 0 reserved as trash page (padded stores/table entries hit it).
+        usable = np.arange(num_pages - 1, 0, -1, dtype=np.int32)  # stack
+        self._free = np.broadcast_to(usable, (self.L, usable.size)).copy()
+        self._free_top = np.full(self.L, usable.size, dtype=np.int64)
+
+        self.page_tables = np.zeros((self.L, max_rows, self.MP), np.int32)
+        self.row_lens = np.zeros((self.L, max_rows), np.int64)
+        self._free_rows: list[int] = list(range(max_rows - 1, -1, -1))
+        self.seq_rows: dict[int, int] = {}
+
+        # pending device page-table updates (flushed by the executor).
+        self._upd_l: list[np.ndarray] = []
+        self._upd_r: list[np.ndarray] = []
+        self._upd_i: list[np.ndarray] = []
+        self._upd_p: list[np.ndarray] = []
+
+    # ------------------------------------------------------------------ rows
+
+    def alloc_row(self, seq: Sequence) -> int:
+        if not self._free_rows:
+            raise RuntimeError("no free KV rows")
+        row = self._free_rows.pop()
+        self.seq_rows[seq.seq_id] = row
+        self.row_lens[:, row] = 0
+        seq.row = row
+        return row
+
+    def free_seq(self, seq: Sequence) -> None:
+        row = self.seq_rows.pop(seq.seq_id, None)
+        if row is None:
+            return
+        # return pages to per-layer stacks (vectorized over layers).
+        for l in range(self.L):
+            n = int(-(-self.row_lens[l, row] // self.P))
+            if n:
+                self._push_pages(l, self.page_tables[l, row, :n])
+        self.row_lens[:, row] = 0
+        self._free_rows.append(row)
+        seq.row = -1
+
+    # ----------------------------------------------------------------- pages
+
+    def _pop_pages(self, layer: int, n: int) -> np.ndarray:
+        top = self._free_top[layer]
+        if n > top:
+            raise RuntimeError(
+                f"KV pool exhausted: layer {layer} needs {n} pages, "
+                f"{top} free (scheduler admission bug or missing preemption)"
+            )
+        self._free_top[layer] = top - n
+        return self._free[layer, top - n : top][::-1].copy()
+
+    def _push_pages(self, layer: int, pages: np.ndarray) -> None:
+        top = self._free_top[layer]
+        n = len(pages)
+        self._free[layer, top : top + n] = pages[::-1]
+        self._free_top[layer] = top + n
+
+    def _queue_update(self, l_idx, r_idx, i_idx, pages) -> None:
+        self._upd_l.append(np.asarray(l_idx, np.int32).ravel())
+        self._upd_r.append(np.asarray(r_idx, np.int32).ravel())
+        self._upd_i.append(np.asarray(i_idx, np.int32).ravel())
+        self._upd_p.append(np.asarray(pages, np.int32).ravel())
+
+    def drain_table_updates(self):
+        """Returns (l, r, i, page) int32 arrays of pending device updates."""
+        if not self._upd_l:
+            return None
+        out = (
+            np.concatenate(self._upd_l),
+            np.concatenate(self._upd_r),
+            np.concatenate(self._upd_i),
+            np.concatenate(self._upd_p),
+        )
+        self._upd_l, self._upd_r, self._upd_i, self._upd_p = [], [], [], []
+        return out
+
+    # ------------------------------------------------------------- prefill
+
+    def alloc_prefill(self, seq: Sequence, chunk: int) -> np.ndarray:
+        """Extend the row by `chunk` prompt tokens; returns layer-shared
+        destination slots [chunk] (global slot = page*P + offset).
+
+        Layers are in lockstep during prefill (see module docstring), so the
+        layer-0 allocation is representative; an assertion guards the
+        invariant.
+        """
+        row = self.seq_rows[seq.seq_id]
+        start = int(self.row_lens[0, row])
+        if not np.all(self.row_lens[:, row] == start):
+            raise AssertionError(
+                "prefill requires layer-lockstep rows; per-layer divergence "
+                "must only happen after prefill"
+            )
+        end = start + chunk
+        n_pages_total = -(-end // self.P)
+        n_new = n_pages_total - (start + self.P - 1) // self.P
+        if n_new > 0:
+            base_pages = None
+            for l in range(self.L):
+                pages = self._pop_pages(l, n_new)
+                if l == 0:
+                    base_pages = pages
+                idx = np.arange(n_pages_total - n_new, n_pages_total)
+                self.page_tables[l, row, idx] = pages
+                self._queue_update(
+                    np.full(n_new, l), np.full(n_new, row), idx, pages
+                )
+        positions = np.arange(start, end, dtype=np.int64)
+        pages_of = self.page_tables[0, row, positions // self.P].astype(np.int64)
+        dest = pages_of * self.P + positions % self.P
+        self.row_lens[:, row] = end
+        return dest.astype(np.int32)
+
+    # --------------------------------------------------------------- decode
+
+    def alloc_decode(self, seqs: list[Sequence]) -> np.ndarray:
+        """Append one token per sequence; returns dest slots [L, B] int32."""
+        b = len(seqs)
+        dest = np.zeros((self.L, b), np.int32)
+        for j, seq in enumerate(seqs):
+            row = self.seq_rows[seq.seq_id]
+            for l in range(self.L):
+                pos = int(self.row_lens[l, row])
+                if pos % self.P == 0:
+                    page = int(self._pop_pages(l, 1)[0])
+                    idx = pos // self.P
+                    self.page_tables[l, row, idx] = page
+                    self._queue_update([l], [row], [idx], [page])
+                pidx = pos // self.P
+                dest[l, j] = self.page_tables[l, row, pidx] * self.P + pos % self.P
+                self.row_lens[l, row] = pos + 1
+        return dest
+
+    def ctx_lens(self, seqs: list[Sequence]) -> np.ndarray:
+        """Per-layer context lengths [L, B] (post-allocation)."""
+        rows = [self.seq_rows[s.seq_id] for s in seqs]
+        return self.row_lens[:, rows].astype(np.int32)
+
+    def rows_of(self, seqs: list[Sequence]) -> np.ndarray:
+        return np.asarray(
+            [self.seq_rows[s.seq_id] for s in seqs], np.int32
+        )
+
+    # ------------------------------------------------- MemoryOracle protocol
+
+    def num_free_pages(self) -> int:
+        return int(self._free_top.min())
+
+    def num_free_rows(self) -> int:
+        return len(self._free_rows)
+
+    def admission_cost_pages(self, seq: Sequence) -> int:
+        """Dense: the whole prompt plus one decode token must fit."""
+        return -(-(seq.num_prompt_tokens + 1) // self.P)
+
+    def can_admit(self, seq: Sequence) -> bool:
+        return (
+            self.num_free_rows() > 0
+            and self.num_free_pages() >= self.admission_cost_pages(seq)
+        )
+
+    def prefill_step_cost_pages(self, seq: Sequence, chunk: int) -> int:
+        start = seq.num_prefilled_tokens
+        return -(-(start + chunk) // self.P) - (start + self.P - 1) // self.P
+
+    def decode_step_cost_pages(self, seq: Sequence) -> int:
+        row = self.seq_rows.get(seq.seq_id)
+        if row is None:
+            return 1
+        return int(np.any(self.row_lens[:, row] % self.P == 0))
+
+    def seq_resident_pages(self, seq: Sequence) -> int:
+        row = self.seq_rows.get(seq.seq_id)
+        if row is None:
+            return 0
+        return int(np.max(-(-self.row_lens[:, row] // self.P)))
+
+    # ----------------------------------------------------- sparse hook points
+
+    def on_prefill_chunk_end(self, seqs: list[Sequence], final: bool) -> list:
+        """Called after each prefill step; eviction methods return device-op
+        requests (executor executes them). Base: no-op."""
+        return []
+
+    def on_decode_step_end(self, seqs: list[Sequence]) -> list:
+        return []
+
+    def free_slot_stats(self) -> dict:
+        return {
+            "free_pages_min": int(self._free_top.min()),
+            "free_pages_max": int(self._free_top.max()),
+            "free_rows": len(self._free_rows),
+            "total_pages": self.num_pages - 1,
+        }

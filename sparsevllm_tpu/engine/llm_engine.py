@@ -1,0 +1,321 @@
+"""LLMEngine: orchestration facade (reference engine/llm_engine.py:158-790).
+
+Bring-up order mirrors the reference (model -> KV sizing -> cache manager ->
+scheduler -> warmup) but with TPU-native replacements:
+  * no worker processes / SHM RPC — a single controller drives one SPMD
+    program (GSPMD shards it across chips);
+  * KV memory sizing is analytic (weights + pools arithmetic vs HBM budget)
+    instead of allocator probing (reference base.py:286-474);
+  * warmup = jit compilation of the hot buckets (reference _warmup
+    llm_engine.py:299-354, where it was CUDA-graph capture).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import Config
+from ..runtime_params import normalize_runtime_params
+from ..sampling_params import SamplingParams
+from ..utils.log import logger
+from ..utils.profiler import profiler
+from .executor import ModelExecutor
+from .kv_manager.base import KVCacheManager
+from .kv_manager.snapkv import SnapKVManager
+from .scheduler import ScheduledBatch, Scheduler
+from .sequence import FinishReason, SeqStatus, Sequence
+
+
+@dataclass
+class RequestOutput:
+    request_id: str
+    prompt_token_ids: list[int]
+    output_token_ids: list[int]
+    finish_reason: str | None
+    text: str = ""
+
+
+def _device_hbm_bytes() -> int:
+    import jax
+
+    dev = jax.local_devices()[0]
+    try:
+        stats = dev.memory_stats()
+        if stats and "bytes_limit" in stats:
+            return int(stats["bytes_limit"])
+    except Exception:  # noqa: BLE001 - backend-dependent
+        pass
+    return 16 * 1024**3  # v5e default
+
+
+class LLMEngine:
+    def __init__(self, model: str = "", **kwargs):
+        allow_unknown = bool(kwargs.pop("allow_unknown_config_keys", False))
+        cfg_kwargs = normalize_runtime_params(kwargs, allow_unknown)
+        cfg_kwargs.setdefault("allow_unknown_config_keys", allow_unknown)
+        self.config = Config(model=model, **cfg_kwargs)
+        config = self.config
+        profiler.enabled = profiler.enabled or config.enable_profiler
+
+        # --- model + tokenizer ------------------------------------------
+        if config.tiny_random:
+            from ..utils.tiny_random import build_tiny_params_and_spec
+
+            params, spec = build_tiny_params_and_spec(
+                config.tiny_random_config, config.tiny_random_seed,
+                config.dtype,
+            )
+            self.tokenizer = None
+            eos_ids: tuple[int, ...] = (2,)
+        else:
+            import transformers
+
+            from ..models.spec import spec_from_hf_config
+            from ..models.weights import load_hf_weights
+
+            hf_config = transformers.AutoConfig.from_pretrained(
+                config.model, trust_remote_code=config.trust_remote_code
+            )
+            spec = spec_from_hf_config(hf_config)
+            params = load_hf_weights(spec, config.model, config.dtype)
+            self.tokenizer = transformers.AutoTokenizer.from_pretrained(
+                config.tokenizer or config.model,
+                trust_remote_code=config.trust_remote_code,
+            )
+            eos = getattr(hf_config, "eos_token_id", None)
+            if eos is None:
+                eos = self.tokenizer.eos_token_id
+            eos_ids = tuple(eos) if isinstance(eos, (list, tuple)) else (eos,)
+        self.spec = spec
+
+        # --- KV sizing (analytic) ----------------------------------------
+        num_pages, max_rows = self._derive_kv_capacity(params)
+        self.executor = ModelExecutor(
+            config, spec, params, num_pages, max_rows
+        )
+        self.kv = KVCacheManager.create(
+            config, spec.num_layers, num_pages, max_rows
+        )
+        self.scheduler = Scheduler(config, self.kv, eos_ids)
+        self._outputs: dict[int, RequestOutput] = {}
+        self._seqs: dict[int, Sequence] = {}
+        self._step_times: list[float] = []
+        logger.info(
+            "engine up: model_type=%s layers=%d kv_pages=%d (page=%d tok, "
+            "%.2f GiB KV) rows=%d method=%s",
+            spec.model_type, spec.num_layers, num_pages, config.page_size,
+            self._kv_bytes(num_pages) / 2**30, max_rows,
+            config.method or "vanilla",
+        )
+
+    def _kv_bytes(self, num_pages: int) -> int:
+        s = self.spec
+        dsize = 2 if self.config.dtype != "float32" else 4
+        return (
+            2 * s.num_layers * num_pages * s.num_kv_heads
+            * self.config.page_size * s.head_dim * dsize
+        )
+
+    def _derive_kv_capacity(self, params) -> tuple[int, int]:
+        config, spec = self.config, self.spec
+        max_rows = min(
+            config.max_num_seqs_in_gpu,
+            max(config.max_decoding_seqs, config.max_num_seqs_in_batch),
+        )
+        if config.num_kv_pages is not None:
+            return config.num_kv_pages, max_rows
+        import jax
+
+        hbm = config.hbm_bytes_per_chip or _device_hbm_bytes()
+        weights = sum(
+            x.nbytes for x in jax.tree_util.tree_leaves(params)
+        )
+        # workspace: activations for the largest prefill bucket + logits +
+        # scores, with margin (analytic stand-in for the reference's
+        # allocator probe, base.py:286-474).
+        act = (
+            config.chunk_prefill_size
+            * max(spec.hidden_size * 8, spec.vocab_size)
+            * 2
+        )
+        budget = int(hbm * config.hbm_utilization) - weights - act
+        page_bytes = self._kv_bytes(1)
+        num_pages = max(budget // page_bytes, 0)
+        need_one_seq = config.max_model_len // config.page_size + 1
+        if num_pages < need_one_seq:
+            logger.warning(
+                "KV budget (%d pages) cannot hold one max_model_len sequence "
+                "(%d pages); long prompts will be rejected at admission",
+                num_pages, need_one_seq,
+            )
+        if num_pages < 2:
+            raise RuntimeError(
+                f"insufficient HBM for KV cache: budget={budget} bytes, "
+                f"page={page_bytes} bytes (weights={weights >> 20} MiB, "
+                f"hbm={hbm >> 20} MiB)"
+            )
+        return int(num_pages), max_rows
+
+    # --------------------------------------------------------------- intake
+
+    def add_request(
+        self,
+        prompt: str | None = None,
+        sampling_params: SamplingParams | None = None,
+        prompt_token_ids: list[int] | None = None,
+        request_id: str | None = None,
+    ) -> int:
+        if prompt_token_ids is None:
+            if prompt is None:
+                raise ValueError("need prompt or prompt_token_ids")
+            if self.tokenizer is None:
+                raise ValueError(
+                    "no tokenizer (tiny_random); pass prompt_token_ids"
+                )
+            prompt_token_ids = self.tokenizer.encode(prompt)
+        sp = sampling_params or SamplingParams()
+        seq = Sequence(list(prompt_token_ids), sp, request_id=request_id)
+        self.scheduler.add(seq)
+        self._seqs[seq.seq_id] = seq
+        self._outputs[seq.seq_id] = RequestOutput(
+            request_id=request_id or str(seq.seq_id),
+            prompt_token_ids=list(prompt_token_ids),
+            output_token_ids=[],
+            finish_reason=None,
+        )
+        return seq.seq_id
+
+    def abort_request(self, seq_id: int) -> None:
+        seq = self.scheduler.abort(seq_id)
+        if seq is not None and seq.row >= 0:
+            self.kv.free_seq(seq)
+
+    # ----------------------------------------------------------------- step
+
+    def step(self) -> list[tuple[Sequence, list[int]]]:
+        """One engine step; returns [(seq, new_token_ids)] for streaming."""
+        t0 = time.perf_counter()
+        with profiler.record("schedule"):
+            batch = self.scheduler.schedule()
+        if batch is None:
+            return []
+        if batch.is_prefill:
+            results = self._step_prefill(batch)
+        else:
+            results = self._step_decode(batch)
+        self._step_times.append(time.perf_counter() - t0)
+        return results
+
+    def _step_prefill(self, batch: ScheduledBatch):
+        seqs, chunks = batch.seqs, batch.chunk_sizes
+        dests = [
+            self.kv.alloc_prefill(s, c) for s, c in zip(seqs, chunks)
+        ]
+        rows = self.kv.rows_of(seqs)
+        ctx = self.kv.ctx_lens(seqs)[0]  # layer-shared during prefill
+        self.executor.apply_table_updates(self.kv.drain_table_updates())
+        tokens, obs = self.executor.run_prefill(
+            seqs, chunks, dests, rows, ctx
+        )
+
+        # prefill-end compaction (snapkv/pyramidkv)
+        finishing = [
+            (i, s) for i, s in enumerate(seqs)
+            if s.num_prefilled_tokens + chunks[i] >= s.num_prompt_tokens
+        ]
+        if (
+            finishing
+            and isinstance(self.kv, SnapKVManager)
+            and obs is not None
+        ):
+            fseqs = [s for _, s in finishing]
+            plan = self.kv.plan_compaction(fseqs)
+            if plan is not None:
+                plan["batch_idx"] = np.asarray(
+                    [i for i, _ in finishing], np.int32
+                )
+                self.executor.compact_rows(plan, obs)
+                self.kv.commit_compaction(fseqs, plan)
+        # chunk-end eviction (streamingllm)
+        self.kv.on_prefill_chunk_end(
+            seqs, final=bool(finishing)
+        )
+        finished = self.scheduler.postprocess(batch, tokens)
+        self._finalize(finished)
+        return [(s, list(s.last_step_tokens)) for s in seqs]
+
+    def _step_decode(self, batch: ScheduledBatch):
+        seqs = batch.seqs
+        dest = self.kv.alloc_decode(seqs)
+        ctx = self.kv.ctx_lens(seqs)
+        rows = self.kv.rows_of(seqs)
+        self.executor.apply_table_updates(self.kv.drain_table_updates())
+        tokens = self.executor.run_decode(seqs, dest, ctx, rows)
+        self.kv.on_decode_step_end(seqs)
+        finished = self.scheduler.postprocess(batch, tokens)
+        self._finalize(finished)
+        return [(s, list(s.last_step_tokens)) for s in seqs]
+
+    def _finalize(self, finished: list[Sequence]) -> None:
+        for seq in finished:
+            self.kv.free_seq(seq)
+            out = self._outputs.get(seq.seq_id)
+            if out is not None:
+                out.output_token_ids = list(seq.completion_token_ids)
+                out.finish_reason = (
+                    seq.finish_reason.value if seq.finish_reason else None
+                )
+
+    # ------------------------------------------------------------- generate
+
+    def generate(
+        self,
+        prompts: list[str] | None = None,
+        sampling_params: SamplingParams | list[SamplingParams] | None = None,
+        prompt_token_ids: list[list[int]] | None = None,
+    ) -> list[RequestOutput]:
+        inputs = prompts if prompts is not None else prompt_token_ids
+        n = len(inputs)
+        sps = (
+            sampling_params
+            if isinstance(sampling_params, list)
+            else [sampling_params or SamplingParams()] * n
+        )
+        ids = []
+        for i in range(n):
+            if prompts is not None:
+                ids.append(self.add_request(prompt=prompts[i],
+                                            sampling_params=sps[i]))
+            else:
+                ids.append(
+                    self.add_request(
+                        prompt_token_ids=prompt_token_ids[i],
+                        sampling_params=sps[i],
+                    )
+                )
+        while self.scheduler.has_work:
+            self.step()
+        outs = []
+        for sid in ids:
+            out = self._outputs[sid]
+            seq = self._seqs[sid]
+            if not out.output_token_ids:
+                out.output_token_ids = list(seq.completion_token_ids)
+                out.finish_reason = (
+                    seq.finish_reason.value if seq.finish_reason else None
+                )
+            if self.tokenizer is not None:
+                out.text = self.tokenizer.decode(out.output_token_ids)
+            outs.append(out)
+        return outs
+
+    def exit(self) -> None:
+        if profiler.enabled:
+            logger.info("profiler summary:\n%s", profiler.summary())
+
+
+class LLM(LLMEngine):
+    """Public alias (reference llm.py:4)."""

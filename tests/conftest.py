@@ -18,6 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin registers itself from sitecustomize regardless of
+# JAX_PLATFORMS; pin the platform via config too so tests really run on CPU.
+jax.config.update("jax_platforms", "cpu")
 # fp32 matmuls default to fast (bf16-pass) precision even on CPU; parity
 # tests against HF need true fp32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
