@@ -252,7 +252,7 @@ def decode_forward(
             def refresh(_):
                 return build_keep_mask(
                     scores, ctx, rt.sink_tokens, rt.recent_tokens,
-                    rt.select_keep,
+                    min(rt.select_keep, k_tokens),
                 )
             sel = jax.lax.cond(is_full, refresh, lambda _: sel, None)
         else:
