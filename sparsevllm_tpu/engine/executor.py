@@ -125,9 +125,27 @@ class ModelExecutor:
             return
         l_idx, r_idx, i_idx, pages = updates
         self.tables = self._update_fn(
-            self.tables, jnp.asarray(l_idx), jnp.asarray(r_idx),
-            jnp.asarray(i_idx), jnp.asarray(pages),
+            self.tables, self._dev(l_idx), self._dev(r_idx),
+            self._dev(i_idx), self._dev(pages),
         )
+
+    # ---------------------------------------------------- device placement
+
+    def _dev(self, x):
+        """Host array -> device, replicated over the mesh when present."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from ..parallel.mesh import replicated
+
+        return jax.device_put(np.asarray(x), replicated(self.mesh))
+
+    def _put_plan(self, plan: dict, phase: str) -> dict:
+        """Host step plan -> device (DP batch-sharded under a mesh)."""
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in plan.items()}
+        from ..parallel.mesh import put_plan
+
+        return put_plan(self.mesh, plan, phase)
 
     # --------------------------------------------------------------- buckets
 
@@ -246,19 +264,19 @@ class ModelExecutor:
             dest[i, :c] = dests[i]
             new_lens[i] = c
             ctx[i] = ctx_lens_tokens[i]
-        plan = {
-            "token_ids": jnp.asarray(token_ids),
-            "positions": jnp.asarray(positions),
-            "dest_slot": jnp.asarray(dest),
-            "row_ids": jnp.asarray(self._pad(row_ids, (bb,))),
-            "ctx_lens": jnp.asarray(ctx),
-            "new_lens": jnp.asarray(new_lens),
-            "step": jnp.asarray(self._step_counter, jnp.int32),
-        }
         temps, top_k, top_p = self._sampling_arrays(seqs, bb)
-        plan.update(
-            temps=jnp.asarray(temps), top_k=jnp.asarray(top_k),
-            top_p=jnp.asarray(top_p),
+        plan = self._put_plan(
+            {
+                "token_ids": token_ids,
+                "positions": positions,
+                "dest_slot": dest,
+                "row_ids": self._pad(row_ids, (bb,)),
+                "ctx_lens": ctx,
+                "new_lens": new_lens,
+                "step": np.asarray(self._step_counter, np.int32),
+                "temps": temps, "top_k": top_k, "top_p": top_p,
+            },
+            "prefill",
         )
         self._step_counter += 1
         fn = self._get_prefill_fn(bb, sb, mp)
@@ -285,18 +303,18 @@ class ModelExecutor:
         for i, seq in enumerate(seqs):
             token_ids[i] = seq.completion_token_ids[-1]
             positions[i] = seq.num_tokens - 1
-        plan = {
-            "token_ids": jnp.asarray(token_ids),
-            "positions": jnp.asarray(positions),
-            "row_ids": jnp.asarray(self._pad(row_ids, (bb,))),
-            "dest_slot": jnp.asarray(self._pad(dest_slots, (l, bb), fill=-1)),
-            "ctx_lens": jnp.asarray(self._pad(ctx_lens, (l, bb))),
-            "step": jnp.asarray(self._step_counter, jnp.int32),
-        }
         temps, top_k, top_p = self._sampling_arrays(seqs, bb)
-        plan.update(
-            temps=jnp.asarray(temps), top_k=jnp.asarray(top_k),
-            top_p=jnp.asarray(top_p),
+        plan = self._put_plan(
+            {
+                "token_ids": token_ids,
+                "positions": positions,
+                "row_ids": self._pad(row_ids, (bb,)),
+                "dest_slot": self._pad(dest_slots, (l, bb), fill=-1),
+                "ctx_lens": self._pad(ctx_lens, (l, bb)),
+                "step": np.asarray(self._step_counter, np.int32),
+                "temps": temps, "top_k": top_k, "top_p": top_p,
+            },
+            "decode",
         )
         self._step_counter += 1
         fn = self._get_decode_fn(bb, mp)
@@ -313,11 +331,11 @@ class ModelExecutor:
         rewrite device table rows. See kv_manager/snapkv.py for the protocol.
         `obs_scores` is the [L, B_step, K] device array from the prefill step;
         plan['batch_idx'] selects the finished sequences."""
-        rows = jnp.asarray(plan["rows"])
-        ctx = jnp.asarray(plan["ctx"])
-        keep = jnp.asarray(plan["keep"])
-        new_pages = jnp.asarray(plan["new_pages"])
-        batch_idx = jnp.asarray(plan["batch_idx"])
+        rows = self._dev(plan["rows"])
+        ctx = self._dev(plan["ctx"])
+        keep = self._dev(plan["keep"])
+        new_pages = self._dev(plan["new_pages"])
+        batch_idx = self._dev(plan["batch_idx"])
         w = int(plan["obs_window"])
         kt = int(plan["keep"].max())  # static top budget this call
         key = ("compact", obs_scores.shape, new_pages.shape, kt, w)

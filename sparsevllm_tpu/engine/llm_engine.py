@@ -91,10 +91,18 @@ class LLMEngine:
             eos_ids = tuple(eos) if isinstance(eos, (list, tuple)) else (eos,)
         self.spec = spec
 
+        # --- mesh (TP x DP over ICI; SURVEY §2.5 TPU-native equivalent) ---
+        mesh = None
+        tp, dp = config.tensor_parallel_size, config.data_parallel_size
+        if tp * dp > 1:
+            from ..parallel.mesh import build_mesh
+
+            mesh = build_mesh(tp=tp, dp=dp)
+
         # --- KV sizing (analytic) ----------------------------------------
         num_pages, max_rows = self._derive_kv_capacity(params)
         self.executor = ModelExecutor(
-            config, spec, params, num_pages, max_rows
+            config, spec, params, num_pages, max_rows, mesh=mesh
         )
         self.kv = KVCacheManager.create(
             config, spec.num_layers, num_pages, max_rows
@@ -141,8 +149,11 @@ class LLMEngine:
             * max(spec.hidden_size * 8, spec.vocab_size)
             * 2
         )
-        budget = int(hbm * config.hbm_utilization) - weights - act
-        page_bytes = self._kv_bytes(1)
+        # Per-chip accounting under TP: weights and KV heads are sharded
+        # over the model axis (parallel/mesh.py), so each chip holds ~1/tp.
+        tp = max(config.tensor_parallel_size, 1)
+        budget = int(hbm * config.hbm_utilization) - weights // tp - act
+        page_bytes = max(self._kv_bytes(1) // tp, 1)
         num_pages = max(budget // page_bytes, 0)
         need_one_seq = config.max_model_len // config.page_size + 1
         if num_pages < need_one_seq:

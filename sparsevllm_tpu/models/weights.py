@@ -139,15 +139,25 @@ def params_from_torch_state_dict(spec: ModelSpec, state_dict, dtype: str):
     return params_from_tensors(spec, get, dtype)
 
 
-def init_params(spec: ModelSpec, seed: int, dtype: str):
-    """Random init (for standalone benchmarking without a checkpoint)."""
+def init_params(spec: ModelSpec, seed: int, dtype: str,
+                distribution: str = "normal"):
+    """Random init (for standalone benchmarking without a checkpoint).
+
+    ``distribution='zeros'`` builds weights with jnp.zeros directly on device
+    — instant even at 7B scale; throughput benchmarks don't depend on weight
+    values.
+    """
     jdt = _JNP_DTYPE[dtype]
     rng = np.random.default_rng(seed)
 
-    def normal(*shape):
-        return jnp.asarray(
-            rng.normal(0.0, 0.02, size=shape).astype(np.float32), jdt
-        )
+    if distribution == "zeros":
+        def normal(*shape):
+            return jnp.zeros(shape, jdt)
+    else:
+        def normal(*shape):
+            return jnp.asarray(
+                rng.normal(0.0, 0.02, size=shape).astype(np.float32), jdt
+            )
 
     l, h, dh = spec.num_layers, spec.hidden_size, spec.head_dim
     layers = {

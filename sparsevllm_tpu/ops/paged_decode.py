@@ -1,0 +1,249 @@
+"""Pallas TPU kernel: paged flash-decode attention (GQA/MHA).
+
+TPU-native counterpart of the reference 2-stage flash-decode family
+(src/sparsevllm/triton_kernel/gqa_flash_decoding_stage1.py:1-433 +
+flash_decoding_stage1/2.py): one decode query token per sequence attends a
+paged KV cache addressed through a page table.
+
+Design (single-pass online softmax instead of the reference's 2-stage
+split-KV): grid = (B, Nkv, MP) with the page dimension innermost and
+sequential; the page table rides in scalar-prefetch SMEM so each grid step's
+BlockSpec index_map points the automatic double-buffered DMA pipeline at the
+right [page_size, head_dim] KV tile of layer ``layer_idx`` in HBM. The
+[G, page] logits tile and the [G, head_dim] accumulator live in VMEM scratch
+across the page loop (G = GQA group = Nq/Nkv queries sharing a kv head).
+
+Bandwidth-bound: bytes = B * ctx_bucket * Nkv * Dh * 2 * dsize, which is the
+speed-of-light for paged decode; compute on fully-padded pages is predicated
+off, and context bucketing (config.context_bucket_pages) bounds padding.
+
+Score emission / select-mask variants used by OmniKV observation layers run
+through the XLA reference path (ops/attention_ref.py) — those layers are a
+small static subset (reference full_attn_layers).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import attention_ref as ref
+
+NEG_INF = -1e30
+
+
+def _decode_kernel(
+    # scalar prefetch
+    lidx_ref,  # [1] layer index
+    table_ref,  # [B, MP] page table
+    ctx_ref,  # [B] context lengths
+    # blocks
+    q_ref,  # [1, 1, G, Dh]
+    k_ref,  # [1, 1, 1, P, Dh]
+    v_ref,  # [1, 1, 1, P, Dh]
+    mask_ref,  # [1, 1, 8, P] int8 (select mask, sublane-replicated) or None
+    out_ref,  # [1, 1, G, Dh]
+    # scratch
+    acc_ref,  # [G, Dh] f32
+    m_ref,  # [G, 128] f32 (running max, lane-replicated)
+    l_ref,  # [G, 128] f32 (running sumexp)
+    *,
+    sm_scale: float,
+    page_size: int,
+    has_mask: bool,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+    num_chunks = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    ctx = ctx_ref[b]
+    # skip pages entirely past the context
+    @pl.when(i * page_size < ctx)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)  # [G, Dh]
+        k = k_ref[0, 0, 0].astype(jnp.float32)  # [P, Dh]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale  # [G, P]
+        pos = i * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1
+        )
+        valid = pos < ctx
+        if has_mask:
+            valid = jnp.logical_and(valid, mask_ref[0, 0, 0:1, :] != 0)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_ref[:, :1]  # [G, 1]
+        l_prev = l_ref[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)  # [G, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)  # [G, 1]
+        p = jnp.exp(s - m_new)  # [G, P]
+        p = jnp.where(valid, p, 0.0)
+        v = v_ref[0, 0, 0].astype(jnp.float32)  # [P, Dh]
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, Dh]
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(i == num_chunks - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
+        out_ref[0, 0] = (acc_ref[:] / l_safe).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "interpret")
+)
+def _decode_pallas_nomask(
+    q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
+    *, sm_scale, interpret=False,
+):
+    return _decode_pallas_impl(
+        q, k_cache, v_cache, layer_idx, page_table, ctx_lens, None,
+        sm_scale=sm_scale, interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "interpret")
+)
+def _decode_pallas_mask(
+    q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
+    *, sm_scale, interpret=False,
+):
+    return _decode_pallas_impl(
+        q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
+        select_mask.astype(jnp.int8),
+        sm_scale=sm_scale, interpret=interpret,
+    )
+
+
+def _decode_pallas_impl(
+    q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
+    *, sm_scale, interpret=False,
+):
+    b, nq, dh = q.shape
+    l, pages, nkv, p, _ = k_cache.shape
+    mp = page_table.shape[1]
+    g = nq // nkv
+    has_mask = select_mask is not None
+
+    lidx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+    # [B, Nkv, G, Dh]: the GQA group becomes a full (block == array) dim so
+    # Mosaic's (8, 128) tile rule is satisfied for any G.
+    q4 = q.reshape(b, nkv, g, dh)
+
+    def kv_imap(bb, h, i, lidx_ref, table_ref, ctx_ref):
+        return (lidx_ref[0], table_ref[bb, i], h, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, g, dh), lambda bb, h, i, *_: (bb, h, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, p, dh), kv_imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, p, dh), kv_imap, memory_space=pltpu.VMEM),
+    ]
+    args = [q4, k_cache, v_cache]
+    if has_mask:
+        # Sublane-replicate to [B, MP, 8, P] so the (8, 128)-or-equal tile
+        # rule holds for the (8, P) trailing block regardless of P.
+        in_specs.append(
+            pl.BlockSpec((1, 1, 8, p), lambda bb, h, i, *_: (bb, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(
+            jnp.broadcast_to(select_mask.reshape(b, mp, 1, p), (b, mp, 8, p))
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, nkv, mp),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, g, dh), lambda bb, h, i, *_: (bb, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g, dh), jnp.float32),
+            pltpu.VMEM((g, 128), jnp.float32),
+            pltpu.VMEM((g, 128), jnp.float32),
+        ],
+    )
+    if has_mask:
+        kernel = functools.partial(
+            _decode_kernel, sm_scale=sm_scale, page_size=p, has_mask=True
+        )
+    else:
+        kernel = functools.partial(
+            _decode_kernel_nomask, sm_scale=sm_scale, page_size=p
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nkv, g, dh), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * nq * mp * p * dh,
+            bytes_accessed=b * nkv * mp * p * dh * 2 * k_cache.dtype.itemsize,
+            transcendentals=b * nq * mp * p,
+        ),
+    )(lidx, page_table, ctx_lens, *args)
+    return out.reshape(b, nq, dh)
+
+
+def _decode_kernel_nomask(
+    lidx_ref, table_ref, ctx_ref, q_ref, k_ref, v_ref, out_ref,
+    acc_ref, m_ref, l_ref, *, sm_scale, page_size,
+):
+    _decode_kernel(
+        lidx_ref, table_ref, ctx_ref, q_ref, k_ref, v_ref, None, out_ref,
+        acc_ref, m_ref, l_ref,
+        sm_scale=sm_scale, page_size=page_size, has_mask=False,
+    )
+
+
+def decode_attention_pallas(
+    q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
+    *, sm_scale, emit_scores=False, select_mask=None, interpret=None,
+):
+    """Dispatcher-facing API (matches ops.attention.decode_attention).
+
+    Score emission runs via the XLA reference path (observation layers only).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if emit_scores:
+        def _layer(c):
+            return jax.lax.dynamic_index_in_dim(c, layer_idx, 0,
+                                                keepdims=False)
+        return ref.decode_attention_ref(
+            q, _layer(k_cache), _layer(v_cache), page_table, ctx_lens,
+            sm_scale=sm_scale, emit_scores=True, select_mask=select_mask,
+        )
+    if select_mask is not None:
+        out = _decode_pallas_mask(
+            q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
+            select_mask, sm_scale=sm_scale, interpret=interpret,
+        )
+    else:
+        out = _decode_pallas_nomask(
+            q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
+            sm_scale=sm_scale, interpret=interpret,
+        )
+    return out, None

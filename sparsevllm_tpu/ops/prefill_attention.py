@@ -1,0 +1,213 @@
+"""Pallas TPU kernel: chunked-prefill causal flash attention over paged KV.
+
+TPU-native counterpart of the reference varlen prefill kernel
+(src/sparsevllm/triton_kernel/context_flashattention_nopad.py:1-302): padded
+[B, S] query chunks attend the full paged context (cached prefix + this
+chunk, already stored) through the page table.
+
+Grid = (B, Nkv, S_blocks, K_pages), pages innermost/sequential: the page
+table rides in scalar-prefetch SMEM and steers the double-buffered KV DMA
+pipeline, exactly like ops/paged_decode.py. Each step computes a
+[BS*G, page_size] logits tile on the MXU with online-softmax state in VMEM
+scratch. Fully-future pages (causal) and fully-padded query blocks are
+predicated off (DMA still streams — context bucketing bounds the waste;
+causal over-read is <=2x, same trade the reference's flash kernels make with
+their rectangular grids).
+
+Observation-score emission (SnapKV window, reference prefill_score.py) runs
+via the XLA reference path — it is only needed on a sequence's final prefill
+chunk.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import attention_ref as ref
+
+NEG_INF = -1e30
+
+
+def _prefill_kernel(
+    # scalar prefetch
+    lidx_ref,  # [1]
+    table_ref,  # [B, MP]
+    ctx_ref,  # [B] total context incl. this chunk
+    new_ref,  # [B] valid new tokens in this chunk
+    # blocks
+    q_ref,  # [1, 1, BS, G, Dh]
+    k_ref,  # [1, 1, 1, P, Dh]
+    v_ref,  # [1, 1, 1, P, Dh]
+    out_ref,  # [1, 1, BS, G, Dh]
+    # scratch
+    acc_ref,  # [BS*G, Dh] f32
+    m_ref,  # [BS*G, 128] f32
+    l_ref,  # [BS*G, 128] f32
+    *,
+    sm_scale: float,
+    page_size: int,
+    block_s: int,
+    groups: int,
+):
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+    k_i = pl.program_id(3)
+    num_k = pl.num_programs(3)
+
+    @pl.when(k_i == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    ctx = ctx_ref[b]
+    new = new_ref[b]
+    base = ctx - new + s * block_s  # abs position of this block's first query
+    rows = block_s * groups
+
+    # block-level predicates: any valid query? any causally visible key?
+    q_block_valid = s * block_s < new
+    kpos_min = k_i * page_size
+    qpos_max = base + block_s - 1
+    visible = jnp.logical_and(kpos_min <= qpos_max, kpos_min < ctx)
+
+    @pl.when(jnp.logical_and(q_block_valid, visible))
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32).reshape(rows, -1)  # [BS*G, Dh]
+        k = k_ref[0, 0, 0].astype(jnp.float32)  # [P, Dh]
+        st = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale  # [BS*G, P]
+        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        qi = row // groups  # query index within block
+        qpos = base + qi
+        kpos = k_i * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, st.shape, 1
+        )
+        valid = (kpos <= qpos) & (kpos < ctx) & (s * block_s + qi < new)
+        st = jnp.where(valid, st, NEG_INF)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_cur = jnp.max(st, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(valid, jnp.exp(st - m_new), 0.0)
+        v = v_ref[0, 0, 0].astype(jnp.float32)  # [P, Dh]
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        l_ref[:] = jnp.broadcast_to(
+            l_prev * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(k_i == num_k - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
+        out = acc_ref[:] / l_safe  # [BS*G, Dh]
+        # zero padded query rows (parity with ref's probs *= valid_q)
+        row = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
+        qi = row // groups
+        out = jnp.where(s * block_s + qi < new, out, 0.0)
+        out_ref[0, 0] = out.reshape(out_ref.shape[2:]).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "block_s", "interpret")
+)
+def _prefill_pallas(
+    q, k_cache, v_cache, layer_idx, page_table, ctx_lens, new_lens,
+    *, sm_scale, block_s, interpret=False,
+):
+    b, s, nq, dh = q.shape
+    l, pages, nkv, p, _ = k_cache.shape
+    mp = page_table.shape[1]
+    g = nq // nkv
+
+    lidx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+    # [B, Nkv, S, G, Dh]: GQA group as a full (block == array) trailing dim
+    # satisfies Mosaic's (8, 128) tile rule for any G (see paged_decode.py).
+    q5 = q.reshape(b, s, nkv, g, dh).transpose(0, 2, 1, 3, 4)
+
+    def kv_imap(bb, h, si, ki, lidx_ref, table_ref, *_):
+        return (lidx_ref[0], table_ref[bb, ki], h, 0, 0)
+
+    def q_imap(bb, h, si, ki, *_):
+        return (bb, h, si, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, nkv, s // block_s, mp),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_s, g, dh), q_imap,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p, dh), kv_imap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p, dh), kv_imap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_s, g, dh), q_imap, memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_s * g, dh), jnp.float32),
+            pltpu.VMEM((block_s * g, 128), jnp.float32),
+            pltpu.VMEM((block_s * g, 128), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _prefill_kernel, sm_scale=sm_scale, page_size=p,
+        block_s=block_s, groups=g,
+    )
+    out5 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q5.shape, q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * s * nq * mp * p * dh,
+            bytes_accessed=b * nkv * mp * p * dh * 2 * k_cache.dtype.itemsize
+            + 2 * b * s * nq * dh * q.dtype.itemsize,
+            transcendentals=b * s * nq * mp * p,
+        ),
+    )(lidx, page_table, ctx_lens, new_lens, q5, k_cache, v_cache)
+    return out5.transpose(0, 2, 1, 3, 4).reshape(b, s, nq, dh)
+
+
+def prefill_attention_pallas(
+    q, k_cache, v_cache, layer_idx, page_table, ctx_lens, new_lens,
+    *, sm_scale, obs_window=0, score_pooling=0, interpret=None,
+):
+    """Dispatcher-facing API (matches ops.attention.prefill_attention).
+
+    Score-emitting calls (final SnapKV chunk) use the XLA reference path.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if obs_window > 0:
+        def _layer(c):
+            return jax.lax.dynamic_index_in_dim(c, layer_idx, 0,
+                                                keepdims=False)
+        return ref.prefill_attention_ref(
+            q, _layer(k_cache), _layer(v_cache), page_table, ctx_lens,
+            new_lens, sm_scale=sm_scale, obs_window=obs_window,
+            score_pooling=score_pooling,
+        )
+    s = q.shape[1]
+    g = max(q.shape[2] // k_cache.shape[2], 1)
+    block_s = min(s, max(128 // g, 8))
+    while s % block_s:
+        block_s //= 2
+    out = _prefill_pallas(
+        q, k_cache, v_cache, layer_idx, page_table, ctx_lens, new_lens,
+        sm_scale=sm_scale, block_s=block_s, interpret=interpret,
+    )
+    return out, None

@@ -1,0 +1,180 @@
+"""Device mesh + GSPMD sharding for the executor state.
+
+TPU-native replacement for the reference's process-per-rank parallelism
+(src/sparsevllm/distributed/parallel_context.py + model_runner.py SHM RPC):
+one controller drives a single jitted SPMD program; sharding annotations
+(``jax.sharding.NamedSharding``) tell GSPMD where tensors live and XLA
+inserts the ICI collectives (psum for row-parallel matmul outputs,
+all-gathers at sharding boundaries) that the reference issued by hand through
+NCCL (parallel_context.py:134-248).
+
+Mesh axes:
+  * ``model`` — tensor parallelism. Column-sharded q/k/v/gate/up projections,
+    row-sharded o/down projections (the classic Megatron split the reference
+    implements as Column/RowParallelLinear, layers/linear.py:14-397), KV cache
+    sharded over kv heads (reference base.py:194 "KV heads divided by TP").
+  * ``data`` — data parallelism over the *batch dimension of a step plan*
+    (the reference reserves DP groups but never shards requests in-engine,
+    SURVEY §2.5; here DP is a first-class in-program batch shard).
+
+Every rule degrades to replication when a dimension is not divisible by the
+axis size, so arbitrary model/mesh combinations still compile (a warning is
+logged); the fast path is the evenly divisible one.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..utils.log import logger
+
+DATA = "data"
+MODEL = "model"
+
+# Sharding rules for stacked per-layer params ([L, ...] leading layer axis).
+_LAYER_RULES: dict[str, P] = {
+    # column-parallel (output-feature sharded)
+    "wq": P(None, None, MODEL),
+    "wk": P(None, None, MODEL),
+    "wv": P(None, None, MODEL),
+    "w_gate": P(None, None, MODEL),
+    "w_up": P(None, None, MODEL),
+    "bq": P(None, MODEL),
+    "bk": P(None, MODEL),
+    "bv": P(None, MODEL),
+    # row-parallel (input-feature sharded; XLA inserts the psum)
+    "wo": P(None, MODEL, None),
+    "w_down": P(None, MODEL, None),
+    # MoE (experts stacked on axis 1: [L, E, ...]) — expert-parallel over the
+    # same mesh axis (reference qwen3_moe "ep_replicated_kv",
+    # method_registry.py:59-79).
+    "moe_w_gate": P(None, MODEL, None, None),
+    "moe_w_up": P(None, MODEL, None, None),
+    "moe_w_down": P(None, MODEL, None, None),
+    "router": P(),
+}
+
+_TOP_RULES: dict[str, P] = {
+    "embed": P(),  # replicated (tied lm_head needs full vocab anyway)
+    "final_norm": P(),
+    "lm_head": P(None, MODEL),  # vocab-column sharded; logits gather by GSPMD
+}
+
+
+def build_mesh(tp: int = 1, dp: int = 1, devices=None) -> Mesh:
+    """(data, model) mesh over the first tp*dp devices.
+
+    Axis order puts ``model`` innermost so TP collectives ride the
+    fastest/nearest ICI links (scaling-book recipe: contiguous inner axis).
+    """
+    if devices is None:
+        devices = jax.devices()
+    need = tp * dp
+    if len(devices) < need:
+        raise ValueError(
+            f"mesh needs {need} devices (tp={tp} x dp={dp}); "
+            f"only {len(devices)} visible"
+        )
+    arr = np.asarray(devices[:need]).reshape(dp, tp)
+    return Mesh(arr, (DATA, MODEL))
+
+
+def _fit(spec: P, shape: tuple[int, ...], mesh: Mesh, what: str) -> P:
+    """Downgrade sharded dims that don't divide evenly to replicated."""
+    dims = list(spec) + [None] * (len(shape) - len(spec))
+    out = []
+    for d, (axis, size) in enumerate(zip(dims, shape)):
+        if axis is None:
+            out.append(None)
+            continue
+        ax_size = mesh.shape[axis]
+        if size % ax_size == 0:
+            out.append(axis)
+        else:
+            logger.warning(
+                "%s dim %d (%d) not divisible by mesh axis %r (%d); "
+                "replicating that dim", what, d, size, axis, ax_size,
+            )
+            out.append(None)
+    return P(*out)
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding pytree matching the params pytree."""
+    out: dict = {}
+    for k, v in params.items():
+        if k == "layers":
+            out[k] = {
+                lk: NamedSharding(
+                    mesh, _fit(_LAYER_RULES.get(lk, P()), lv.shape, mesh,
+                               f"layers.{lk}")
+                )
+                for lk, lv in v.items()
+            }
+        else:
+            out[k] = NamedSharding(
+                mesh, _fit(_TOP_RULES.get(k, P()), v.shape, mesh, k)
+            )
+    return out
+
+
+def kv_sharding(mesh: Mesh, kv_shape: tuple[int, ...]) -> NamedSharding:
+    """[L, pages, Nkv, P, Dh] sharded over kv heads on the model axis."""
+    return NamedSharding(
+        mesh, _fit(P(None, None, MODEL, None, None), kv_shape, mesh, "kv_cache")
+    )
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_executor_state(ex) -> None:
+    """Apply shardings to a ModelExecutor's persistent device state in place."""
+    mesh = ex.mesh
+    ex.params = jax.device_put(ex.params, param_shardings(ex.params, mesh))
+    kvs = kv_sharding(mesh, ex.k_cache.shape)
+    ex.k_cache = jax.device_put(ex.k_cache, kvs)
+    ex.v_cache = jax.device_put(ex.v_cache, kvs)
+    ex.tables = jax.device_put(ex.tables, replicated(mesh))
+    logger.info(
+        "sharded executor state over mesh %s (kv: %s)",
+        dict(mesh.shape), kvs.spec,
+    )
+
+
+# Step-plan shardings: batch dim over "data". Keys absent here are replicated.
+_PREFILL_PLAN_RULES: dict[str, P] = {
+    "token_ids": P(DATA, None),
+    "positions": P(DATA, None),
+    "dest_slot": P(DATA, None),
+    "row_ids": P(DATA),
+    "ctx_lens": P(DATA),
+    "new_lens": P(DATA),
+    "temps": P(DATA),
+    "top_k": P(DATA),
+    "top_p": P(DATA),
+}
+
+_DECODE_PLAN_RULES: dict[str, P] = {
+    "token_ids": P(DATA),
+    "positions": P(DATA),
+    "row_ids": P(DATA),
+    "dest_slot": P(None, DATA),  # [L, B]
+    "ctx_lens": P(None, DATA),  # [L, B]
+    "temps": P(DATA),
+    "top_k": P(DATA),
+    "top_p": P(DATA),
+}
+
+
+def put_plan(mesh: Mesh, plan: dict, phase: str) -> dict:
+    """device_put a host step plan with DP batch shardings."""
+    rules = _PREFILL_PLAN_RULES if phase == "prefill" else _DECODE_PLAN_RULES
+    out = {}
+    for k, v in plan.items():
+        spec = _fit(rules.get(k, P()), np.shape(v), mesh, f"plan.{k}")
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out

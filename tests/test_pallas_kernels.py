@@ -1,0 +1,117 @@
+"""Pallas kernel vs XLA-reference parity (interpret mode on CPU).
+
+Mirrors the reference kernel-vs-eager test pattern
+(tests/test_deltakv_less_memory_kernel.py, test_prefill_score_kernel.py):
+each hand-written kernel is checked against the pure-XLA semantics in
+ops/attention_ref.py. On CPU the kernels run in Pallas interpret mode; the
+same code compiles through Mosaic on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsevllm_tpu.ops import attention_ref as ref
+from sparsevllm_tpu.ops import paged_decode as pd
+from sparsevllm_tpu.ops import prefill_attention as pf
+
+
+@pytest.fixture(scope="module")
+def caches():
+    rng = np.random.default_rng(0)
+    L, pages, Nkv, P, Dh = 3, 32, 2, 8, 128
+    kc = jnp.asarray(rng.normal(size=(L, pages, Nkv, P, Dh)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(L, pages, Nkv, P, Dh)), jnp.float32)
+    return kc, vc
+
+
+def test_decode_matches_ref(caches):
+    kc, vc = caches
+    rng = np.random.default_rng(1)
+    B, Nq, MP, P = 3, 4, 6, kc.shape[3]
+    q = jnp.asarray(rng.normal(size=(B, Nq, 128)), jnp.float32)
+    table = jnp.asarray(rng.integers(1, kc.shape[1], size=(B, MP)), jnp.int32)
+    ctx = jnp.asarray([5, 33, 48], jnp.int32)
+    out_p, _ = pd.decode_attention_pallas(
+        q, kc, vc, 1, table, ctx, sm_scale=0.088, interpret=True
+    )
+    out_r, _ = ref.decode_attention_ref(
+        q, kc[1], vc[1], table, ctx, sm_scale=0.088
+    )
+    np.testing.assert_allclose(out_p, out_r, atol=2e-5)
+
+
+def test_decode_select_mask_matches_ref(caches):
+    kc, vc = caches
+    rng = np.random.default_rng(2)
+    B, Nq, MP, P = 3, 4, 6, kc.shape[3]
+    q = jnp.asarray(rng.normal(size=(B, Nq, 128)), jnp.float32)
+    table = jnp.asarray(rng.integers(1, kc.shape[1], size=(B, MP)), jnp.int32)
+    ctx = jnp.asarray([17, 40, 48], jnp.int32)
+    mask = jnp.asarray(rng.integers(0, 2, size=(B, MP * P)), bool)
+    mask = mask.at[:, :2].set(True)  # never fully masked
+    out_p, _ = pd.decode_attention_pallas(
+        q, kc, vc, 2, table, ctx, sm_scale=0.088, select_mask=mask,
+        interpret=True,
+    )
+    out_r, _ = ref.decode_attention_ref(
+        q, kc[2], vc[2], table, ctx, sm_scale=0.088, select_mask=mask
+    )
+    np.testing.assert_allclose(out_p, out_r, atol=2e-5)
+
+
+def test_prefill_matches_ref(caches):
+    kc, vc = caches
+    rng = np.random.default_rng(3)
+    B, S, Nq, MP = 2, 16, 4, 8
+    q = jnp.asarray(rng.normal(size=(B, S, Nq, 128)), jnp.float32)
+    table = jnp.asarray(rng.integers(1, kc.shape[1], size=(B, MP)), jnp.int32)
+    # seq0: 4 cached + 16 new; seq1: padded chunk (9 of 16 valid)
+    ctx = jnp.asarray([20, 13], jnp.int32)
+    new = jnp.asarray([16, 9], jnp.int32)
+    out_p, _ = pf.prefill_attention_pallas(
+        q, kc, vc, 0, table, ctx, new, sm_scale=0.088, interpret=True
+    )
+    out_r, _ = ref.prefill_attention_ref(
+        q, kc[0], vc[0], table, ctx, new, sm_scale=0.088
+    )
+    np.testing.assert_allclose(out_p, out_r, atol=2e-5)
+
+
+def test_prefill_first_chunk_no_prefix(caches):
+    kc, vc = caches
+    rng = np.random.default_rng(4)
+    B, S, Nq, MP = 2, 8, 4, 4
+    q = jnp.asarray(rng.normal(size=(B, S, Nq, 128)), jnp.float32)
+    table = jnp.asarray(rng.integers(1, kc.shape[1], size=(B, MP)), jnp.int32)
+    ctx = jnp.asarray([8, 3], jnp.int32)
+    new = jnp.asarray([8, 3], jnp.int32)
+    out_p, _ = pf.prefill_attention_pallas(
+        q, kc, vc, 1, table, ctx, new, sm_scale=0.25, interpret=True
+    )
+    out_r, _ = ref.prefill_attention_ref(
+        q, kc[1], vc[1], table, ctx, new, sm_scale=0.25
+    )
+    np.testing.assert_allclose(out_p, out_r, atol=2e-5)
+
+
+def test_obs_window_falls_back_to_ref(caches):
+    """Score-emitting prefill must return identical scores to the ref path."""
+    kc, vc = caches
+    rng = np.random.default_rng(5)
+    B, S, Nq, MP = 2, 16, 4, 4
+    q = jnp.asarray(rng.normal(size=(B, S, Nq, 128)), jnp.float32)
+    table = jnp.asarray(rng.integers(1, kc.shape[1], size=(B, MP)), jnp.int32)
+    ctx = jnp.asarray([30, 16], jnp.int32)
+    new = jnp.asarray([16, 16], jnp.int32)
+    out_p, obs_p = pf.prefill_attention_pallas(
+        q, kc, vc, 0, table, ctx, new, sm_scale=0.088, obs_window=4,
+        score_pooling=3, interpret=True,
+    )
+    out_r, obs_r = ref.prefill_attention_ref(
+        q, kc[0], vc[0], table, ctx, new, sm_scale=0.088, obs_window=4,
+        score_pooling=3,
+    )
+    np.testing.assert_allclose(out_p, out_r, atol=2e-5)
+    np.testing.assert_allclose(obs_p, obs_r, atol=2e-5)
