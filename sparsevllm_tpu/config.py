@@ -43,11 +43,19 @@ def _pow2_buckets(max_value: int, start: int = 1) -> list[int]:
 
 
 def _geometric_context_buckets(base: int, max_value: int) -> list[int]:
-    """base·2^n token buckets capped at max_value (reference config.py:175-187)."""
+    """Interleaved {2^n, 1.5*2^n} token buckets capped at max_value.
+
+    The reference uses pure 2^n context buckets (config.py:175-187); the
+    half-step buckets bound decode-kernel KV over-read at <=33% instead of
+    <=100% — on TPU the padded pages are real HBM bandwidth, so bucket
+    granularity is directly decode throughput.
+    """
     out = []
     v = base
     while v < max_value:
         out.append(v)
+        if v * 3 // 2 < max_value:
+            out.append(v * 3 // 2)
         v *= 2
     out.append(max_value)
     return out
@@ -136,6 +144,13 @@ class Config:
     decode_batch_buckets: tuple[int, ...] | None = None  # None = pow2 default
     decode_context_bucket_base: int = 1024
     capture_sampling: bool = True  # greedy argmax inside jitted decode step
+    # Decode megastep: k decode steps run inside ONE jitted dispatch
+    # (lax.scan over steps, sampled tokens fed back on device, one async
+    # device->host token fetch per dispatch). TPU-native replacement for
+    # per-step CUDA-graph replay (reference decode_cuda_graph.py) that also
+    # amortizes host dispatch latency. Sequences finishing mid-megastep waste
+    # at most k-1 steps (postprocess truncates at EOS/max_tokens).
+    decode_steps_per_dispatch: int = 8
 
     # --- sparse budgets (config.py:626-628) --------------------------------
     method: str = ""
@@ -221,6 +236,8 @@ class Config:
             raise ValueError(
                 "max_num_batched_tokens must be >= chunk_prefill_size"
             )
+        if self.decode_steps_per_dispatch < 1:
+            raise ValueError("decode_steps_per_dispatch must be >= 1")
         if self.prompt_admission_failure_action not in ("defer", "raise"):
             raise ValueError(
                 "prompt_admission_failure_action must be 'defer' or 'raise'"

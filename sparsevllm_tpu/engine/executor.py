@@ -167,8 +167,8 @@ class ModelExecutor:
 
     # ------------------------------------------------------------- step fns
 
-    def _get_prefill_fn(self, bb: int, sb: int, mp: int):
-        key = ("prefill", bb, sb, mp)
+    def _get_prefill_fn(self, bb: int, sb: int, mp: int, mode: str):
+        key = ("prefill", bb, sb, mp, mode)
         fn = self._fn_cache.get(key)
         if fn is not None:
             return fn
@@ -184,7 +184,8 @@ class ModelExecutor:
             logits = tfm.compute_logits(params, last_h, spec)
             key = jax.random.fold_in(self._base_key, plan["step"])
             tokens = sampler_ops.sample(
-                logits, plan["temps"], plan["top_k"], plan["top_p"], key
+                logits, plan["temps"], plan["top_k"], plan["top_p"], key,
+                mode=mode,
             )
             return kc, vc, tokens, obs
 
@@ -193,29 +194,51 @@ class ModelExecutor:
         logger.info("compiled prefill step bucket B=%d S=%d MP=%d", bb, sb, mp)
         return fn
 
-    def _get_decode_fn(self, bb: int, mp: int):
-        key = ("decode", bb, mp)
+    def _get_decode_fn(self, bb: int, mp: int, k: int, mode: str):
+        key = ("decode", bb, mp, k, mode)
         fn = self._fn_cache.get(key)
         if fn is not None:
             return fn
         spec, rt, rope = self.spec, self._rt, self.rope
         is_full = self._is_full_layer
 
-        def step(params, kc, vc, tables, plan):
-            kc, vc, h = tfm.decode_forward(
-                params, kc, vc, tables, plan, rope,
-                spec=spec, rt=rt, mp_bucket=mp, is_full_layer=is_full,
-            )
-            logits = tfm.compute_logits(params, h, spec)
-            key = jax.random.fold_in(self._base_key, plan["step"])
-            tokens = sampler_ops.sample(
-                logits, plan["temps"], plan["top_k"], plan["top_p"], key
-            )
-            return kc, vc, tokens
+        def megastep(params, kc, vc, tables, plan):
+            """k decode steps in one dispatch: sampled tokens feed back on
+            device (lax.scan over steps); ONE token transfer per dispatch.
+            This is the TPU answer to per-step CUDA-graph replay + the
+            host round-trip it implies (reference decode_cuda_graph.py)."""
+            base_key = jax.random.fold_in(self._base_key, plan["step"])
 
-        fn = jax.jit(step, donate_argnums=(1, 2))
+            def body(carry, t):
+                kc, vc, tok = carry
+                p = {
+                    "token_ids": tok,
+                    "positions": plan["positions0"] + t,
+                    "row_ids": plan["row_ids"],
+                    "dest_slot": plan["dest"][:, :, t],
+                    "ctx_lens": plan["ctx_start"] + t + 1,
+                }
+                kc, vc, h = tfm.decode_forward(
+                    params, kc, vc, tables, p, rope,
+                    spec=spec, rt=rt, mp_bucket=mp, is_full_layer=is_full,
+                )
+                logits = tfm.compute_logits(params, h, spec)
+                tok2 = sampler_ops.sample(
+                    logits, plan["temps"], plan["top_k"], plan["top_p"],
+                    jax.random.fold_in(base_key, t), mode=mode,
+                )
+                return (kc, vc, tok2), tok2
+
+            (kc, vc, _), toks = jax.lax.scan(
+                body, (kc, vc, plan["token_ids0"]),
+                jnp.arange(k, dtype=jnp.int32),
+            )
+            return kc, vc, toks  # [k, B]
+
+        fn = jax.jit(megastep, donate_argnums=(1, 2))
         self._fn_cache[key] = fn
-        logger.info("compiled decode step bucket B=%d MP=%d", bb, mp)
+        logger.info("compiled decode megastep bucket B=%d MP=%d k=%d",
+                    bb, mp, k)
         return fn
 
     # ----------------------------------------------------------------- runs
@@ -228,6 +251,8 @@ class ModelExecutor:
         return out
 
     def _sampling_arrays(self, seqs, bb: int):
+        """Per-seq sampling arrays + the static sampler fast-path mode
+        (layers/sampler.py): part of the jit cache key."""
         temps = np.zeros(bb, np.float32)
         top_k = np.zeros(bb, np.int32)
         top_p = np.ones(bb, np.float32)
@@ -236,7 +261,13 @@ class ModelExecutor:
             temps[i] = sp.temperature
             top_k[i] = sp.top_k
             top_p[i] = sp.top_p
-        return temps, top_k, top_p
+        if np.all(temps == 0.0):
+            mode = "greedy"
+        elif np.all(top_k == 0) and np.all(top_p >= 1.0):
+            mode = "temp_only"
+        else:
+            mode = "full"
+        return temps, top_k, top_p, mode
 
     def run_prefill(
         self,
@@ -264,7 +295,7 @@ class ModelExecutor:
             dest[i, :c] = dests[i]
             new_lens[i] = c
             ctx[i] = ctx_lens_tokens[i]
-        temps, top_k, top_p = self._sampling_arrays(seqs, bb)
+        temps, top_k, top_p, mode = self._sampling_arrays(seqs, bb)
         plan = self._put_plan(
             {
                 "token_ids": token_ids,
@@ -279,7 +310,7 @@ class ModelExecutor:
             "prefill",
         )
         self._step_counter += 1
-        fn = self._get_prefill_fn(bb, sb, mp)
+        fn = self._get_prefill_fn(bb, sb, mp, mode)
         with profiler.record("prefill_step"):
             self.k_cache, self.v_cache, tokens, obs = fn(
                 self.params, self.k_cache, self.v_cache, self.tables, plan
@@ -289,40 +320,48 @@ class ModelExecutor:
     def run_decode(
         self,
         seqs,
-        dest_slots: np.ndarray,  # [L, B]
-        ctx_lens: np.ndarray,  # [L, B]
+        dest_slots: np.ndarray,  # [L, B, k]
+        ctx_start: np.ndarray,  # [L, B] resident length BEFORE this megastep
         row_ids: np.ndarray,  # [B]
     ):
+        """k-step decode megastep; returns sampled tokens [B, k] (host)."""
         b = len(seqs)
         l = self.spec.num_layers
-        max_pages = int(-(-ctx_lens.max() // self.config.page_size))
+        k = dest_slots.shape[2]
+        max_ctx = int(ctx_start.max()) + k
+        max_pages = -(-max_ctx // self.config.page_size)
         bb, mp = self._decode_buckets(b, max_pages)
 
         token_ids = np.zeros(bb, np.int32)
         positions = np.zeros(bb, np.int32)
         for i, seq in enumerate(seqs):
-            token_ids[i] = seq.completion_token_ids[-1]
+            token_ids[i] = (
+                seq.completion_token_ids[-1]
+                if seq.completion_token_ids
+                else seq.prompt_token_ids[-1]
+            )
             positions[i] = seq.num_tokens - 1
-        temps, top_k, top_p = self._sampling_arrays(seqs, bb)
+        temps, top_k, top_p, mode = self._sampling_arrays(seqs, bb)
         plan = self._put_plan(
             {
-                "token_ids": token_ids,
-                "positions": positions,
+                "token_ids0": token_ids,
+                "positions0": positions,
                 "row_ids": self._pad(row_ids, (bb,)),
-                "dest_slot": self._pad(dest_slots, (l, bb), fill=-1),
-                "ctx_lens": self._pad(ctx_lens, (l, bb)),
+                "dest": self._pad(dest_slots, (l, bb, k), fill=-1),
+                "ctx_start": self._pad(ctx_start, (l, bb)),
                 "step": np.asarray(self._step_counter, np.int32),
                 "temps": temps, "top_k": top_k, "top_p": top_p,
             },
             "decode",
         )
         self._step_counter += 1
-        fn = self._get_decode_fn(bb, mp)
+        fn = self._get_decode_fn(bb, mp, k, mode)
         with profiler.record("decode_step"):
             self.k_cache, self.v_cache, tokens = fn(
                 self.params, self.k_cache, self.v_cache, self.tables, plan
             )
-        return np.asarray(tokens)[:b]
+        tokens.copy_to_host_async()
+        return np.asarray(tokens).T[:b]  # [B, k]
 
     # ----------------------------------------------- snapkv/pyramid compact
 

@@ -195,23 +195,41 @@ class KVCacheManager:
 
     # --------------------------------------------------------------- decode
 
-    def alloc_decode(self, seqs: list[Sequence]) -> np.ndarray:
-        """Append one token per sequence; returns dest slots [L, B] int32."""
+    def alloc_decode(
+        self, seqs: list[Sequence], k: int = 1
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Append ``k`` tokens per sequence (decode megastep).
+
+        Returns (dest_slots [L, B, k] int32, ctx_start [L, B] int32) where
+        ctx_start is the resident length BEFORE this megastep — the executor
+        computes per-step context as ctx_start + t + 1 inside the scan.
+        """
         b = len(seqs)
-        dest = np.zeros((self.L, b), np.int32)
+        dest = np.zeros((self.L, b, k), np.int32)
+        ctx_start = np.zeros((self.L, b), np.int32)
         for j, seq in enumerate(seqs):
             row = self.seq_rows[seq.seq_id]
             for l in range(self.L):
-                pos = int(self.row_lens[l, row])
-                if pos % self.P == 0:
-                    page = int(self._pop_pages(l, 1)[0])
-                    idx = pos // self.P
-                    self.page_tables[l, row, idx] = page
-                    self._queue_update([l], [row], [idx], [page])
-                pidx = pos // self.P
-                dest[l, j] = self.page_tables[l, row, pidx] * self.P + pos % self.P
-                self.row_lens[l, row] = pos + 1
-        return dest
+                pos0 = int(self.row_lens[l, row])
+                ctx_start[l, j] = pos0
+                # pages covering [pos0, pos0+k) not yet allocated
+                have = -(-pos0 // self.P)  # pages currently held
+                need_through = (pos0 + k - 1) // self.P
+                n_new = need_through + 1 - have
+                if n_new > 0:
+                    pages = self._pop_pages(l, n_new)
+                    idx = np.arange(have, need_through + 1)
+                    self.page_tables[l, row, idx] = pages
+                    self._queue_update(
+                        np.full(n_new, l), np.full(n_new, row), idx, pages
+                    )
+                positions = pos0 + np.arange(k)
+                dest[l, j] = (
+                    self.page_tables[l, row, positions // self.P] * self.P
+                    + positions % self.P
+                )
+                self.row_lens[l, row] = pos0 + k
+        return dest, ctx_start
 
     def ctx_lens(self, seqs: list[Sequence]) -> np.ndarray:
         """Per-layer context lengths [L, B] (post-allocation)."""
@@ -245,11 +263,15 @@ class KVCacheManager:
         start = seq.num_prefilled_tokens
         return -(-(start + chunk) // self.P) - (start + self.P - 1) // self.P
 
-    def decode_step_cost_pages(self, seq: Sequence) -> int:
+    def decode_step_cost_pages(self, seq: Sequence, k: int = 1) -> int:
+        """Worst-case new pages over all layers for a k-step decode."""
         row = self.seq_rows.get(seq.seq_id)
         if row is None:
-            return 1
-        return int(np.any(self.row_lens[:, row] % self.P == 0))
+            return -(-k // self.P) + 1
+        lens = self.row_lens[:, row]
+        have = -(-lens // self.P)
+        need = (lens + k - 1) // self.P + 1
+        return int((need - have).max())
 
     def seq_resident_pages(self, seq: Sequence) -> int:
         row = self.seq_rows.get(seq.seq_id)

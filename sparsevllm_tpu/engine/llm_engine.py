@@ -260,11 +260,17 @@ class LLMEngine:
 
     def _step_decode(self, batch: ScheduledBatch):
         seqs = batch.seqs
-        dest = self.kv.alloc_decode(seqs)
-        ctx = self.kv.ctx_lens(seqs)
+        # megastep length: bounded by model-length headroom of the batch
+        # (rows cannot extend past max_model_len pages).
+        k = self.config.decode_steps_per_dispatch
+        headroom = min(
+            self.config.max_model_len - s.num_tokens for s in seqs
+        )
+        k = max(1, min(k, headroom))
+        dest, ctx_start = self.kv.alloc_decode(seqs, k)
         rows = self.kv.rows_of(seqs)
         self.executor.apply_table_updates(self.kv.drain_table_updates())
-        tokens = self.executor.run_decode(seqs, dest, ctx, rows)
+        tokens = self.executor.run_decode(seqs, dest, ctx_start, rows)
         self.kv.on_decode_step_end(seqs)
         finished = self.scheduler.postprocess(batch, tokens)
         self._finalize(finished)

@@ -22,6 +22,8 @@ from __future__ import annotations
 from collections import deque
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ..config import Config
 from ..utils.log import logger
 from .kv_manager.base import KVCacheManager
@@ -190,9 +192,10 @@ class Scheduler:
             return None
         decoding.sort(key=lambda s: s.num_tokens)  # short-first (:528-573)
         selected = decoding[: self.config.max_decoding_seqs]
+        k = self.config.decode_steps_per_dispatch
         preempted: list[Sequence] = []
         while selected:
-            need = sum(self.kv.decode_step_cost_pages(s) for s in selected)
+            need = sum(self.kv.decode_step_cost_pages(s, k) for s in selected)
             if need <= self.kv.num_free_pages():
                 break
             victim = self._pick_preemption_victim(selected)
@@ -247,7 +250,11 @@ class Scheduler:
         self, batch: ScheduledBatch, sampled_tokens
     ) -> list[Sequence]:
         """Apply step results; returns newly finished sequences (reference
-        scheduler.py:665-709)."""
+        scheduler.py:665-709).
+
+        ``sampled_tokens`` is [B] (prefill) or [B, k] (decode megastep); a
+        sequence finishing at step t < k discards the remaining tokens.
+        """
         finished: list[Sequence] = []
         for i, seq in enumerate(batch.seqs):
             seq.last_step_tokens = []
@@ -256,11 +263,16 @@ class Scheduler:
                 if not seq.prefill_done:
                     continue
                 seq.status = SeqStatus.DECODING
-            token = int(sampled_tokens[i])
-            seq.completion_token_ids.append(token)
-            seq.last_step_tokens = [token]
-            if self._check_finish(seq, token):
-                finished.append(seq)
+                step_tokens = [int(sampled_tokens[i])]
+            else:
+                row = sampled_tokens[i]
+                step_tokens = [int(t) for t in np.atleast_1d(row)]
+            for token in step_tokens:
+                seq.completion_token_ids.append(token)
+                seq.last_step_tokens.append(token)
+                if self._check_finish(seq, token):
+                    finished.append(seq)
+                    break
         for seq in finished:
             self.running.remove(seq)
         return finished

@@ -1,0 +1,330 @@
+"""OpenAI-compatible API server (aiohttp).
+
+Re-expresses reference entrypoints/openai/api_server.py:89-219 + routes/ +
+serving/ on aiohttp (this environment has no fastapi/uvicorn): routes
+/v1/completions, /v1/chat/completions, /v1/models, /health, /worker/info,
+/worker/load; SSE streaming; stop-string enforcement on decoded text;
+fatal-engine-error -> 503 + unhealthy /health (the reference shuts uvicorn
+down; systemd-style supervisors restart either way).
+
+Run:
+    python -m sparsevllm_tpu.entrypoints.openai.api_server \
+        --model /path/to/hf-checkpoint --port 8000 [--engine-kwargs JSON]
+    python -m sparsevllm_tpu.entrypoints.openai.api_server --tiny-random
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+
+from aiohttp import web
+
+from ...engine.llm_engine import LLMEngine
+from ...utils.log import logger
+from . import protocol as proto
+from .detokenizer import IncrementalDetokenizer
+from .dispatcher import AsyncEngineDispatcher, StreamDelta
+
+
+def _sse(data: dict) -> bytes:
+    return b"data: " + json.dumps(data, separators=(",", ":")).encode() + b"\n\n"
+
+
+_SSE_DONE = b"data: [DONE]\n\n"
+_SSE_HEADERS = {
+    "Content-Type": "text/event-stream",
+    "Cache-Control": "no-cache",
+    "Connection": "keep-alive",
+}
+
+
+class OpenAIServer:
+    def __init__(self, engine: LLMEngine, served_model: str = ""):
+        self.engine = engine
+        self.dispatcher = AsyncEngineDispatcher(engine)
+        self.served_model = served_model or engine.config.model or "tiny-random"
+        self.tokenizer = engine.tokenizer
+
+    # ------------------------------------------------------------- helpers
+
+    def _encode_prompt(self, prompt) -> list[int]:
+        if isinstance(prompt, list):
+            return prompt
+        if self.tokenizer is None:
+            raise proto.ProtocolError(
+                "server has no tokenizer (tiny_random); send token ids"
+            )
+        return self.tokenizer.encode(prompt)
+
+    def _render_chat(self, messages: list[dict]) -> list[int]:
+        if self.tokenizer is None:
+            raise proto.ProtocolError(
+                "server has no tokenizer (tiny_random); use /v1/completions "
+                "with token ids"
+            )
+        try:
+            return self.tokenizer.apply_chat_template(
+                messages, tokenize=True, add_generation_prompt=True
+            )
+        except Exception:  # noqa: BLE001 — template-less tokenizers
+            text = "".join(
+                f"{m.get('role', 'user')}: {m.get('content', '')}\n"
+                for m in messages
+            ) + "assistant: "
+            return self.tokenizer.encode(text)
+
+    @staticmethod
+    def _find_stop(text: str, stops: tuple[str, ...]) -> int:
+        """Earliest stop-string index in text, or -1."""
+        best = -1
+        for s in stops:
+            i = text.find(s)
+            if i >= 0 and (best < 0 or i < best):
+                best = i
+        return best
+
+    async def _generate(self, prompt_ids, sp, request_id):
+        """Core generation: yields (text_delta, delta) honoring stop strings."""
+        detok = (
+            IncrementalDetokenizer(self.tokenizer)
+            if self.tokenizer is not None else None
+        )
+        emitted = 0
+        async for delta in self.dispatcher.submit(prompt_ids, sp, request_id):
+            if detok is None:
+                yield "", delta
+                continue
+            text = detok.push(delta.token_ids)
+            if delta.finished:
+                text += detok.finish()
+            if sp.stop:
+                whole = detok._emitted_text
+                stop_at = self._find_stop(whole, sp.stop)
+                if stop_at >= 0:
+                    cut = whole[:stop_at]
+                    yield cut[emitted:], StreamDelta(
+                        delta.token_ids, True, "stop"
+                    )
+                    self.dispatcher.abort(request_id)
+                    return
+            emitted += len(text)
+            yield text, delta
+
+    # -------------------------------------------------------------- routes
+
+    async def completions(self, request: web.Request) -> web.StreamResponse:
+        try:
+            body = await request.json()
+            req = proto.CompletionRequest.from_body(
+                body, self.engine.config.max_model_len // 4
+            )
+            prompt_ids = self._encode_prompt(req.prompt)
+        except (proto.ProtocolError, json.JSONDecodeError, ValueError) as e:
+            return _err(400, str(e))
+        if not self.dispatcher.healthy:
+            return _err(503, "engine unavailable")
+        created = proto.now()
+
+        if req.stream:
+            resp = web.StreamResponse(headers=_SSE_HEADERS)
+            await resp.prepare(request)
+            try:
+                async for text, delta in self._generate(
+                    prompt_ids, req.sampling, req.request_id
+                ):
+                    if text or delta.finished:
+                        await resp.write(_sse(proto.completion_chunk(
+                            req.request_id, self.served_model, text,
+                            delta.finish_reason if delta.finished else None,
+                            created,
+                        )))
+                await resp.write(_SSE_DONE)
+            except RuntimeError as e:
+                await resp.write(_sse({"error": str(e)}))
+            await resp.write_eof()
+            return resp
+
+        parts: list[str] = []
+        n_tokens = 0
+        finish = None
+        try:
+            async for text, delta in self._generate(
+                prompt_ids, req.sampling, req.request_id
+            ):
+                parts.append(text)
+                n_tokens += len(delta.token_ids)
+                if delta.finished:
+                    finish = delta.finish_reason
+        except RuntimeError as e:
+            return _err(500, str(e))
+        text = "".join(parts)
+        if req.echo and isinstance(req.prompt, str):
+            text = req.prompt + text
+        out = proto.completion_chunk(
+            req.request_id, self.served_model, text, finish, created
+        )
+        out["object"] = "text_completion"
+        out["usage"] = proto.usage_dict(len(prompt_ids), n_tokens)
+        return web.json_response(out)
+
+    async def chat_completions(self, request: web.Request) -> web.StreamResponse:
+        try:
+            body = await request.json()
+            req = proto.ChatRequest.from_body(
+                body, self.engine.config.max_model_len // 4
+            )
+            prompt_ids = self._render_chat(req.messages)
+        except (proto.ProtocolError, json.JSONDecodeError, ValueError) as e:
+            return _err(400, str(e))
+        if not self.dispatcher.healthy:
+            return _err(503, "engine unavailable")
+        created = proto.now()
+
+        if req.stream:
+            resp = web.StreamResponse(headers=_SSE_HEADERS)
+            await resp.prepare(request)
+            await resp.write(_sse(proto.chat_chunk(
+                req.request_id, self.served_model,
+                {"role": "assistant", "content": ""}, None, created,
+            )))
+            try:
+                async for text, delta in self._generate(
+                    prompt_ids, req.sampling, req.request_id
+                ):
+                    if text or delta.finished:
+                        await resp.write(_sse(proto.chat_chunk(
+                            req.request_id, self.served_model,
+                            {"content": text} if text else {},
+                            delta.finish_reason if delta.finished else None,
+                            created,
+                        )))
+                await resp.write(_SSE_DONE)
+            except RuntimeError as e:
+                await resp.write(_sse({"error": str(e)}))
+            await resp.write_eof()
+            return resp
+
+        parts: list[str] = []
+        n_tokens = 0
+        finish = None
+        try:
+            async for text, delta in self._generate(
+                prompt_ids, req.sampling, req.request_id
+            ):
+                parts.append(text)
+                n_tokens += len(delta.token_ids)
+                if delta.finished:
+                    finish = delta.finish_reason
+        except RuntimeError as e:
+            return _err(500, str(e))
+        return web.json_response({
+            "id": req.request_id,
+            "object": "chat.completion",
+            "created": created,
+            "model": self.served_model,
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": "".join(parts)},
+                "finish_reason": finish,
+            }],
+            "usage": proto.usage_dict(len(prompt_ids), n_tokens),
+        })
+
+    async def models(self, request: web.Request) -> web.Response:
+        return web.json_response({
+            "object": "list",
+            "data": [{
+                "id": self.served_model,
+                "object": "model",
+                "owned_by": "sparsevllm_tpu",
+            }],
+        })
+
+    async def health(self, request: web.Request) -> web.Response:
+        if self.dispatcher.healthy:
+            return web.json_response({"status": "ok"})
+        return _err(503, f"engine down: {self.dispatcher.fatal_error!r}")
+
+    async def worker_info(self, request: web.Request) -> web.Response:
+        cfg = self.engine.config
+        return web.json_response({
+            "model": self.served_model,
+            "method": cfg.method or "vanilla",
+            "max_model_len": cfg.max_model_len,
+            "prefix_cache": cfg.enable_prefix_cache,
+            "tensor_parallel_size": cfg.tensor_parallel_size,
+        })
+
+    async def worker_load(self, request: web.Request) -> web.Response:
+        return web.json_response(self.dispatcher.stats())
+
+    async def prefix_cache_match(self, request: web.Request) -> web.Response:
+        """Router prefix probe: longest cached prefix for given token ids."""
+        body = await request.json()
+        token_ids = body.get("token_ids", [])
+        matched = 0
+        pc = getattr(self.engine, "prefix_cache", None)
+        if pc is not None and isinstance(token_ids, list):
+            matched = pc.match_length(token_ids)
+        return web.json_response({"matched_tokens": matched})
+
+    def build_app(self) -> web.Application:
+        app = web.Application(client_max_size=256 * 2**20)
+        app.router.add_post("/v1/completions", self.completions)
+        app.router.add_post("/v1/chat/completions", self.chat_completions)
+        app.router.add_get("/v1/models", self.models)
+        app.router.add_get("/health", self.health)
+        app.router.add_get("/worker/info", self.worker_info)
+        app.router.add_get("/worker/load", self.worker_load)
+        app.router.add_post("/worker/prefix-cache/match",
+                            self.prefix_cache_match)
+        return app
+
+
+def _err(status: int, message: str) -> web.Response:
+    return web.json_response(
+        {"error": {"message": message, "type": "invalid_request_error"
+                   if status < 500 else "server_error"}},
+        status=status,
+    )
+
+
+UNSUPPORTED_SERVING_METHOD_PREFIXES = ("deltakv",)
+# (reference api_server.py:78 rejects DeltaKV for serving)
+
+
+def create_app(engine: LLMEngine, served_model: str = "") -> web.Application:
+    method = engine.config.method or ""
+    if method.startswith(UNSUPPORTED_SERVING_METHOD_PREFIXES):
+        raise ValueError(
+            f"method {method!r} is not supported for serving "
+            f"(reference api_server.py:78)"
+        )
+    return OpenAIServer(engine, served_model).build_app()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="")
+    ap.add_argument("--tiny-random", action="store_true")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--served-model-name", default="")
+    ap.add_argument("--engine-kwargs", default="{}",
+                    help="JSON dict of engine/config kwargs")
+    args = ap.parse_args()
+    kwargs = json.loads(args.engine_kwargs)
+    if args.tiny_random:
+        kwargs.setdefault("tiny_random", True)
+        kwargs.setdefault("dtype", "float32")
+    engine = LLMEngine(model=args.model, **kwargs)
+    app = create_app(engine, args.served_model_name)
+    logger.info("serving %s on %s:%d", args.model or "tiny-random",
+                args.host, args.port)
+    web.run_app(app, host=args.host, port=args.port, print=None)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""OpenAI-compatible request parsing/validation (dependency-free).
+
+Mirrors the reference's pydantic protocol models
+(entrypoints/openai/protocol/) as plain validated dataclasses — this
+environment has no pydantic/fastapi, and the schema surface we need
+(completions + chat.completions + models) is small.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from ...sampling_params import SamplingParams
+
+
+class ProtocolError(ValueError):
+    """400-level request error."""
+
+
+def _get(d: dict, key: str, typ, default):
+    v = d.get(key, default)
+    if v is default:
+        return v
+    if typ is float and isinstance(v, int):
+        v = float(v)
+    if not isinstance(v, typ):
+        raise ProtocolError(f"field {key!r} must be {typ.__name__}")
+    return v
+
+
+def sampling_from_request(body: dict, default_max_tokens: int = 1024) -> SamplingParams:
+    temperature = _get(body, "temperature", float, 1.0)
+    top_p = _get(body, "top_p", float, 1.0)
+    top_k = _get(body, "top_k", int, 0)
+    max_tokens = body.get("max_tokens", body.get("max_completion_tokens"))
+    if max_tokens is None:
+        max_tokens = default_max_tokens
+    if not isinstance(max_tokens, int) or max_tokens < 1:
+        raise ProtocolError("max_tokens must be a positive integer")
+    stop = body.get("stop")
+    if stop is None:
+        stop_strs: tuple[str, ...] = ()
+    elif isinstance(stop, str):
+        stop_strs = (stop,)
+    elif isinstance(stop, list) and all(isinstance(s, str) for s in stop):
+        stop_strs = tuple(stop)
+    else:
+        raise ProtocolError("stop must be a string or list of strings")
+    seed = body.get("seed")
+    ignore_eos = bool(body.get("ignore_eos", False))
+    return SamplingParams(
+        temperature=temperature,
+        top_p=top_p,
+        top_k=top_k,
+        max_tokens=max_tokens,
+        stop=stop_strs,
+        seed=seed if isinstance(seed, int) else None,
+        ignore_eos=ignore_eos,
+    )
+
+
+@dataclass
+class CompletionRequest:
+    prompt: str | list[int]
+    sampling: SamplingParams
+    stream: bool
+    model: str
+    n: int = 1
+    echo: bool = False
+    request_id: str = field(
+        default_factory=lambda: f"cmpl-{uuid.uuid4().hex[:24]}"
+    )
+
+    @staticmethod
+    def from_body(body: dict, default_max_tokens: int) -> "CompletionRequest":
+        prompt = body.get("prompt")
+        if isinstance(prompt, list) and all(
+            isinstance(t, int) for t in prompt
+        ):
+            pass
+        elif not isinstance(prompt, str):
+            raise ProtocolError("prompt must be a string or list of ints")
+        return CompletionRequest(
+            prompt=prompt,
+            sampling=sampling_from_request(body, default_max_tokens),
+            stream=bool(body.get("stream", False)),
+            model=str(body.get("model", "")),
+            n=_get(body, "n", int, 1),
+            echo=bool(body.get("echo", False)),
+        )
+
+
+@dataclass
+class ChatRequest:
+    messages: list[dict]
+    sampling: SamplingParams
+    stream: bool
+    model: str
+    request_id: str = field(
+        default_factory=lambda: f"chatcmpl-{uuid.uuid4().hex[:24]}"
+    )
+
+    @staticmethod
+    def from_body(body: dict, default_max_tokens: int) -> "ChatRequest":
+        messages = body.get("messages")
+        if not isinstance(messages, list) or not messages:
+            raise ProtocolError("messages must be a non-empty list")
+        for m in messages:
+            if not isinstance(m, dict) or "role" not in m:
+                raise ProtocolError("each message needs a 'role'")
+        return ChatRequest(
+            messages=messages,
+            sampling=sampling_from_request(body, default_max_tokens),
+            stream=bool(body.get("stream", False)),
+            model=str(body.get("model", "")),
+        )
+
+
+def completion_chunk(req_id: str, model: str, text: str,
+                     finish_reason: str | None, created: int) -> dict:
+    return {
+        "id": req_id,
+        "object": "text_completion",
+        "created": created,
+        "model": model,
+        "choices": [{
+            "index": 0,
+            "text": text,
+            "logprobs": None,
+            "finish_reason": finish_reason,
+        }],
+    }
+
+
+def chat_chunk(req_id: str, model: str, delta: dict,
+               finish_reason: str | None, created: int) -> dict:
+    return {
+        "id": req_id,
+        "object": "chat.completion.chunk",
+        "created": created,
+        "model": model,
+        "choices": [{
+            "index": 0,
+            "delta": delta,
+            "finish_reason": finish_reason,
+        }],
+    }
+
+
+def usage_dict(prompt_tokens: int, completion_tokens: int) -> dict:
+    return {
+        "prompt_tokens": prompt_tokens,
+        "completion_tokens": completion_tokens,
+        "total_tokens": prompt_tokens + completion_tokens,
+    }
+
+
+def now() -> int:
+    return int(time.time())

@@ -20,14 +20,31 @@ def sample(
     top_k: jax.Array,  # [B] int32; 0 => disabled
     top_p: jax.Array,  # [B] float; 1.0 => disabled
     key: jax.Array,  # PRNG key
+    mode: str = "full",  # static batch-level fast path, see below
 ) -> jax.Array:
-    """Returns sampled token ids [B] int32."""
+    """Returns sampled token ids [B] int32.
+
+    ``mode`` is a STATIC specialization the executor derives host-side from
+    the batch's sampling params (part of the jit cache key):
+      * "greedy"    — every seq has temperature 0: argmax only.
+      * "temp_only" — no seq uses top-k/top-p: skip the two full-vocab
+        sorts (they cost more than the whole attention stack at 128K vocab).
+      * "full"      — per-seq top-k/top-p masking (two sorts).
+    Numerics are identical across modes for the configs they admit.
+    """
     b, v = logits.shape
     logits = logits.astype(jnp.float32)
     greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if mode == "greedy":
+        return greedy_ids
 
     safe_t = jnp.where(temperatures > 0, temperatures, 1.0)
     scaled = logits / safe_t[:, None]
+
+    if mode == "temp_only":
+        gumbel = jax.random.gumbel(key, (b, v), dtype=jnp.float32)
+        sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
+        return jnp.where(temperatures <= 0.0, greedy_ids, sampled)
 
     # top-k mask: keep logits >= k-th largest (static full sort; V is small
     # relative to the matmuls and this stays shape-stable).

@@ -6,20 +6,21 @@ flash_decoding_stage1/2.py): one decode query token per sequence attends a
 paged KV cache addressed through a page table.
 
 Design (single-pass online softmax instead of the reference's 2-stage
-split-KV): grid = (B, Nkv, MP) with the page dimension innermost and
-sequential; the page table rides in scalar-prefetch SMEM so each grid step's
-BlockSpec index_map points the automatic double-buffered DMA pipeline at the
-right [page_size, head_dim] KV tile of layer ``layer_idx`` in HBM. The
-[G, page] logits tile and the [G, head_dim] accumulator live in VMEM scratch
-across the page loop (G = GQA group = Nq/Nkv queries sharing a kv head).
+split-KV): grid = (B, MP) with the page dimension innermost and sequential.
+The page table rides in scalar-prefetch SMEM so each grid step's BlockSpec
+index_map points the automatic double-buffered DMA pipeline at the full
+[Nkv, page_size, head_dim] page of layer ``layer_idx`` — one contiguous
+~128 KiB DMA per step (small per-head tiles would leave the HBM DMA engines
+underutilized).
 
-Bandwidth-bound: bytes = B * ctx_bucket * Nkv * Dh * 2 * dsize, which is the
-speed-of-light for paged decode; compute on fully-padded pages is predicated
-off, and context bucketing (config.context_bucket_pages) bounds padding.
+All q heads are processed in a single [Nq, Nkv*P] MXU matmul with a
+head-match mask (query head r//G only attends key columns of kv head c//P;
+cross-head lanes are masked to zero so the p@V matmul still sums correctly).
+The Nkv-fold padding FLOPs are free: decode is HBM-bandwidth-bound
+(arithmetic intensity << the MXU's 240 flops/byte break-even).
 
-Score emission / select-mask variants used by OmniKV observation layers run
-through the XLA reference path (ops/attention_ref.py) — those layers are a
-small static subset (reference full_attn_layers).
+Score emission (OmniKV observation layers) runs through the XLA reference
+path (ops/attention_ref.py) — those layers are a small static subset.
 """
 
 from __future__ import annotations
@@ -42,23 +43,24 @@ def _decode_kernel(
     table_ref,  # [B, MP] page table
     ctx_ref,  # [B] context lengths
     # blocks
-    q_ref,  # [1, 1, G, Dh]
-    k_ref,  # [1, 1, 1, P, Dh]
-    v_ref,  # [1, 1, 1, P, Dh]
+    q_ref,  # [1, Nq, Dh]
+    k_ref,  # [1, 1, Nkv, P, Dh]
+    v_ref,  # [1, 1, Nkv, P, Dh]
     mask_ref,  # [1, 1, 8, P] int8 (select mask, sublane-replicated) or None
-    out_ref,  # [1, 1, G, Dh]
+    out_ref,  # [1, Nq, Dh]
     # scratch
-    acc_ref,  # [G, Dh] f32
-    m_ref,  # [G, 128] f32 (running max, lane-replicated)
-    l_ref,  # [G, 128] f32 (running sumexp)
+    acc_ref,  # [Nq, Dh] f32
+    m_ref,  # [Nq, 128] f32 (running max, lane-replicated)
+    l_ref,  # [Nq, 128] f32 (running sumexp)
     *,
     sm_scale: float,
     page_size: int,
+    groups: int,
     has_mask: bool,
 ):
     b = pl.program_id(0)
-    i = pl.program_id(2)
-    num_chunks = pl.num_programs(2)
+    i = pl.program_id(1)
+    num_chunks = pl.num_programs(1)
 
     @pl.when(i == 0)
     def _init():
@@ -67,45 +69,137 @@ def _decode_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
 
     ctx = ctx_ref[b]
+
     # skip pages entirely past the context
     @pl.when(i * page_size < ctx)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)  # [G, Dh]
-        k = k_ref[0, 0, 0].astype(jnp.float32)  # [P, Dh]
+        q = q_ref[0].astype(jnp.float32)  # [Nq, Dh]
+        nkv = k_ref.shape[2]
+        k = k_ref[0, 0].astype(jnp.float32).reshape(
+            nkv * page_size, -1
+        )  # [Nkv*P, Dh]; row = h*P + offset
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale  # [G, P]
-        pos = i * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, dimension=1
-        )
-        valid = pos < ctx
+        ) * sm_scale  # [Nq, Nkv*P]
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        off = col % page_size
+        pos = i * page_size + off
+        valid = (row // groups == col // page_size) & (pos < ctx)
         if has_mask:
-            valid = jnp.logical_and(valid, mask_ref[0, 0, 0:1, :] != 0)
+            # mask lane o applies to token offset o of this page, any head;
+            # key columns are ordered h*P + o, so tile the row Nkv times.
+            mrow = mask_ref[0, 0, 0:1, :] != 0  # [1, P]
+            valid = valid & jnp.concatenate([mrow] * nkv, axis=1)
         s = jnp.where(valid, s, NEG_INF)
 
-        m_prev = m_ref[:, :1]  # [G, 1]
+        m_prev = m_ref[:, :1]  # [Nq, 1]
         l_prev = l_ref[:, :1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)  # [G, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)  # [G, 1]
-        p = jnp.exp(s - m_new)  # [G, P]
-        p = jnp.where(valid, p, 0.0)
-        v = v_ref[0, 0, 0].astype(jnp.float32)  # [P, Dh]
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)  # [Nq, Nkv*P]
+        v = v_ref[0, 0].astype(jnp.float32).reshape(nkv * page_size, -1)
         pv = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [G, Dh]
+        )  # [Nq, Dh] (cross-head lanes are zero in p)
         acc_ref[:] = acc_ref[:] * alpha + pv
-        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        l_ref[:] = jnp.broadcast_to(
+            l_prev * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape
+        )
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(i == num_chunks - 1)
     def _finish():
         l = l_ref[:, :1]
         l_safe = jnp.where(l <= 0.0, 1.0, l)
-        out_ref[0, 0] = (acc_ref[:] / l_safe).astype(out_ref.dtype)
+        out_ref[0] = (acc_ref[:] / l_safe).astype(out_ref.dtype)
+
+
+def _decode_kernel_nomask(
+    lidx_ref, table_ref, ctx_ref, q_ref, k_ref, v_ref, out_ref,
+    acc_ref, m_ref, l_ref, *, sm_scale, page_size, groups,
+):
+    _decode_kernel(
+        lidx_ref, table_ref, ctx_ref, q_ref, k_ref, v_ref, None, out_ref,
+        acc_ref, m_ref, l_ref,
+        sm_scale=sm_scale, page_size=page_size, groups=groups, has_mask=False,
+    )
+
+
+def _decode_pallas_impl(
+    q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
+    *, sm_scale, interpret=False,
+):
+    b, nq, dh = q.shape
+    l, pages, nkv, p, _ = k_cache.shape
+    mp = page_table.shape[1]
+    g = nq // nkv
+    has_mask = select_mask is not None
+
+    lidx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+
+    def kv_imap(bb, i, lidx_ref, table_ref, ctx_ref):
+        return (lidx_ref[0], table_ref[bb, i], 0, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, nq, dh), lambda bb, i, *_: (bb, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nkv, p, dh), kv_imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, nkv, p, dh), kv_imap, memory_space=pltpu.VMEM),
+    ]
+    args = [q, k_cache, v_cache]
+    if has_mask:
+        # Sublane-replicate to [B, MP, 8, P] so the (8, 128)-or-equal tile
+        # rule holds for the (8, P) trailing block regardless of P.
+        in_specs.append(
+            pl.BlockSpec((1, 1, 8, p), lambda bb, i, *_: (bb, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(
+            jnp.broadcast_to(
+                select_mask.astype(jnp.int8).reshape(b, mp, 1, p),
+                (b, mp, 8, p),
+            )
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, mp),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, nq, dh), lambda bb, i, *_: (bb, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nq, dh), jnp.float32),
+            pltpu.VMEM((nq, 128), jnp.float32),
+            pltpu.VMEM((nq, 128), jnp.float32),
+        ],
+    )
+    if has_mask:
+        kernel = functools.partial(
+            _decode_kernel, sm_scale=sm_scale, page_size=p, groups=g,
+            has_mask=True,
+        )
+    else:
+        kernel = functools.partial(
+            _decode_kernel_nomask, sm_scale=sm_scale, page_size=p, groups=g,
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nq, dh), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * nq * mp * p * nkv * dh,
+            bytes_accessed=b * nkv * mp * p * dh * 2 * k_cache.dtype.itemsize,
+            transcendentals=b * nq * mp * p * nkv,
+        ),
+    )(lidx, page_table, ctx_lens, *args)
+    return out
 
 
 @functools.partial(
@@ -129,92 +223,8 @@ def _decode_pallas_mask(
     *, sm_scale, interpret=False,
 ):
     return _decode_pallas_impl(
-        q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
-        select_mask.astype(jnp.int8),
+        q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
         sm_scale=sm_scale, interpret=interpret,
-    )
-
-
-def _decode_pallas_impl(
-    q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
-    *, sm_scale, interpret=False,
-):
-    b, nq, dh = q.shape
-    l, pages, nkv, p, _ = k_cache.shape
-    mp = page_table.shape[1]
-    g = nq // nkv
-    has_mask = select_mask is not None
-
-    lidx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
-    # [B, Nkv, G, Dh]: the GQA group becomes a full (block == array) dim so
-    # Mosaic's (8, 128) tile rule is satisfied for any G.
-    q4 = q.reshape(b, nkv, g, dh)
-
-    def kv_imap(bb, h, i, lidx_ref, table_ref, ctx_ref):
-        return (lidx_ref[0], table_ref[bb, i], h, 0, 0)
-
-    in_specs = [
-        pl.BlockSpec((1, 1, g, dh), lambda bb, h, i, *_: (bb, h, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, p, dh), kv_imap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, p, dh), kv_imap, memory_space=pltpu.VMEM),
-    ]
-    args = [q4, k_cache, v_cache]
-    if has_mask:
-        # Sublane-replicate to [B, MP, 8, P] so the (8, 128)-or-equal tile
-        # rule holds for the (8, P) trailing block regardless of P.
-        in_specs.append(
-            pl.BlockSpec((1, 1, 8, p), lambda bb, h, i, *_: (bb, i, 0, 0),
-                         memory_space=pltpu.VMEM)
-        )
-        args.append(
-            jnp.broadcast_to(select_mask.reshape(b, mp, 1, p), (b, mp, 8, p))
-        )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(b, nkv, mp),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, 1, g, dh), lambda bb, h, i, *_: (bb, h, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((g, dh), jnp.float32),
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, 128), jnp.float32),
-        ],
-    )
-    if has_mask:
-        kernel = functools.partial(
-            _decode_kernel, sm_scale=sm_scale, page_size=p, has_mask=True
-        )
-    else:
-        kernel = functools.partial(
-            _decode_kernel_nomask, sm_scale=sm_scale, page_size=p
-        )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nkv, g, dh), q.dtype),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * nq * mp * p * dh,
-            bytes_accessed=b * nkv * mp * p * dh * 2 * k_cache.dtype.itemsize,
-            transcendentals=b * nq * mp * p,
-        ),
-    )(lidx, page_table, ctx_lens, *args)
-    return out.reshape(b, nq, dh)
-
-
-def _decode_kernel_nomask(
-    lidx_ref, table_ref, ctx_ref, q_ref, k_ref, v_ref, out_ref,
-    acc_ref, m_ref, l_ref, *, sm_scale, page_size,
-):
-    _decode_kernel(
-        lidx_ref, table_ref, ctx_ref, q_ref, k_ref, v_ref, None, out_ref,
-        acc_ref, m_ref, l_ref,
-        sm_scale=sm_scale, page_size=page_size, has_mask=False,
     )
 
 

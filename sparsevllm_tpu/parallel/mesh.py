@@ -159,11 +159,11 @@ _PREFILL_PLAN_RULES: dict[str, P] = {
 }
 
 _DECODE_PLAN_RULES: dict[str, P] = {
-    "token_ids": P(DATA),
-    "positions": P(DATA),
+    "token_ids0": P(DATA),
+    "positions0": P(DATA),
     "row_ids": P(DATA),
-    "dest_slot": P(None, DATA),  # [L, B]
-    "ctx_lens": P(None, DATA),  # [L, B]
+    "dest": P(None, DATA, None),  # [L, B, k]
+    "ctx_start": P(None, DATA),  # [L, B]
     "temps": P(DATA),
     "top_k": P(DATA),
     "top_p": P(DATA),

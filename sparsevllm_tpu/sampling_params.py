@@ -13,6 +13,9 @@ class SamplingParams:
     max_tokens: int = 256
     ignore_eos: bool = False
     stop_token_ids: tuple[int, ...] = ()
+    # stop strings are enforced at the serving layer against decoded text
+    # (reference serving/ stop sequences); the engine core sees tokens only.
+    stop: tuple[str, ...] = ()
     logprobs: int | None = None
     seed: int | None = None
 
@@ -27,6 +30,9 @@ class SamplingParams:
             raise ValueError("max_tokens must be >= 1")
         if isinstance(self.stop_token_ids, list):
             self.stop_token_ids = tuple(self.stop_token_ids)
+        if isinstance(self.stop, (list, str)):
+            self.stop = (self.stop,) if isinstance(self.stop, str) \
+                else tuple(self.stop)
 
     @property
     def greedy(self) -> bool:

@@ -1,0 +1,170 @@
+"""OpenAI API server tests against the tiny-random engine.
+
+Mirrors the reference's FastAPI TestClient suite
+(tests/test_openai_api_server.py) using aiohttp's test utilities: real
+engine (tiny-random), real dispatcher thread, real SSE streams.
+"""
+
+import asyncio
+import json
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from sparsevllm_tpu.engine.llm_engine import LLMEngine
+from sparsevllm_tpu.entrypoints.openai.api_server import OpenAIServer
+from sparsevllm_tpu.entrypoints.openai.detokenizer import (
+    IncrementalDetokenizer,
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    eng = LLMEngine(
+        tiny_random=True,
+        dtype="float32",
+        page_size=8,
+        num_kv_pages=256,
+        max_model_len=512,
+        chunk_prefill_size=64,
+        max_num_batched_tokens=512,
+        max_decoding_seqs=8,
+        max_num_seqs_in_batch=8,
+        decode_context_bucket_base=64,
+        decode_steps_per_dispatch=4,
+    )
+    yield eng
+
+
+@pytest.fixture()
+def client(engine, event_loop=None):
+    server = OpenAIServer(engine, served_model="tiny")
+    app = server.build_app()
+
+    async def make():
+        c = TestClient(TestServer(app))
+        await c.start_server()
+        return c, server
+
+    loop = asyncio.new_event_loop()
+    c, srv = loop.run_until_complete(make())
+    yield c, loop
+    loop.run_until_complete(c.close())
+    srv.dispatcher.shutdown()
+    loop.close()
+
+
+def _post_json(client, loop, path, body):
+    async def go():
+        resp = await client.post(path, json=body)
+        return resp.status, await resp.json()
+    return loop.run_until_complete(go())
+
+
+def test_models_and_health(client):
+    c, loop = client
+
+    async def go():
+        r1 = await c.get("/v1/models")
+        r2 = await c.get("/health")
+        r3 = await c.get("/worker/info")
+        r4 = await c.get("/worker/load")
+        return (await r1.json(), r2.status, await r3.json(),
+                await r4.json())
+
+    models, health, info, load = loop.run_until_complete(go())
+    assert models["data"][0]["id"] == "tiny"
+    assert health == 200
+    assert info["method"] == "vanilla"
+    assert "running" in load and "kv" in load
+
+
+def test_completion_token_ids(client):
+    c, loop = client
+    status, out = _post_json(c, loop, "/v1/completions", {
+        "model": "tiny",
+        "prompt": [1, 5, 9, 12],
+        "max_tokens": 8,
+        "temperature": 0.0,
+    })
+    assert status == 200, out
+    assert out["object"] == "text_completion"
+    assert out["usage"]["prompt_tokens"] == 4
+    assert 1 <= out["usage"]["completion_tokens"] <= 8
+    assert out["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_completion_stream(client):
+    c, loop = client
+
+    async def go():
+        resp = await c.post("/v1/completions", json={
+            "model": "tiny",
+            "prompt": [2, 4, 6],
+            "max_tokens": 6,
+            "temperature": 0.0,
+            "stream": True,
+        })
+        assert resp.status == 200
+        chunks = []
+        async for raw in resp.content:
+            line = raw.decode().strip()
+            if line.startswith("data: "):
+                payload = line[6:]
+                if payload == "[DONE]":
+                    break
+                chunks.append(json.loads(payload))
+        return chunks
+
+    chunks = loop.run_until_complete(go())
+    assert chunks, "no SSE chunks"
+    assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_bad_request_400(client):
+    c, loop = client
+    status, out = _post_json(c, loop, "/v1/completions", {
+        "model": "tiny", "prompt": 42,
+    })
+    assert status == 400
+    assert "error" in out
+    status, out = _post_json(c, loop, "/v1/completions", {
+        "model": "tiny", "prompt": [1, 2], "max_tokens": -1,
+    })
+    assert status == 400
+
+
+def test_concurrent_requests(client):
+    c, loop = client
+
+    async def one(i):
+        resp = await c.post("/v1/completions", json={
+            "model": "tiny", "prompt": [i + 1, i + 2, i + 3],
+            "max_tokens": 5, "temperature": 0.0,
+        })
+        return await resp.json()
+
+    async def go():
+        return await asyncio.gather(*[one(i) for i in range(6)])
+
+    outs = loop.run_until_complete(go())
+    assert len(outs) == 6
+    for out in outs:
+        assert out["usage"]["completion_tokens"] >= 1
+
+
+class _FakeTok:
+    """Byte-level fake tokenizer: token id = byte value."""
+
+    def decode(self, ids, skip_special_tokens=True):
+        return bytes(ids).decode("utf-8", errors="replace")
+
+
+def test_incremental_detokenizer_utf8_boundary():
+    d = IncrementalDetokenizer(_FakeTok())
+    # '€' = 0xE2 0x82 0xAC split across pushes
+    assert d.push([104, 105]) == "hi"
+    assert d.push([0xE2]) == ""  # incomplete — held back
+    assert d.push([0x82]) == ""
+    assert d.push([0xAC]) == "€"
+    assert d.finish() == ""
