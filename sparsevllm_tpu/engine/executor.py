@@ -81,11 +81,11 @@ class ModelExecutor:
             spec.rope_theta,
             spec.rope_scaling,
         )
-        if mesh is not None:
-            from ..parallel.mesh import shard_executor_state
-            shard_executor_state(self)
-
         prof = config.method_profile
+        quest_kp = -(-(
+            config.decode_keep_tokens + config.num_sink_tokens
+            + config.num_recent_tokens
+        ) // config.page_size) + 1
         self._rt = tfm.StepRuntime(
             impl=self._resolve_impl(),
             emit_prefill_scores=prof.needs_prefill_scores,
@@ -95,7 +95,19 @@ class ModelExecutor:
             select_keep=config.decode_keep_tokens,
             sink_tokens=config.num_sink_tokens,
             recent_tokens=config.num_recent_tokens,
+            quest=config.method == "quest",
+            quest_keep_pages=quest_kp,
+            quest_skip_layers=config.quest_skip_layers,
         )
+        self.quest_meta = None
+        if self._rt.quest:
+            from ..ops import quest as quest_ops
+
+            # per-page K min/max summaries (+2/page_size memory overhead,
+            # reference quest.py allocate_kv_cache:99-120)
+            self.quest_meta = quest_ops.init_page_meta(
+                l, num_pages, spec.num_kv_heads, spec.head_dim, dtype
+            )
         self._is_full_layer = (
             jnp.asarray(
                 [i in set(config.full_attn_layers)
@@ -104,6 +116,9 @@ class ModelExecutor:
             if self._rt.decode_select
             else None
         )
+        if mesh is not None:
+            from ..parallel.mesh import shard_executor_state
+            shard_executor_state(self)
         self._base_key = jax.random.PRNGKey(config.seed)
         self._step_counter = 0
         self._fn_cache: dict = {}
@@ -174,12 +189,13 @@ class ModelExecutor:
             return fn
         spec, rt, rope = self.spec, self._rt, self.rope
 
-        def step(params, kc, vc, tables, plan):
+        def step(params, kc, vc, meta, tables, plan):
             page_table = tables[0][plan["row_ids"], :mp]
             inner = dict(plan)
             inner["page_table"] = page_table
-            kc, vc, last_h, obs = tfm.prefill_forward(
-                params, kc, vc, inner, rope, spec=spec, rt=rt
+            kc, vc, last_h, obs, meta = tfm.prefill_forward(
+                params, kc, vc, inner, rope, spec=spec, rt=rt,
+                quest_meta=meta,
             )
             logits = tfm.compute_logits(params, last_h, spec)
             key = jax.random.fold_in(self._base_key, plan["step"])
@@ -187,9 +203,10 @@ class ModelExecutor:
                 logits, plan["temps"], plan["top_k"], plan["top_p"], key,
                 mode=mode,
             )
-            return kc, vc, tokens, obs
+            return kc, vc, meta, tokens, obs
 
-        fn = jax.jit(step, donate_argnums=(1, 2))
+        donate = (1, 2, 3) if rt.quest else (1, 2)
+        fn = jax.jit(step, donate_argnums=donate)
         self._fn_cache[key] = fn
         logger.info("compiled prefill step bucket B=%d S=%d MP=%d", bb, sb, mp)
         return fn
@@ -202,7 +219,7 @@ class ModelExecutor:
         spec, rt, rope = self.spec, self._rt, self.rope
         is_full = self._is_full_layer
 
-        def megastep(params, kc, vc, tables, plan):
+        def megastep(params, kc, vc, meta, tables, plan):
             """k decode steps in one dispatch: sampled tokens feed back on
             device (lax.scan over steps); ONE token transfer per dispatch.
             This is the TPU answer to per-step CUDA-graph replay + the
@@ -210,7 +227,7 @@ class ModelExecutor:
             base_key = jax.random.fold_in(self._base_key, plan["step"])
 
             def body(carry, t):
-                kc, vc, tok = carry
+                kc, vc, meta, tok = carry
                 p = {
                     "token_ids": tok,
                     "positions": plan["positions0"] + t,
@@ -218,24 +235,26 @@ class ModelExecutor:
                     "dest_slot": plan["dest"][:, :, t],
                     "ctx_lens": plan["ctx_start"] + t + 1,
                 }
-                kc, vc, h = tfm.decode_forward(
+                kc, vc, h, meta = tfm.decode_forward(
                     params, kc, vc, tables, p, rope,
                     spec=spec, rt=rt, mp_bucket=mp, is_full_layer=is_full,
+                    quest_meta=meta,
                 )
                 logits = tfm.compute_logits(params, h, spec)
                 tok2 = sampler_ops.sample(
                     logits, plan["temps"], plan["top_k"], plan["top_p"],
                     jax.random.fold_in(base_key, t), mode=mode,
                 )
-                return (kc, vc, tok2), tok2
+                return (kc, vc, meta, tok2), tok2
 
-            (kc, vc, _), toks = jax.lax.scan(
-                body, (kc, vc, plan["token_ids0"]),
+            (kc, vc, meta, _), toks = jax.lax.scan(
+                body, (kc, vc, meta, plan["token_ids0"]),
                 jnp.arange(k, dtype=jnp.int32),
             )
-            return kc, vc, toks  # [k, B]
+            return kc, vc, meta, toks  # [k, B]
 
-        fn = jax.jit(megastep, donate_argnums=(1, 2))
+        donate = (1, 2, 3) if rt.quest else (1, 2)
+        fn = jax.jit(megastep, donate_argnums=donate)
         self._fn_cache[key] = fn
         logger.info("compiled decode megastep bucket B=%d MP=%d k=%d",
                     bb, mp, k)
@@ -296,24 +315,32 @@ class ModelExecutor:
             new_lens[i] = c
             ctx[i] = ctx_lens_tokens[i]
         temps, top_k, top_p, mode = self._sampling_arrays(seqs, bb)
-        plan = self._put_plan(
-            {
-                "token_ids": token_ids,
-                "positions": positions,
-                "dest_slot": dest,
-                "row_ids": self._pad(row_ids, (bb,)),
-                "ctx_lens": ctx,
-                "new_lens": new_lens,
-                "step": np.asarray(self._step_counter, np.int32),
-                "temps": temps, "top_k": top_k, "top_p": top_p,
-            },
-            "prefill",
-        )
+        host_plan = {
+            "token_ids": token_ids,
+            "positions": positions,
+            "dest_slot": dest,
+            "row_ids": self._pad(row_ids, (bb,)),
+            "ctx_lens": ctx,
+            "new_lens": new_lens,
+            "step": np.asarray(self._step_counter, np.int32),
+            "temps": temps, "top_k": top_k, "top_p": top_p,
+        }
+        if self._rt.quest:
+            # pages whose K min/max metadata this chunk dirties
+            # (padded entries hit trash page 0 — harmless recompute).
+            p = self.config.page_size
+            tp = np.zeros((bb, sb // p + 1), np.int32)
+            for i in range(b):
+                pages = np.unique(dests[i] // p)
+                tp[i, : len(pages)] = pages
+            host_plan["touched_pages"] = tp
+        plan = self._put_plan(host_plan, "prefill")
         self._step_counter += 1
         fn = self._get_prefill_fn(bb, sb, mp, mode)
         with profiler.record("prefill_step"):
-            self.k_cache, self.v_cache, tokens, obs = fn(
-                self.params, self.k_cache, self.v_cache, self.tables, plan
+            self.k_cache, self.v_cache, self.quest_meta, tokens, obs = fn(
+                self.params, self.k_cache, self.v_cache, self.quest_meta,
+                self.tables, plan,
             )
         return np.asarray(tokens)[:b], obs
 
@@ -357,8 +384,9 @@ class ModelExecutor:
         self._step_counter += 1
         fn = self._get_decode_fn(bb, mp, k, mode)
         with profiler.record("decode_step"):
-            self.k_cache, self.v_cache, tokens = fn(
-                self.params, self.k_cache, self.v_cache, self.tables, plan
+            self.k_cache, self.v_cache, self.quest_meta, tokens = fn(
+                self.params, self.k_cache, self.v_cache, self.quest_meta,
+                self.tables, plan,
             )
         tokens.copy_to_host_async()
         return np.asarray(tokens).T[:b]  # [B, k]

@@ -83,6 +83,14 @@ class KVCacheManager:
         usable = np.arange(num_pages - 1, 0, -1, dtype=np.int32)  # stack
         self._free = np.broadcast_to(usable, (self.L, usable.size)).copy()
         self._free_top = np.full(self.L, usable.size, dtype=np.int64)
+        # per-page reference counts: a page returns to the free stack only at
+        # refcount 0 (owner seq + prefix-cache + each attached seq hold one).
+        self._page_refs = np.zeros((self.L, num_pages), np.int32)
+
+        # block-level radix prefix cache (engine wires the index when
+        # config.enable_prefix_cache; block == page, see prefix_cache.py).
+        self.prefix_index = None
+        self._seq_prefix_blocks: dict[int, list] = {}
 
         self.page_tables = np.zeros((self.L, max_rows, self.MP), np.int32)
         self.row_lens = np.zeros((self.L, max_rows), np.int64)
@@ -110,11 +118,14 @@ class KVCacheManager:
         row = self.seq_rows.pop(seq.seq_id, None)
         if row is None:
             return
-        # return pages to per-layer stacks (vectorized over layers).
+        blocks = self._seq_prefix_blocks.pop(seq.seq_id, None)
+        if blocks and self.prefix_index is not None:
+            self.prefix_index.release(blocks)
+        # drop page references (vectorized over layers).
         for l in range(self.L):
             n = int(-(-self.row_lens[l, row] // self.P))
             if n:
-                self._push_pages(l, self.page_tables[l, row, :n])
+                self._release_pages(l, self.page_tables[l, row, :n])
         self.row_lens[:, row] = 0
         self._free_rows.append(row)
         seq.row = -1
@@ -123,19 +134,54 @@ class KVCacheManager:
 
     def _pop_pages(self, layer: int, n: int) -> np.ndarray:
         top = self._free_top[layer]
+        if n > top and self.prefix_index is not None:
+            # reclaim unreferenced prefix-cache blocks (1 page/layer each).
+            self._evict_prefix_blocks(n - int(top))
+            top = self._free_top[layer]
         if n > top:
             raise RuntimeError(
                 f"KV pool exhausted: layer {layer} needs {n} pages, "
                 f"{top} free (scheduler admission bug or missing preemption)"
             )
         self._free_top[layer] = top - n
-        return self._free[layer, top - n : top][::-1].copy()
+        pages = self._free[layer, top - n : top][::-1].copy()
+        self._page_refs[layer, pages] = 1
+        return pages
 
     def _push_pages(self, layer: int, pages: np.ndarray) -> None:
         top = self._free_top[layer]
         n = len(pages)
         self._free[layer, top : top + n] = pages[::-1]
         self._free_top[layer] = top + n
+
+    def _release_pages(self, layer: int, pages: np.ndarray) -> None:
+        """Decrement refcounts; pages hitting 0 return to the free stack."""
+        pages = np.asarray(pages)
+        self._page_refs[layer, pages] -= 1
+        refs = self._page_refs[layer, pages]
+        if np.any(refs < 0):
+            raise AssertionError(
+                f"page refcount underflow at layer {layer}"
+            )
+        dead = pages[refs == 0]
+        if len(dead):
+            self._push_pages(layer, dead)
+
+    def _evict_prefix_blocks(self, n_pages: int) -> None:
+        """Evict LRU cache blocks until n_pages per layer were actually
+        reclaimed (blocks whose pages a live sequence still holds release
+        only the cache's reference)."""
+        freed = 0
+        while freed < n_pages:
+            blocks = self.prefix_index.evict(1)
+            if not blocks:
+                return
+            b = blocks[0]
+            reclaims = self._page_refs[0, b.pages[0]] == 1
+            for l in range(self.L):
+                self._release_pages(l, b.pages[l : l + 1])
+            if reclaims:
+                freed += 1
 
     def _queue_update(self, l_idx, r_idx, i_idx, pages) -> None:
         self._upd_l.append(np.asarray(l_idx, np.int32).ravel())
@@ -244,7 +290,23 @@ class KVCacheManager:
     # ------------------------------------------------- MemoryOracle protocol
 
     def num_free_pages(self) -> int:
-        return int(self._free_top.min())
+        """Free pages per layer (min), counting prefix-cache blocks that an
+        eviction would actually reclaim (refcount-0 blocks whose pages are
+        held only by the cache) — otherwise a full cache would deadlock
+        admission of new prompts."""
+        free = int(self._free_top.min())
+        if self.prefix_index is not None:
+            free += self._reclaimable_blocks()
+        return free
+
+    def _reclaimable_blocks(self) -> int:
+        n = 0
+        for node in self.prefix_index._nodes.values():
+            if node.refcount == 0 and (
+                self._page_refs[0, node.pages[0]] == 1
+            ):
+                n += 1
+        return n
 
     def num_free_rows(self) -> int:
         return len(self._free_rows)
@@ -278,6 +340,57 @@ class KVCacheManager:
         if row is None:
             return 0
         return int(np.max(-(-self.row_lens[:, row] // self.P)))
+
+    # ------------------------------------------------------- prefix cache
+
+    def try_attach_prefix(self, seq: Sequence) -> int:
+        """Map the longest cached prefix into the sequence's row across all
+        layers (pure page-table edit — no KV bytes move, no recompute).
+        Returns matched token count; the scheduler records it as already
+        prefilled. At least one prompt token is always left to compute (the
+        final logits must come from a real forward — reference
+        usable_prefix_cache_tokens, prefix_cache.py:11-21)."""
+        if self.prefix_index is None or seq.num_prefilled_tokens:
+            return 0
+        blocks = self.prefix_index.match_longest_prefix(seq.prompt_token_ids)
+        max_blocks = (seq.num_prompt_tokens - 1) // self.P
+        blocks = blocks[:max_blocks]
+        if not blocks:
+            return 0
+        self.prefix_index.acquire(blocks)
+        self._seq_prefix_blocks[seq.seq_id] = blocks
+        row = self.seq_rows[seq.seq_id]
+        n = len(blocks)
+        pages = np.stack([b.pages for b in blocks], axis=1)  # [L, n]
+        for l in range(self.L):
+            self._page_refs[l, pages[l]] += 1
+            self.page_tables[l, row, :n] = pages[l]
+            self._queue_update(
+                np.full(n, l), np.full(n, row), np.arange(n), pages[l]
+            )
+        self.row_lens[:, row] = n * self.P
+        return n * self.P
+
+    def commit_prefix(self, seq: Sequence) -> None:
+        """After prefill completes, publish the prompt's full pages into the
+        radix index (reference PrefixCacheMixin.on_forward_end commit)."""
+        if self.prefix_index is None:
+            return
+        row = self.seq_rows.get(seq.seq_id)
+        if row is None:
+            return
+        upto = (seq.num_prompt_tokens // self.P) * self.P
+        table = self.page_tables[:, row]  # [L, MP]
+
+        def pages_of(i: int) -> np.ndarray:
+            return table[:, i]
+
+        created = self.prefix_index.insert_chain(
+            seq.prompt_token_ids, pages_of, upto
+        )
+        for node in created:
+            for l in range(self.L):
+                self._page_refs[l, node.pages[l]] += 1
 
     # ----------------------------------------------------- sparse hook points
 

@@ -91,7 +91,7 @@ class SnapKVManager(KVCacheManager):
             row = self.seq_rows[seq.seq_id]
             for l in range(self.L):
                 old_n = int(-(-self.row_lens[l, row] // self.P))
-                self._push_pages(l, self.page_tables[l, row, :old_n].copy())
+                self._release_pages(l, self.page_tables[l, row, :old_n].copy())
                 n = int(-(-keep[l, j] // self.P))
                 self.page_tables[l, row, :n] = new_pages[l, j, :n]
                 self.row_lens[l, row] = keep[l, j]

@@ -56,7 +56,7 @@ class StreamingLLMKVManager(KVCacheManager):
             dropped = table[self.sink_pages : first_keep].copy()
             kept_tail = table[first_keep:n_pages].copy()
             table[self.sink_pages : self.sink_pages + len(kept_tail)] = kept_tail
-            self._push_pages(l, dropped)
+            self._release_pages(l, dropped)
             n_after = self.sink_pages + len(kept_tail)
             idx = np.arange(n_after)
             self._queue_update(

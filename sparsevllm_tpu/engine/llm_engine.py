@@ -107,6 +107,15 @@ class LLMEngine:
         self.kv = KVCacheManager.create(
             config, spec.num_layers, num_pages, max_rows
         )
+        self.prefix_cache = None
+        if config.enable_prefix_cache:
+            from .prefix_cache import RadixPrefixIndex, config_fingerprint
+
+            self.kv.prefix_index = RadixPrefixIndex(
+                config.page_size, spec.num_layers,
+                config_fingerprint(config),
+            )
+            self.prefix_cache = self.kv.prefix_index
         self.scheduler = Scheduler(config, self.kv, eos_ids)
         self._outputs: dict[int, RequestOutput] = {}
         self._seqs: dict[int, Sequence] = {}
@@ -250,6 +259,10 @@ class LLMEngine:
                 )
                 self.executor.compact_rows(plan, obs)
                 self.kv.commit_compaction(fseqs, plan)
+        # publish finished prompts' pages into the prefix cache
+        if self.prefix_cache is not None:
+            for _, s in finishing:
+                self.kv.commit_prefix(s)
         # chunk-end eviction (streamingllm)
         self.kv.on_prefill_chunk_end(
             seqs, final=bool(finishing)
@@ -328,6 +341,22 @@ class LLMEngine:
                 out.text = self.tokenizer.decode(out.output_token_ids)
             outs.append(out)
         return outs
+
+    def reset_prefix_cache(self) -> dict:
+        """Drop all unreferenced cached blocks (prefix-cache control API,
+        reference llm_engine.py prefix-cache RPCs)."""
+        if self.prefix_cache is None:
+            return {"blocks": 0}
+        before = self.prefix_cache.num_blocks
+        for block in self.prefix_cache.reset():
+            for l in range(self.spec.num_layers):
+                self.kv._release_pages(l, block.pages[l : l + 1])
+        return {"blocks": before - self.prefix_cache.num_blocks}
+
+    def prefix_cache_stats(self) -> dict:
+        if self.prefix_cache is None:
+            return {"enabled": False}
+        return {"enabled": True, **self.prefix_cache.stats()}
 
     def exit(self) -> None:
         if profiler.enabled:

@@ -137,6 +137,9 @@ class Scheduler:
                 break
             self.waiting.popleft()
             self.kv.alloc_row(seq)
+            matched = self.kv.try_attach_prefix(seq)
+            if matched:
+                seq.num_prefilled_tokens = matched
             seq.status = SeqStatus.PREFILLING
             admitted.append(seq)
         candidates.extend(admitted)

@@ -270,6 +270,12 @@ class OpenAIServer:
             matched = pc.match_length(token_ids)
         return web.json_response({"matched_tokens": matched})
 
+    async def prefix_cache_reset(self, request: web.Request) -> web.Response:
+        return web.json_response(self.engine.reset_prefix_cache())
+
+    async def prefix_cache_stats(self, request: web.Request) -> web.Response:
+        return web.json_response(self.engine.prefix_cache_stats())
+
     def build_app(self) -> web.Application:
         app = web.Application(client_max_size=256 * 2**20)
         app.router.add_post("/v1/completions", self.completions)
@@ -280,6 +286,10 @@ class OpenAIServer:
         app.router.add_get("/worker/load", self.worker_load)
         app.router.add_post("/worker/prefix-cache/match",
                             self.prefix_cache_match)
+        app.router.add_post("/worker/prefix-cache/reset",
+                            self.prefix_cache_reset)
+        app.router.add_get("/worker/prefix-cache/stats",
+                           self.prefix_cache_stats)
         return app
 
 

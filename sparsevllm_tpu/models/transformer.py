@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..layers.rope import apply_rope
 from ..ops import attention as attn_ops
+from ..ops import quest as quest_ops
 from .spec import ModelSpec
 
 NEG_INF = -1e30
@@ -51,6 +52,12 @@ class StepRuntime:
     select_keep: int = 0
     sink_tokens: int = 0
     recent_tokens: int = 0
+    # Quest: query-aware page top-k via per-page K min/max metadata
+    # (ops/quest.py; reference cache_manager/quest.py). The metadata array
+    # rides the scan carry and is updated at KV-store time.
+    quest: bool = False
+    quest_keep_pages: int = 0
+    quest_skip_layers: int = 0
 
 
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
@@ -135,14 +142,15 @@ def prefill_forward(
     k_cache: jax.Array,  # [L, pages, Nkv, P, Dh]
     v_cache: jax.Array,
     plan: dict,  # token_ids/positions/dest_slot [B,S], page_table [B,MP],
-    #               ctx_lens/new_lens [B]
+    #               ctx_lens/new_lens [B]; quest: touched_pages [B, NP]
     rope: tuple[jax.Array, jax.Array],
     *,
     spec: ModelSpec,
     rt: StepRuntime,
+    quest_meta: jax.Array | None = None,
 ):
     """One chunked-prefill step. Returns (k_cache, v_cache, last_hidden [B,H],
-    obs_scores [L,B,K] or None)."""
+    obs_scores [L,B,K] or None, quest_meta or None)."""
     cos, sin = rope
     tokens = plan["token_ids"]  # [B, S]
     positions = plan["positions"]
@@ -150,7 +158,7 @@ def prefill_forward(
     sm_scale = spec.head_dim ** -0.5
 
     def body(carry, xs):
-        h, kc, vc = carry
+        h, kc, vc, meta = carry
         li = xs["_layer_idx"]
         x = rms_norm(h, xs["input_norm"], spec.rms_norm_eps)
         q, k, v = _qkv(x, xs, spec)
@@ -159,6 +167,10 @@ def prefill_forward(
         kc, vc = attn_ops.store_kv_layer(
             kc, vc, li, k, v, plan["dest_slot"]
         )
+        if rt.quest:
+            meta = quest_ops.update_page_meta(
+                meta, kc, li, plan["touched_pages"].reshape(-1)
+            )
         out, obs = attn_ops.prefill_attention(
             q, kc, vc, li,
             plan["page_table"], plan["ctx_lens"], plan["new_lens"],
@@ -172,10 +184,10 @@ def prefill_forward(
         x2 = rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
         h = h + _mlp(x2, xs)
         ys = obs if rt.emit_prefill_scores else None
-        return (h, kc, vc), ys
+        return (h, kc, vc, meta), ys
 
-    (h, k_cache, v_cache), obs_scores = jax.lax.scan(
-        body, (h, k_cache, v_cache), _layer_xs(params, spec)
+    (h, k_cache, v_cache, quest_meta), obs_scores = jax.lax.scan(
+        body, (h, k_cache, v_cache, quest_meta), _layer_xs(params, spec)
     )
     h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
     # last valid token's hidden state per sequence.
@@ -183,7 +195,7 @@ def prefill_forward(
     last_h = jnp.take_along_axis(
         h, last_idx[:, None, None], axis=1
     ).squeeze(1)  # [B, H]
-    return k_cache, v_cache, last_h, obs_scores
+    return k_cache, v_cache, last_h, obs_scores, quest_meta
 
 
 # ---------------------------------------------------------------------------
@@ -204,8 +216,10 @@ def decode_forward(
     rt: StepRuntime,
     mp_bucket: int,
     is_full_layer: jax.Array | None = None,  # [L] bool (decode_select)
+    quest_meta: jax.Array | None = None,
 ):
-    """One decode step for [B] sequences. Returns (k_cache, v_cache, h [B,H])."""
+    """One decode step for [B] sequences.
+    Returns (k_cache, v_cache, h [B,H], quest_meta or None)."""
     cos, sin = rope
     tokens = plan["token_ids"]  # [B]
     positions = plan["positions"]
@@ -226,9 +240,10 @@ def decode_forward(
         extra["_is_full"] = is_full_layer
 
     sel0 = jnp.ones((b, k_tokens), dtype=bool)
+    page_size = k_cache.shape[3]
 
     def body(carry, xs):
-        h, kc, vc, sel = carry
+        h, kc, vc, sel, meta = carry
         li = xs["_layer_idx"]
         ctx = xs["_ctx"]  # [B]
         table_l = jax.lax.dynamic_index_in_dim(
@@ -241,7 +256,38 @@ def decode_forward(
         k = apply_rope(k[:, None], positions[:, None], cos, sin)[:, 0]
         kc, vc = attn_ops.store_kv_layer(kc, vc, li, k, v, xs["_dest"])
 
-        if rt.decode_select:
+        if rt.quest:
+            meta = quest_ops.update_page_meta(
+                meta, kc, li, xs["_dest"] // page_size
+            )
+            kp = min(rt.quest_keep_pages, mp_bucket)
+
+            def quest_attn(q):
+                compact, ppos = quest_ops.select_pages(
+                    q, meta, li, table_l, ctx,
+                    keep_pages=kp, page_size=page_size,
+                    sink_pages=-(-rt.sink_tokens // page_size),
+                    recent_pages=-(-rt.recent_tokens // page_size) + 1,
+                )
+                out, _ = attn_ops.decode_attention(
+                    q, kc, vc, li, compact, ctx,
+                    sm_scale=sm_scale, page_pos=ppos, impl=rt.impl,
+                )
+                return out
+
+            def dense_attn(q):
+                out, _ = attn_ops.decode_attention(
+                    q, kc, vc, li, table_l, ctx,
+                    sm_scale=sm_scale, impl=rt.impl,
+                )
+                return out
+
+            # first quest_skip_layers layers stay dense
+            # (reference quest.py build_decode_view:1270-1297).
+            out = jax.lax.cond(
+                li < rt.quest_skip_layers, dense_attn, quest_attn, q
+            )
+        elif rt.decode_select:
             is_full = xs["_is_full"]
             select_mask = jnp.where(is_full, jnp.ones_like(sel), sel)
             out, scores = attn_ops.decode_attention(
@@ -264,13 +310,14 @@ def decode_forward(
         h = h + attn_out
         x2 = rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
         h = h + _mlp(x2, xs)
-        return (h, kc, vc, sel), None
+        return (h, kc, vc, sel, meta), None
 
-    (h, k_cache, v_cache, _), _ = jax.lax.scan(
-        body, (h, k_cache, v_cache, sel0), _layer_xs(params, spec, extra)
+    (h, k_cache, v_cache, _, quest_meta), _ = jax.lax.scan(
+        body, (h, k_cache, v_cache, sel0, quest_meta),
+        _layer_xs(params, spec, extra),
     )
     h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
-    return k_cache, v_cache, h
+    return k_cache, v_cache, h, quest_meta
 
 
 def compute_logits(params, hidden: jax.Array, spec: ModelSpec) -> jax.Array:

@@ -100,6 +100,7 @@ def decode_attention(
     sm_scale: float,
     emit_scores: bool = False,
     select_mask: jax.Array | None = None,
+    page_pos: jax.Array | None = None,
     impl: str = "ref",
 ):
     if impl == "pallas":
@@ -108,7 +109,7 @@ def decode_attention(
         return pk.decode_attention_pallas(
             q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
             sm_scale=sm_scale, emit_scores=emit_scores,
-            select_mask=select_mask,
+            select_mask=select_mask, page_pos=page_pos,
         )
     return ref.decode_attention_ref(
         q,
@@ -116,4 +117,5 @@ def decode_attention(
         _layer_slice(v_cache, layer_idx),
         page_table, ctx_lens,
         sm_scale=sm_scale, emit_scores=emit_scores, select_mask=select_mask,
+        page_pos=page_pos,
     )

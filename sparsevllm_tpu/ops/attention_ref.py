@@ -161,6 +161,7 @@ def decode_attention_ref(
     sm_scale: float,
     emit_scores: bool = False,
     select_mask: jax.Array | None = None,  # [B, max_pages*P] bool, extra mask
+    page_pos: jax.Array | None = None,  # [B, max_pages] logical page index
 ) -> tuple[jax.Array, jax.Array | None]:
     """Single-token decode attention over the paged cache.
 
@@ -169,8 +170,14 @@ def decode_attention_ref(
     to the context-length mask. When ``emit_scores`` the head-summed softmax
     probabilities [B, max_pages*P] fp32 are returned (observation-layer score
     emission, reference gqa_flash_decoding `_with_score`).
+
+    ``page_pos`` supports COMPACTED page tables (Quest top-k page selection):
+    entry i of the table holds the page whose logical position in the
+    sequence is page_pos[b, i]; token positions for the context mask are
+    derived from it. None = identity (table entry i is logical page i).
     """
     b, nq, dh = q.shape
+    p = k_cache.shape[2]
     keys = gather_pages(k_cache, page_table)  # [B, Nkv, K, Dh]
     vals = gather_pages(v_cache, page_table)
     kk = keys.shape[2]
@@ -179,7 +186,13 @@ def decode_attention_ref(
 
     qf = q.astype(jnp.float32)
     scores = jnp.einsum("bhd,bhkd->bhk", qf, keys.astype(jnp.float32)) * sm_scale
-    mask = jnp.arange(kk)[None, :] < ctx_lens[:, None]  # [B, K]
+    if page_pos is None:
+        pos = jnp.broadcast_to(jnp.arange(kk)[None, :], (b, kk))
+    else:
+        pos = (
+            page_pos[:, :, None] * p + jnp.arange(p)[None, None, :]
+        ).reshape(b, kk)
+    mask = pos < ctx_lens[:, None]  # [B, K]
     if select_mask is not None:
         mask = mask & select_mask
     scores = jnp.where(mask[:, None, :], scores, NEG_INF)

@@ -42,6 +42,8 @@ def _decode_kernel(
     lidx_ref,  # [1] layer index
     table_ref,  # [B, MP] page table
     ctx_ref,  # [B] context lengths
+    ppos_ref,  # [B, MP] logical page index of each table entry (identity
+    #            for dense tables; Quest compacted tables permute pages)
     # blocks
     q_ref,  # [1, Nq, Dh]
     k_ref,  # [1, 1, Nkv, P, Dh]
@@ -69,9 +71,10 @@ def _decode_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
 
     ctx = ctx_ref[b]
+    logical_page = ppos_ref[b, i]
 
     # skip pages entirely past the context
-    @pl.when(i * page_size < ctx)
+    @pl.when(logical_page * page_size < ctx)
     def _compute():
         q = q_ref[0].astype(jnp.float32)  # [Nq, Dh]
         nkv = k_ref.shape[2]
@@ -85,7 +88,7 @@ def _decode_kernel(
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         off = col % page_size
-        pos = i * page_size + off
+        pos = logical_page * page_size + off
         valid = (row // groups == col // page_size) & (pos < ctx)
         if has_mask:
             # mask lane o applies to token offset o of this page, any head;
@@ -119,11 +122,12 @@ def _decode_kernel(
 
 
 def _decode_kernel_nomask(
-    lidx_ref, table_ref, ctx_ref, q_ref, k_ref, v_ref, out_ref,
+    lidx_ref, table_ref, ctx_ref, ppos_ref, q_ref, k_ref, v_ref, out_ref,
     acc_ref, m_ref, l_ref, *, sm_scale, page_size, groups,
 ):
     _decode_kernel(
-        lidx_ref, table_ref, ctx_ref, q_ref, k_ref, v_ref, None, out_ref,
+        lidx_ref, table_ref, ctx_ref, ppos_ref, q_ref, k_ref, v_ref, None,
+        out_ref,
         acc_ref, m_ref, l_ref,
         sm_scale=sm_scale, page_size=page_size, groups=groups, has_mask=False,
     )
@@ -131,7 +135,7 @@ def _decode_kernel_nomask(
 
 def _decode_pallas_impl(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
-    *, sm_scale, interpret=False,
+    page_pos=None, *, sm_scale, interpret=False,
 ):
     b, nq, dh = q.shape
     l, pages, nkv, p, _ = k_cache.shape
@@ -140,8 +144,12 @@ def _decode_pallas_impl(
     has_mask = select_mask is not None
 
     lidx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+    if page_pos is None:
+        page_pos = jnp.broadcast_to(
+            jnp.arange(mp, dtype=jnp.int32)[None, :], (b, mp)
+        )
 
-    def kv_imap(bb, i, lidx_ref, table_ref, ctx_ref):
+    def kv_imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
         return (lidx_ref[0], table_ref[bb, i], 0, 0, 0)
 
     in_specs = [
@@ -166,7 +174,7 @@ def _decode_pallas_impl(
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(b, mp),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -198,7 +206,7 @@ def _decode_pallas_impl(
             bytes_accessed=b * nkv * mp * p * dh * 2 * k_cache.dtype.itemsize,
             transcendentals=b * nq * mp * p * nkv,
         ),
-    )(lidx, page_table, ctx_lens, *args)
+    )(lidx, page_table, ctx_lens, page_pos.astype(jnp.int32), *args)
     return out
 
 
@@ -206,12 +214,12 @@ def _decode_pallas_impl(
     jax.jit, static_argnames=("sm_scale", "interpret")
 )
 def _decode_pallas_nomask(
-    q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
+    q, k_cache, v_cache, layer_idx, page_table, ctx_lens, page_pos=None,
     *, sm_scale, interpret=False,
 ):
     return _decode_pallas_impl(
         q, k_cache, v_cache, layer_idx, page_table, ctx_lens, None,
-        sm_scale=sm_scale, interpret=interpret,
+        page_pos, sm_scale=sm_scale, interpret=interpret,
     )
 
 
@@ -230,7 +238,8 @@ def _decode_pallas_mask(
 
 def decode_attention_pallas(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
-    *, sm_scale, emit_scores=False, select_mask=None, interpret=None,
+    *, sm_scale, emit_scores=False, select_mask=None, page_pos=None,
+    interpret=None,
 ):
     """Dispatcher-facing API (matches ops.attention.decode_attention).
 
@@ -253,7 +262,7 @@ def decode_attention_pallas(
         )
     else:
         out = _decode_pallas_nomask(
-            q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
+            q, k_cache, v_cache, layer_idx, page_table, ctx_lens, page_pos,
             sm_scale=sm_scale, interpret=interpret,
         )
     return out, None

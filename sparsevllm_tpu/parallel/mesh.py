@@ -139,6 +139,13 @@ def shard_executor_state(ex) -> None:
     ex.k_cache = jax.device_put(ex.k_cache, kvs)
     ex.v_cache = jax.device_put(ex.v_cache, kvs)
     ex.tables = jax.device_put(ex.tables, replicated(mesh))
+    if getattr(ex, "quest_meta", None) is not None:
+        # [2, L, pages, Nkv, Dh] — kv heads on the model axis, like the cache
+        ex.quest_meta = jax.device_put(
+            ex.quest_meta,
+            NamedSharding(mesh, _fit(P(None, None, None, MODEL, None),
+                                     ex.quest_meta.shape, mesh, "quest_meta")),
+        )
     logger.info(
         "sharded executor state over mesh %s (kv: %s)",
         dict(mesh.shape), kvs.spec,

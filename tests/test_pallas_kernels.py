@@ -115,3 +115,31 @@ def test_obs_window_falls_back_to_ref(caches):
     )
     np.testing.assert_allclose(out_p, out_r, atol=2e-5)
     np.testing.assert_allclose(obs_p, obs_r, atol=2e-5)
+
+
+def test_decode_compacted_page_table_matches_ref(caches):
+    """Quest-style compacted tables: a permuted subset of pages with
+    page_pos must equal full attention restricted to those pages."""
+    kc, vc = caches
+    rng = np.random.default_rng(6)
+    B, Nq, MP, P = 2, 4, 8, kc.shape[3]
+    q = jnp.asarray(rng.normal(size=(B, Nq, 128)), jnp.float32)
+    table = jnp.asarray(rng.integers(1, kc.shape[1], size=(B, MP)), jnp.int32)
+    ctx = jnp.asarray([60, 44], jnp.int32)
+    # pick logical pages {0, 2, 5, last} in scrambled order
+    ppos = jnp.asarray([[5, 0, 7, 2], [2, 5, 0, 3]], jnp.int32)
+    compact = jnp.take_along_axis(table, ppos, axis=1)
+    out_p, _ = pd.decode_attention_pallas(
+        q, kc, vc, 1, compact, ctx, sm_scale=0.1, page_pos=ppos,
+        interpret=True,
+    )
+    # reference: full table with a token mask selecting the same pages
+    mask = np.zeros((B, MP * P), bool)
+    for b in range(B):
+        for lp in np.asarray(ppos[b]):
+            mask[b, lp * P:(lp + 1) * P] = True
+    out_r, _ = ref.decode_attention_ref(
+        q, kc[1], vc[1], table, ctx, sm_scale=0.1,
+        select_mask=jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(out_p, out_r, atol=2e-5)

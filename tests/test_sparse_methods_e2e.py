@@ -203,3 +203,61 @@ def test_omnikv_tight_budget_runs(hf_model):
         sampling_params=SamplingParams(temperature=0.0, max_tokens=8),
     )
     assert len(outs[0].output_token_ids) == 8
+
+
+# --------------------------------------------------------------------- quest
+
+
+def test_quest_loose_budget_equals_dense(hf_model):
+    cfg, model = hf_model
+    engine = LLM(
+        sparse_method="quest",
+        decode_keep_tokens=512, quest_page_size=8, quest_skip_layers=1,
+        sink_keep_tokens=8, recent_keep_tokens=16,
+        **BASE,
+    )
+    prompts = prompts_for(cfg, (60, 130))
+    outs = engine.generate(prompt_token_ids=prompts, sampling_params=GREEDY)
+    for p, o in zip(prompts, outs):
+        assert o.output_token_ids == hf_greedy(model, p, 6)
+
+
+def test_quest_tight_budget_runs(hf_model):
+    cfg, _ = hf_model
+    engine = LLM(
+        sparse_method="quest",
+        decode_keep_tokens=24, quest_page_size=8, quest_skip_layers=1,
+        sink_keep_tokens=8, recent_keep_tokens=8,
+        **BASE,
+    )
+    prompts = prompts_for(cfg, (150,))
+    outs = engine.generate(
+        prompt_token_ids=prompts,
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=8),
+    )
+    assert len(outs[0].output_token_ids) == 8
+
+
+def test_quest_page_selection_math():
+    """select_pages picks the q-aligned page; sink/recent forced in."""
+    import jax.numpy as jnp
+
+    from sparsevllm_tpu.ops.quest import init_page_meta, select_pages
+
+    L, pages, nkv, dh, P = 1, 10, 2, 4, 8
+    meta = init_page_meta(L, pages, nkv, dh)
+    # page 3 has strongly positive K extrema; others near zero
+    meta = meta.at[0, 0].set(0.0).at[1, 0].set(0.0)
+    # physical page 4 == logical page 3 under the table below
+    meta = meta.at[1, 0, 4].set(10.0)
+    q = jnp.ones((1, 4, dh))  # positive query -> logical page 3 wins
+    table = jnp.arange(1, 9, dtype=jnp.int32)[None, :]  # 8 logical pages
+    ctx = jnp.asarray([64], jnp.int32)  # all 8 pages in context
+    compact, ppos = select_pages(
+        q, meta, 0, table, ctx, keep_pages=4, page_size=P,
+        sink_pages=1, recent_pages=1,
+    )
+    sel = set(int(x) for x in ppos[0])
+    assert 0 in sel      # sink forced
+    assert 7 in sel      # recent forced
+    assert 3 in sel      # q-aligned winner
