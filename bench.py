@@ -67,7 +67,7 @@ def _smoke_spec():
 
 
 def run(batch: int, steps: int, ctx: int, keep: int, impl: str,
-        smoke: bool = False) -> dict:
+        smoke: bool = False, kv_dtype: str = "auto") -> dict:
     import jax
 
     from sparsevllm_tpu.config import Config
@@ -101,6 +101,7 @@ def run(batch: int, steps: int, ctx: int, keep: int, impl: str,
         max_decoding_seqs=max(batch, 1),
         max_num_seqs_in_batch=max(batch, 1),
         prefill_keep_tokens=keep,
+        kv_cache_dtype=kv_dtype,
         attention_impl=impl,
         decode_context_bucket_base=1024,
         # long generations amortize dispatch + token-fetch latency
@@ -145,8 +146,9 @@ def run(batch: int, steps: int, ctx: int, keep: int, impl: str,
     jax.block_until_ready(ex.k_cache)
     dt = time.perf_counter() - t0
     tok_s = batch * n_dispatch * k / dt
+    suffix = "_int8" if kv_dtype == "int8" else ""
     return {
-        "metric": f"decode_tok_s_{ctx // 1024}k_snapkv",
+        "metric": f"decode_tok_s_{ctx // 1024}k_snapkv{suffix}",
         "value": round(tok_s, 1),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
@@ -160,6 +162,8 @@ def main() -> None:
     ap.add_argument("--ctx", type=int, default=131072)
     ap.add_argument("--keep", type=int, default=4608)  # keep + recent window
     ap.add_argument("--impl", default="auto")
+    ap.add_argument("--kv-dtype", default="auto",
+                    help="auto | bfloat16 | int8 (KIVI-style quantized KV)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU smoke run (shapes only)")
     args = ap.parse_args()
@@ -172,7 +176,7 @@ def main() -> None:
     for attempt, impl in enumerate([args.impl, args.impl, "ref"]):
         try:
             result = run(args.batch, args.steps, args.ctx, args.keep, impl,
-                         smoke=args.smoke)
+                         smoke=args.smoke, kv_dtype=args.kv_dtype)
             break
         except Exception as e:  # noqa: BLE001
             last_err = e

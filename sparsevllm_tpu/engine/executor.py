@@ -66,12 +66,18 @@ class ModelExecutor:
         self.max_rows = max_rows
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                  "float16": jnp.float16}[config.dtype]
-        self.kv_dtype = dtype
+        kv_quant = config.kv_cache_dtype == "int8"
+        self.kv_dtype = jnp.int8 if kv_quant else dtype
 
         l, p = spec.num_layers, config.page_size
         kv_shape = (l, num_pages, spec.num_kv_heads, p, spec.head_dim)
-        self.k_cache = jnp.zeros(kv_shape, dtype)
-        self.v_cache = jnp.zeros(kv_shape, dtype)
+        self.k_cache = jnp.zeros(kv_shape, self.kv_dtype)
+        self.v_cache = jnp.zeros(kv_shape, self.kv_dtype)
+        # per-slot K/V dequant scales (int8 cache; ops/quant.py)
+        self.kv_scales = (
+            jnp.ones((2, l, num_pages, spec.num_kv_heads, p), jnp.float32)
+            if kv_quant else None
+        )
         self.tables = jnp.zeros(
             (l, max_rows, config.max_pages_per_seq), jnp.int32
         )
@@ -98,6 +104,7 @@ class ModelExecutor:
             quest=config.method == "quest",
             quest_keep_pages=quest_kp,
             quest_skip_layers=config.quest_skip_layers,
+            kv_quant=kv_quant,
         )
         self.quest_meta = None
         if self._rt.quest:
@@ -189,13 +196,13 @@ class ModelExecutor:
             return fn
         spec, rt, rope = self.spec, self._rt, self.rope
 
-        def step(params, kc, vc, meta, tables, plan):
+        def step(params, kc, vc, meta, scales, tables, plan):
             page_table = tables[0][plan["row_ids"], :mp]
             inner = dict(plan)
             inner["page_table"] = page_table
-            kc, vc, last_h, obs, meta = tfm.prefill_forward(
+            kc, vc, last_h, obs, meta, scales = tfm.prefill_forward(
                 params, kc, vc, inner, rope, spec=spec, rt=rt,
-                quest_meta=meta,
+                quest_meta=meta, kv_scales=scales,
             )
             logits = tfm.compute_logits(params, last_h, spec)
             key = jax.random.fold_in(self._base_key, plan["step"])
@@ -203,10 +210,14 @@ class ModelExecutor:
                 logits, plan["temps"], plan["top_k"], plan["top_p"], key,
                 mode=mode,
             )
-            return kc, vc, meta, tokens, obs
+            return kc, vc, meta, scales, tokens, obs
 
-        donate = (1, 2, 3) if rt.quest else (1, 2)
-        fn = jax.jit(step, donate_argnums=donate)
+        donate = [1, 2]
+        if rt.quest:
+            donate.append(3)
+        if rt.kv_quant:
+            donate.append(4)
+        fn = jax.jit(step, donate_argnums=tuple(donate))
         self._fn_cache[key] = fn
         logger.info("compiled prefill step bucket B=%d S=%d MP=%d", bb, sb, mp)
         return fn
@@ -219,7 +230,7 @@ class ModelExecutor:
         spec, rt, rope = self.spec, self._rt, self.rope
         is_full = self._is_full_layer
 
-        def megastep(params, kc, vc, meta, tables, plan):
+        def megastep(params, kc, vc, meta, scales, tables, plan):
             """k decode steps in one dispatch: sampled tokens feed back on
             device (lax.scan over steps); ONE token transfer per dispatch.
             This is the TPU answer to per-step CUDA-graph replay + the
@@ -227,7 +238,7 @@ class ModelExecutor:
             base_key = jax.random.fold_in(self._base_key, plan["step"])
 
             def body(carry, t):
-                kc, vc, meta, tok = carry
+                kc, vc, meta, scales, tok = carry
                 p = {
                     "token_ids": tok,
                     "positions": plan["positions0"] + t,
@@ -235,26 +246,30 @@ class ModelExecutor:
                     "dest_slot": plan["dest"][:, :, t],
                     "ctx_lens": plan["ctx_start"] + t + 1,
                 }
-                kc, vc, h, meta = tfm.decode_forward(
+                kc, vc, h, meta, scales = tfm.decode_forward(
                     params, kc, vc, tables, p, rope,
                     spec=spec, rt=rt, mp_bucket=mp, is_full_layer=is_full,
-                    quest_meta=meta,
+                    quest_meta=meta, kv_scales=scales,
                 )
                 logits = tfm.compute_logits(params, h, spec)
                 tok2 = sampler_ops.sample(
                     logits, plan["temps"], plan["top_k"], plan["top_p"],
                     jax.random.fold_in(base_key, t), mode=mode,
                 )
-                return (kc, vc, meta, tok2), tok2
+                return (kc, vc, meta, scales, tok2), tok2
 
-            (kc, vc, meta, _), toks = jax.lax.scan(
-                body, (kc, vc, meta, plan["token_ids0"]),
+            (kc, vc, meta, scales, _), toks = jax.lax.scan(
+                body, (kc, vc, meta, scales, plan["token_ids0"]),
                 jnp.arange(k, dtype=jnp.int32),
             )
-            return kc, vc, meta, toks  # [k, B]
+            return kc, vc, meta, scales, toks  # [k, B]
 
-        donate = (1, 2, 3) if rt.quest else (1, 2)
-        fn = jax.jit(megastep, donate_argnums=donate)
+        donate = [1, 2]
+        if rt.quest:
+            donate.append(3)
+        if rt.kv_quant:
+            donate.append(4)
+        fn = jax.jit(megastep, donate_argnums=tuple(donate))
         self._fn_cache[key] = fn
         logger.info("compiled decode megastep bucket B=%d MP=%d k=%d",
                     bb, mp, k)
@@ -338,9 +353,10 @@ class ModelExecutor:
         self._step_counter += 1
         fn = self._get_prefill_fn(bb, sb, mp, mode)
         with profiler.record("prefill_step"):
-            self.k_cache, self.v_cache, self.quest_meta, tokens, obs = fn(
+            (self.k_cache, self.v_cache, self.quest_meta, self.kv_scales,
+             tokens, obs) = fn(
                 self.params, self.k_cache, self.v_cache, self.quest_meta,
-                self.tables, plan,
+                self.kv_scales, self.tables, plan,
             )
         return np.asarray(tokens)[:b], obs
 
@@ -384,9 +400,10 @@ class ModelExecutor:
         self._step_counter += 1
         fn = self._get_decode_fn(bb, mp, k, mode)
         with profiler.record("decode_step"):
-            self.k_cache, self.v_cache, self.quest_meta, tokens = fn(
+            (self.k_cache, self.v_cache, self.quest_meta, self.kv_scales,
+             tokens) = fn(
                 self.params, self.k_cache, self.v_cache, self.quest_meta,
-                self.tables, plan,
+                self.kv_scales, self.tables, plan,
             )
         tokens.copy_to_host_async()
         return np.asarray(tokens).T[:b]  # [B, k]
@@ -405,27 +422,30 @@ class ModelExecutor:
         batch_idx = self._dev(plan["batch_idx"])
         w = int(plan["obs_window"])
         kt = int(plan["keep"].max())  # static top budget this call
-        key = ("compact", obs_scores.shape, new_pages.shape, kt, w)
+        quant = self.kv_scales is not None
+        key = ("compact", obs_scores.shape, new_pages.shape, kt, w, quant)
         fn = self._fn_cache.get(key)
         if fn is None:
+            donate = (0, 1, 2, 3) if quant else (0, 1, 3)
             fn = jax.jit(
                 functools.partial(
                     _compact_impl, obs_window=w, keep_max=kt,
                     page_size=self.config.page_size,
                 ),
-                donate_argnums=(0, 1, 2),
+                donate_argnums=donate,
             )
             self._fn_cache[key] = fn
             logger.info("compiled compact op %s", key)
         with profiler.record("compact"):
-            self.k_cache, self.v_cache, self.tables = fn(
-                self.k_cache, self.v_cache, self.tables,
+            (self.k_cache, self.v_cache, self.kv_scales,
+             self.tables) = fn(
+                self.k_cache, self.v_cache, self.kv_scales, self.tables,
                 obs_scores, batch_idx, rows, ctx, keep, new_pages,
             )
 
 
 def _compact_impl(
-    kc, vc, tables, scores, batch_idx, rows, ctx, keep, new_pages,
+    kc, vc, kv_scales, tables, scores, batch_idx, rows, ctx, keep, new_pages,
     *, obs_window: int, keep_max: int, page_size: int,
 ):
     """Per-layer ordered top-k compaction (SnapKV family).
@@ -445,7 +465,7 @@ def _compact_impl(
     scores_sel = scores[:, batch_idx]  # [L, B, K]
 
     def layer_body(carry, xs):
-        kc, vc, tables = carry
+        kc, vc, scales, tables = carry
         li, sc, kp, npg = xs  # [B,K], [B], [B,MPK]
         prefix_len = ctx - w  # [B]
         pos = jnp.arange(k_len, dtype=jnp.int32)[None, :]
@@ -500,9 +520,17 @@ def _compact_impl(
         )
         kc = kc2.reshape(kc.shape)
         vc = vc2.reshape(vc.shape)
+        if scales is not None:
+            # move per-slot dequant scales with the payload (int8 cache)
+            sc2 = scales.reshape(2, -1)
+            gathered_s = sc2[:, src_flat]  # [2, B, N, Nkv]
+            sc2 = sc2.at[:, dst_flat.reshape(-1)].set(
+                gathered_s.reshape(2, -1), mode="drop"
+            )
+            scales = sc2.reshape(scales.shape)
         mpk = npg.shape[1]
         tables = tables.at[li, rows, :mpk].set(npg)
-        return (kc, vc, tables), None
+        return (kc, vc, scales, tables), None
 
     xs = (
         jnp.arange(scores_sel.shape[0], dtype=jnp.int32),
@@ -510,5 +538,7 @@ def _compact_impl(
         keep,
         new_pages,
     )
-    (kc, vc, tables), _ = jax.lax.scan(layer_body, (kc, vc, tables), xs)
-    return kc, vc, tables
+    (kc, vc, kv_scales, tables), _ = jax.lax.scan(
+        layer_body, (kc, vc, kv_scales, tables), xs
+    )
+    return kc, vc, kv_scales, tables

@@ -130,10 +130,15 @@ class LLMEngine:
 
     def _kv_bytes(self, num_pages: int) -> int:
         s = self.spec
-        dsize = 2 if self.config.dtype != "float32" else 4
+        if self.config.kv_cache_dtype == "int8":
+            per_slot = s.head_dim + 4  # int8 payload + f32 scale
+        else:
+            per_slot = s.head_dim * (
+                2 if self.config.dtype != "float32" else 4
+            )
         return (
             2 * s.num_layers * num_pages * s.num_kv_heads
-            * self.config.page_size * s.head_dim * dsize
+            * self.config.page_size * per_slot
         )
 
     def _derive_kv_capacity(self, params) -> tuple[int, int]:

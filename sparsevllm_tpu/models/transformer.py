@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..layers.rope import apply_rope
 from ..ops import attention as attn_ops
+from ..ops import quant as quant_ops
 from ..ops import quest as quest_ops
 from .spec import ModelSpec
 
@@ -58,6 +59,10 @@ class StepRuntime:
     quest: bool = False
     quest_keep_pages: int = 0
     quest_skip_layers: int = 0
+    # int8 KV cache with per-(token, head) scales; dequant fuses into the
+    # attention kernels (ops/quant.py, KIVI-style — reference
+    # triton_kernel/quant.py + full_layer_kivi decode).
+    kv_quant: bool = False
 
 
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
@@ -148,25 +153,31 @@ def prefill_forward(
     spec: ModelSpec,
     rt: StepRuntime,
     quest_meta: jax.Array | None = None,
+    kv_scales: jax.Array | None = None,  # [2, L, pages, Nkv, P] (kv_quant)
 ):
     """One chunked-prefill step. Returns (k_cache, v_cache, last_hidden [B,H],
-    obs_scores [L,B,K] or None, quest_meta or None)."""
+    obs_scores [L,B,K] or None, quest_meta or None, kv_scales or None)."""
     cos, sin = rope
     tokens = plan["token_ids"]  # [B, S]
     positions = plan["positions"]
-    h = params["embed"][tokens].astype(k_cache.dtype)  # [B, S, H]
+    h = params["embed"][tokens]  # [B, S, H]
     sm_scale = spec.head_dim ** -0.5
 
     def body(carry, xs):
-        h, kc, vc, meta = carry
+        h, kc, vc, meta, scales = carry
         li = xs["_layer_idx"]
         x = rms_norm(h, xs["input_norm"], spec.rms_norm_eps)
         q, k, v = _qkv(x, xs, spec)
         q = apply_rope(q, positions, cos, sin)
         k = apply_rope(k, positions, cos, sin)
-        kc, vc = attn_ops.store_kv_layer(
-            kc, vc, li, k, v, plan["dest_slot"]
-        )
+        if rt.kv_quant:
+            kc, vc, scales = quant_ops.store_kv_quant_layer(
+                kc, vc, scales, li, k, v, plan["dest_slot"]
+            )
+        else:
+            kc, vc = attn_ops.store_kv_layer(
+                kc, vc, li, k, v, plan["dest_slot"]
+            )
         if rt.quest:
             meta = quest_ops.update_page_meta(
                 meta, kc, li, plan["touched_pages"].reshape(-1)
@@ -177,6 +188,7 @@ def prefill_forward(
             sm_scale=sm_scale,
             obs_window=rt.obs_window if rt.emit_prefill_scores else 0,
             score_pooling=rt.score_pooling,
+            kv_scales=scales,
             impl=rt.impl,
         )
         attn_out = out.reshape(*x.shape[:-1], spec.q_dim) @ xs["wo"]
@@ -184,10 +196,11 @@ def prefill_forward(
         x2 = rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
         h = h + _mlp(x2, xs)
         ys = obs if rt.emit_prefill_scores else None
-        return (h, kc, vc, meta), ys
+        return (h, kc, vc, meta, scales), ys
 
-    (h, k_cache, v_cache, quest_meta), obs_scores = jax.lax.scan(
-        body, (h, k_cache, v_cache, quest_meta), _layer_xs(params, spec)
+    (h, k_cache, v_cache, quest_meta, kv_scales), obs_scores = jax.lax.scan(
+        body, (h, k_cache, v_cache, quest_meta, kv_scales),
+        _layer_xs(params, spec),
     )
     h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
     # last valid token's hidden state per sequence.
@@ -195,7 +208,7 @@ def prefill_forward(
     last_h = jnp.take_along_axis(
         h, last_idx[:, None, None], axis=1
     ).squeeze(1)  # [B, H]
-    return k_cache, v_cache, last_h, obs_scores, quest_meta
+    return k_cache, v_cache, last_h, obs_scores, quest_meta, kv_scales
 
 
 # ---------------------------------------------------------------------------
@@ -217,14 +230,15 @@ def decode_forward(
     mp_bucket: int,
     is_full_layer: jax.Array | None = None,  # [L] bool (decode_select)
     quest_meta: jax.Array | None = None,
+    kv_scales: jax.Array | None = None,  # [2, L, pages, Nkv, P] (kv_quant)
 ):
     """One decode step for [B] sequences.
-    Returns (k_cache, v_cache, h [B,H], quest_meta or None)."""
+    Returns (k_cache, v_cache, h [B,H], quest_meta, kv_scales)."""
     cos, sin = rope
     tokens = plan["token_ids"]  # [B]
     positions = plan["positions"]
     row_ids = plan["row_ids"]
-    h = params["embed"][tokens].astype(k_cache.dtype)  # [B, H]
+    h = params["embed"][tokens]  # [B, H]
     sm_scale = spec.head_dim ** -0.5
     b = tokens.shape[0]
     k_tokens = mp_bucket * k_cache.shape[3]  # keys bucket in tokens
@@ -243,7 +257,7 @@ def decode_forward(
     page_size = k_cache.shape[3]
 
     def body(carry, xs):
-        h, kc, vc, sel, meta = carry
+        h, kc, vc, sel, meta, scales = carry
         li = xs["_layer_idx"]
         ctx = xs["_ctx"]  # [B]
         table_l = jax.lax.dynamic_index_in_dim(
@@ -254,7 +268,12 @@ def decode_forward(
         q, k, v = _qkv(x, xs, spec)
         q = apply_rope(q[:, None], positions[:, None], cos, sin)[:, 0]
         k = apply_rope(k[:, None], positions[:, None], cos, sin)[:, 0]
-        kc, vc = attn_ops.store_kv_layer(kc, vc, li, k, v, xs["_dest"])
+        if rt.kv_quant:
+            kc, vc, scales = quant_ops.store_kv_quant_decode(
+                kc, vc, scales, li, k, v, xs["_dest"]
+            )
+        else:
+            kc, vc = attn_ops.store_kv_layer(kc, vc, li, k, v, xs["_dest"])
 
         if rt.quest:
             meta = quest_ops.update_page_meta(
@@ -271,14 +290,15 @@ def decode_forward(
                 )
                 out, _ = attn_ops.decode_attention(
                     q, kc, vc, li, compact, ctx,
-                    sm_scale=sm_scale, page_pos=ppos, impl=rt.impl,
+                    sm_scale=sm_scale, page_pos=ppos, kv_scales=scales,
+                    impl=rt.impl,
                 )
                 return out
 
             def dense_attn(q):
                 out, _ = attn_ops.decode_attention(
                     q, kc, vc, li, table_l, ctx,
-                    sm_scale=sm_scale, impl=rt.impl,
+                    sm_scale=sm_scale, kv_scales=scales, impl=rt.impl,
                 )
                 return out
 
@@ -293,7 +313,7 @@ def decode_forward(
             out, scores = attn_ops.decode_attention(
                 q, kc, vc, li, table_l, ctx,
                 sm_scale=sm_scale, emit_scores=True,
-                select_mask=select_mask, impl=rt.impl,
+                select_mask=select_mask, kv_scales=scales, impl=rt.impl,
             )
             def refresh(_):
                 return build_keep_mask(
@@ -304,20 +324,21 @@ def decode_forward(
         else:
             out, _ = attn_ops.decode_attention(
                 q, kc, vc, li, table_l, ctx,
-                sm_scale=sm_scale, emit_scores=False, impl=rt.impl,
+                sm_scale=sm_scale, emit_scores=False, kv_scales=scales,
+                impl=rt.impl,
             )
         attn_out = out.reshape(b, spec.q_dim) @ xs["wo"]
         h = h + attn_out
         x2 = rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
         h = h + _mlp(x2, xs)
-        return (h, kc, vc, sel, meta), None
+        return (h, kc, vc, sel, meta, scales), None
 
-    (h, k_cache, v_cache, _, quest_meta), _ = jax.lax.scan(
-        body, (h, k_cache, v_cache, sel0, quest_meta),
+    (h, k_cache, v_cache, _, quest_meta, kv_scales), _ = jax.lax.scan(
+        body, (h, k_cache, v_cache, sel0, quest_meta, kv_scales),
         _layer_xs(params, spec, extra),
     )
     h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
-    return k_cache, v_cache, h, quest_meta
+    return k_cache, v_cache, h, quest_meta, kv_scales
 
 
 def compute_logits(params, hidden: jax.Array, spec: ModelSpec) -> jax.Array:

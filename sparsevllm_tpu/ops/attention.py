@@ -70,6 +70,7 @@ def prefill_attention(
     sm_scale: float,
     obs_window: int = 0,
     score_pooling: int = 0,
+    kv_scales=None,  # [2, L, pages, Nkv, P] f32 (int8 cache) or None
     impl: str = "ref",
 ):
     if impl == "pallas":
@@ -78,14 +79,16 @@ def prefill_attention(
         return pk.prefill_attention_pallas(
             q, k_cache, v_cache, layer_idx, page_table, ctx_lens, new_lens,
             sm_scale=sm_scale, obs_window=obs_window,
-            score_pooling=score_pooling,
+            score_pooling=score_pooling, kv_scales=kv_scales,
         )
+    lsc = None if kv_scales is None else kv_scales[:, layer_idx]
     return ref.prefill_attention_ref(
         q,
         _layer_slice(k_cache, layer_idx),
         _layer_slice(v_cache, layer_idx),
         page_table, ctx_lens, new_lens,
         sm_scale=sm_scale, obs_window=obs_window, score_pooling=score_pooling,
+        kv_scales=lsc,
     )
 
 
@@ -101,6 +104,7 @@ def decode_attention(
     emit_scores: bool = False,
     select_mask: jax.Array | None = None,
     page_pos: jax.Array | None = None,
+    kv_scales=None,  # [2, L, pages, Nkv, P] f32 (int8 cache) or None
     impl: str = "ref",
 ):
     if impl == "pallas":
@@ -109,13 +113,14 @@ def decode_attention(
         return pk.decode_attention_pallas(
             q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
             sm_scale=sm_scale, emit_scores=emit_scores,
-            select_mask=select_mask, page_pos=page_pos,
+            select_mask=select_mask, page_pos=page_pos, kv_scales=kv_scales,
         )
+    lsc = None if kv_scales is None else kv_scales[:, layer_idx]
     return ref.decode_attention_ref(
         q,
         _layer_slice(k_cache, layer_idx),
         _layer_slice(v_cache, layer_idx),
         page_table, ctx_lens,
         sm_scale=sm_scale, emit_scores=emit_scores, select_mask=select_mask,
-        page_pos=page_pos,
+        page_pos=page_pos, kv_scales=lsc,
     )

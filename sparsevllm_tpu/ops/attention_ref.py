@@ -73,6 +73,19 @@ def gather_pages(
     return gathered.transpose(0, 2, 1, 3, 4).reshape(b, nkv, mp * p, dh)
 
 
+def gather_dequant(
+    cache: jax.Array,  # [num_pages, Nkv, P, Dh] int8
+    scales: jax.Array,  # [num_pages, Nkv, P] f32 per-slot scales
+    page_table: jax.Array,
+) -> jax.Array:
+    """Gather + dequantize an int8 cache: [B, Nkv, K, Dh] fp32."""
+    vals = gather_pages(cache, page_table).astype(jnp.float32)
+    sc = scales[page_table]  # [B, MP, Nkv, P]
+    b, mp, nkv, p = sc.shape
+    sc = sc.transpose(0, 2, 1, 3).reshape(b, nkv, mp * p, 1)
+    return vals * sc.astype(jnp.float32)
+
+
 def _expand_gqa(x: jax.Array, num_q_heads: int) -> jax.Array:
     """[B, Nkv, S, Dh] -> [B, Nq, S, Dh] by repeating each kv head G times."""
     b, nkv, s, dh = x.shape
@@ -91,6 +104,7 @@ def prefill_attention_ref(
     sm_scale: float,
     obs_window: int = 0,
     score_pooling: int = 0,
+    kv_scales: jax.Array | None = None,  # [2, pages, Nkv, P] int8 dequant
 ) -> tuple[jax.Array, jax.Array | None]:
     """Chunked-prefill causal attention over the paged cache.
 
@@ -103,8 +117,12 @@ def prefill_attention_ref(
     shaped [B, max_pages*P] in fp32.
     """
     b, s, nq, dh = q.shape
-    keys = gather_pages(k_cache, page_table)  # [B, Nkv, K, Dh]
-    vals = gather_pages(v_cache, page_table)
+    if kv_scales is not None:
+        keys = gather_dequant(k_cache, kv_scales[0], page_table)
+        vals = gather_dequant(v_cache, kv_scales[1], page_table)
+    else:
+        keys = gather_pages(k_cache, page_table)  # [B, Nkv, K, Dh]
+        vals = gather_pages(v_cache, page_table)
     kk = keys.shape[2]
 
     keys = _expand_gqa(keys, nq)
@@ -162,6 +180,7 @@ def decode_attention_ref(
     emit_scores: bool = False,
     select_mask: jax.Array | None = None,  # [B, max_pages*P] bool, extra mask
     page_pos: jax.Array | None = None,  # [B, max_pages] logical page index
+    kv_scales: jax.Array | None = None,  # [2, pages, Nkv, P] int8 dequant
 ) -> tuple[jax.Array, jax.Array | None]:
     """Single-token decode attention over the paged cache.
 
@@ -178,8 +197,12 @@ def decode_attention_ref(
     """
     b, nq, dh = q.shape
     p = k_cache.shape[2]
-    keys = gather_pages(k_cache, page_table)  # [B, Nkv, K, Dh]
-    vals = gather_pages(v_cache, page_table)
+    if kv_scales is not None:
+        keys = gather_dequant(k_cache, kv_scales[0], page_table)
+        vals = gather_dequant(v_cache, kv_scales[1], page_table)
+    else:
+        keys = gather_pages(k_cache, page_table)  # [B, Nkv, K, Dh]
+        vals = gather_pages(v_cache, page_table)
     kk = keys.shape[2]
     keys = _expand_gqa(keys, nq)
     vals = _expand_gqa(vals, nq)

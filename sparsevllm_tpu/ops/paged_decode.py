@@ -46,9 +46,11 @@ def _decode_kernel(
     #            for dense tables; Quest compacted tables permute pages)
     # blocks
     q_ref,  # [1, Nq, Dh]
-    k_ref,  # [1, 1, Nkv, P, Dh]
+    k_ref,  # [1, 1, Nkv, P, Dh] (kv dtype or int8)
     v_ref,  # [1, 1, Nkv, P, Dh]
-    mask_ref,  # [1, 1, 8, P] int8 (select mask, sublane-replicated) or None
+    ks_ref,  # [1, 1, 1, 1, Nkv*P] f32 K scales, head-major flat (or None)
+    vs_ref,  # [1, 1, 1, 1, Nkv*P] f32 V scales, head-major flat (or None)
+    mask_ref,  # [1, 1, 1, P] int8 select mask (or None)
     out_ref,  # [1, Nq, Dh]
     # scratch
     acc_ref,  # [Nq, Dh] f32
@@ -85,6 +87,12 @@ def _decode_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * sm_scale  # [Nq, Nkv*P]
+        if ks_ref is not None:
+            # fused int8 dequant: q.(k_int*sc) == (q.k_int)*sc per COLUMN.
+            # The scale row arrives pre-flattened head-major ([1, Nkv*P]) —
+            # a free XLA reshape outside the kernel; Mosaic cannot fold the
+            # [Nkv, P] sublane tile into lanes itself.
+            s = s * ks_ref[0, 0, 0]  # [1, Nkv*P] broadcasts over rows
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         off = col % page_size
@@ -93,8 +101,10 @@ def _decode_kernel(
         if has_mask:
             # mask lane o applies to token offset o of this page, any head;
             # key columns are ordered h*P + o, so tile the row Nkv times.
-            mrow = mask_ref[0, 0, 0:1, :] != 0  # [1, P]
-            valid = valid & jnp.concatenate([mrow] * nkv, axis=1)
+            # Concat in int32 then compare — Mosaic cannot concat i1 vregs.
+            mrow = mask_ref[0, 0].astype(jnp.int32)  # [1, P]
+            mfull = jnp.concatenate([mrow] * nkv, axis=1)  # [1, Nkv*P]
+            valid = valid & (mfull != 0)
         s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_ref[:, :1]  # [Nq, 1]
@@ -103,9 +113,14 @@ def _decode_kernel(
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.where(valid, jnp.exp(s - m_new), 0.0)  # [Nq, Nkv*P]
+        p_num = p
+        if vs_ref is not None:
+            # p@(v_int*sc) == (p*sc)@v_int per column — numerator ONLY;
+            # the softmax denominator l stays the raw exp sum.
+            p_num = p * vs_ref[0, 0, 0]
         v = v_ref[0, 0].astype(jnp.float32).reshape(nkv * page_size, -1)
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p_num, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Nq, Dh] (cross-head lanes are zero in p)
         acc_ref[:] = acc_ref[:] * alpha + pv
@@ -121,27 +136,36 @@ def _decode_kernel(
         out_ref[0] = (acc_ref[:] / l_safe).astype(out_ref.dtype)
 
 
-def _decode_kernel_nomask(
-    lidx_ref, table_ref, ctx_ref, ppos_ref, q_ref, k_ref, v_ref, out_ref,
-    acc_ref, m_ref, l_ref, *, sm_scale, page_size, groups,
-):
-    _decode_kernel(
-        lidx_ref, table_ref, ctx_ref, ppos_ref, q_ref, k_ref, v_ref, None,
-        out_ref,
-        acc_ref, m_ref, l_ref,
-        sm_scale=sm_scale, page_size=page_size, groups=groups, has_mask=False,
-    )
+def _make_kernel(has_mask: bool, quantized: bool, **kw):
+    """Bind the optional-ref layout: blocks arrive positionally in in_specs
+    order [q, k, v, (ks, vs), (mask)], then out, then 3 scratch refs."""
+
+    def kern(lidx_ref, table_ref, ctx_ref, ppos_ref, q_ref, k_ref, v_ref,
+             *rest):
+        rest = list(rest)
+        ks_ref = rest.pop(0) if quantized else None
+        vs_ref = rest.pop(0) if quantized else None
+        mask_ref = rest.pop(0) if has_mask else None
+        out_ref, acc_ref, m_ref, l_ref = rest
+        _decode_kernel(
+            lidx_ref, table_ref, ctx_ref, ppos_ref, q_ref, k_ref, v_ref,
+            ks_ref, vs_ref, mask_ref, out_ref, acc_ref, m_ref, l_ref,
+            has_mask=has_mask, **kw,
+        )
+
+    return kern
 
 
 def _decode_pallas_impl(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
-    page_pos=None, *, sm_scale, interpret=False,
+    page_pos=None, kv_scales=None, *, sm_scale, interpret=False,
 ):
     b, nq, dh = q.shape
     l, pages, nkv, p, _ = k_cache.shape
     mp = page_table.shape[1]
     g = nq // nkv
     has_mask = select_mask is not None
+    quantized = kv_scales is not None
 
     lidx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
     if page_pos is None:
@@ -159,19 +183,29 @@ def _decode_pallas_impl(
         pl.BlockSpec((1, 1, nkv, p, dh), kv_imap, memory_space=pltpu.VMEM),
     ]
     args = [q, k_cache, v_cache]
+    if quantized:
+        # free XLA view: [2, L, pages, Nkv, P] -> [2, L, pages, 1, Nkv*P]
+        # (contiguous, head-major lanes match the kernel's key columns).
+        flat_scales = kv_scales.reshape(2, l, pages, 1, nkv * p)
+
+        def ks_imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
+            return (0, lidx_ref[0], table_ref[bb, i], 0, 0)
+
+        def vs_imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
+            return (1, lidx_ref[0], table_ref[bb, i], 0, 0)
+
+        in_specs.append(pl.BlockSpec((1, 1, 1, 1, nkv * p), ks_imap,
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, 1, 1, 1, nkv * p), vs_imap,
+                                     memory_space=pltpu.VMEM))
+        args.extend([flat_scales, flat_scales])
     if has_mask:
-        # Sublane-replicate to [B, MP, 8, P] so the (8, 128)-or-equal tile
-        # rule holds for the (8, P) trailing block regardless of P.
+        # singleton sublane dim satisfies the block==array tile rule
         in_specs.append(
-            pl.BlockSpec((1, 1, 8, p), lambda bb, i, *_: (bb, i, 0, 0),
+            pl.BlockSpec((1, 1, 1, p), lambda bb, i, *_: (bb, i, 0, 0),
                          memory_space=pltpu.VMEM)
         )
-        args.append(
-            jnp.broadcast_to(
-                select_mask.astype(jnp.int8).reshape(b, mp, 1, p),
-                (b, mp, 8, p),
-            )
-        )
+        args.append(select_mask.astype(jnp.int8).reshape(b, mp, 1, p))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -187,15 +221,9 @@ def _decode_pallas_impl(
             pltpu.VMEM((nq, 128), jnp.float32),
         ],
     )
-    if has_mask:
-        kernel = functools.partial(
-            _decode_kernel, sm_scale=sm_scale, page_size=p, groups=g,
-            has_mask=True,
-        )
-    else:
-        kernel = functools.partial(
-            _decode_kernel_nomask, sm_scale=sm_scale, page_size=p, groups=g,
-        )
+    kernel = _make_kernel(
+        has_mask, quantized, sm_scale=sm_scale, page_size=p, groups=g,
+    )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -215,11 +243,11 @@ def _decode_pallas_impl(
 )
 def _decode_pallas_nomask(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, page_pos=None,
-    *, sm_scale, interpret=False,
+    kv_scales=None, *, sm_scale, interpret=False,
 ):
     return _decode_pallas_impl(
         q, k_cache, v_cache, layer_idx, page_table, ctx_lens, None,
-        page_pos, sm_scale=sm_scale, interpret=interpret,
+        page_pos, kv_scales, sm_scale=sm_scale, interpret=interpret,
     )
 
 
@@ -228,18 +256,18 @@ def _decode_pallas_nomask(
 )
 def _decode_pallas_mask(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
-    *, sm_scale, interpret=False,
+    kv_scales=None, *, sm_scale, interpret=False,
 ):
     return _decode_pallas_impl(
         q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
-        sm_scale=sm_scale, interpret=interpret,
+        None, kv_scales, sm_scale=sm_scale, interpret=interpret,
     )
 
 
 def decode_attention_pallas(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
     *, sm_scale, emit_scores=False, select_mask=None, page_pos=None,
-    interpret=None,
+    kv_scales=None, interpret=None,
 ):
     """Dispatcher-facing API (matches ops.attention.decode_attention).
 
@@ -251,18 +279,20 @@ def decode_attention_pallas(
         def _layer(c):
             return jax.lax.dynamic_index_in_dim(c, layer_idx, 0,
                                                 keepdims=False)
+        lsc = None if kv_scales is None else kv_scales[:, layer_idx]
         return ref.decode_attention_ref(
             q, _layer(k_cache), _layer(v_cache), page_table, ctx_lens,
             sm_scale=sm_scale, emit_scores=True, select_mask=select_mask,
+            kv_scales=lsc,
         )
     if select_mask is not None:
         out = _decode_pallas_mask(
             q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
-            select_mask, sm_scale=sm_scale, interpret=interpret,
+            select_mask, kv_scales, sm_scale=sm_scale, interpret=interpret,
         )
     else:
         out = _decode_pallas_nomask(
             q, k_cache, v_cache, layer_idx, page_table, ctx_lens, page_pos,
-            sm_scale=sm_scale, interpret=interpret,
+            kv_scales, sm_scale=sm_scale, interpret=interpret,
         )
     return out, None

@@ -41,8 +41,10 @@ def _prefill_kernel(
     new_ref,  # [B] valid new tokens in this chunk
     # blocks
     q_ref,  # [1, 1, BS, G, Dh]
-    k_ref,  # [1, 1, 1, P, Dh]
+    k_ref,  # [1, 1, 1, P, Dh] (kv dtype or int8)
     v_ref,  # [1, 1, 1, P, Dh]
+    ks_ref,  # [1, 1, 1, Nkv, P] f32 per-slot K scales (int8 cache) or None
+    vs_ref,  # [1, 1, 1, Nkv, P] f32 per-slot V scales or None
     out_ref,  # [1, 1, BS, G, Dh]
     # scratch
     acc_ref,  # [BS*G, Dh] f32
@@ -55,6 +57,7 @@ def _prefill_kernel(
     groups: int,
 ):
     b = pl.program_id(0)
+    h = pl.program_id(1)
     s = pl.program_id(2)
     k_i = pl.program_id(3)
     num_k = pl.num_programs(3)
@@ -84,6 +87,10 @@ def _prefill_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * sm_scale  # [BS*G, P]
+        if ks_ref is not None:
+            # fused int8 dequant applied per key column (head h's row of the
+            # [Nkv, P] scale tile, dynamic sublane slice -> [1, P]).
+            st = st * ks_ref[0, 0, 0, pl.ds(h, 1), :]
         row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
         qi = row // groups  # query index within block
         qpos = base + qi
@@ -99,9 +106,13 @@ def _prefill_kernel(
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.where(valid, jnp.exp(st - m_new), 0.0)
+        p_num = p
+        if vs_ref is not None:
+            # numerator only — denominator l stays the raw exp sum
+            p_num = p * vs_ref[0, 0, 0, pl.ds(h, 1), :]
         v = v_ref[0, 0, 0].astype(jnp.float32)  # [P, Dh]
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p_num, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_ref[:] = acc_ref[:] * alpha + pv
@@ -122,17 +133,29 @@ def _prefill_kernel(
         out_ref[0, 0] = out.reshape(out_ref.shape[2:]).astype(out_ref.dtype)
 
 
+def _prefill_kernel_noquant(
+    lidx_ref, table_ref, ctx_ref, new_ref, q_ref, k_ref, v_ref, out_ref,
+    acc_ref, m_ref, l_ref, **kw,
+):
+    _prefill_kernel(
+        lidx_ref, table_ref, ctx_ref, new_ref, q_ref, k_ref, v_ref,
+        None, None, out_ref, acc_ref, m_ref, l_ref, **kw,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("sm_scale", "block_s", "interpret")
 )
 def _prefill_pallas(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, new_lens,
+    kv_scales=None,
     *, sm_scale, block_s, interpret=False,
 ):
     b, s, nq, dh = q.shape
     l, pages, nkv, p, _ = k_cache.shape
     mp = page_table.shape[1]
     g = nq // nkv
+    quantized = kv_scales is not None
 
     lidx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
     # [B, Nkv, S, G, Dh]: GQA group as a full (block == array) trailing dim
@@ -145,15 +168,30 @@ def _prefill_pallas(
     def q_imap(bb, h, si, ki, *_):
         return (bb, h, si, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, 1, block_s, g, dh), q_imap,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, p, dh), kv_imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 1, p, dh), kv_imap, memory_space=pltpu.VMEM),
+    ]
+    args = [q5, k_cache, v_cache]
+    if quantized:
+        def ks_imap(bb, h, si, ki, lidx_ref, table_ref, *_):
+            return (0, lidx_ref[0], table_ref[bb, ki], 0, 0)
+
+        def vs_imap(bb, h, si, ki, lidx_ref, table_ref, *_):
+            return (1, lidx_ref[0], table_ref[bb, ki], 0, 0)
+
+        in_specs.append(pl.BlockSpec((1, 1, 1, nkv, p), ks_imap,
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, 1, 1, nkv, p), vs_imap,
+                                     memory_space=pltpu.VMEM))
+        args.extend([kv_scales, kv_scales])
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b, nkv, s // block_s, mp),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_s, g, dh), q_imap,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, p, dh), kv_imap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, p, dh), kv_imap, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, block_s, g, dh), q_imap, memory_space=pltpu.VMEM
         ),
@@ -163,10 +201,11 @@ def _prefill_pallas(
             pltpu.VMEM((block_s * g, 128), jnp.float32),
         ],
     )
-    kernel = functools.partial(
-        _prefill_kernel, sm_scale=sm_scale, page_size=p,
-        block_s=block_s, groups=g,
-    )
+    kw = dict(sm_scale=sm_scale, page_size=p, block_s=block_s, groups=g)
+    if quantized:
+        kernel = functools.partial(_prefill_kernel, **kw)
+    else:
+        kernel = functools.partial(_prefill_kernel_noquant, **kw)
     out5 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -178,13 +217,14 @@ def _prefill_pallas(
             + 2 * b * s * nq * dh * q.dtype.itemsize,
             transcendentals=b * s * nq * mp * p,
         ),
-    )(lidx, page_table, ctx_lens, new_lens, q5, k_cache, v_cache)
+    )(lidx, page_table, ctx_lens, new_lens, *args)
     return out5.transpose(0, 2, 1, 3, 4).reshape(b, s, nq, dh)
 
 
 def prefill_attention_pallas(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, new_lens,
-    *, sm_scale, obs_window=0, score_pooling=0, interpret=None,
+    *, sm_scale, obs_window=0, score_pooling=0, kv_scales=None,
+    interpret=None,
 ):
     """Dispatcher-facing API (matches ops.attention.prefill_attention).
 
@@ -196,10 +236,11 @@ def prefill_attention_pallas(
         def _layer(c):
             return jax.lax.dynamic_index_in_dim(c, layer_idx, 0,
                                                 keepdims=False)
+        lsc = None if kv_scales is None else kv_scales[:, layer_idx]
         return ref.prefill_attention_ref(
             q, _layer(k_cache), _layer(v_cache), page_table, ctx_lens,
             new_lens, sm_scale=sm_scale, obs_window=obs_window,
-            score_pooling=score_pooling,
+            score_pooling=score_pooling, kv_scales=lsc,
         )
     s = q.shape[1]
     g = max(q.shape[2] // k_cache.shape[2], 1)
@@ -208,6 +249,6 @@ def prefill_attention_pallas(
         block_s //= 2
     out = _prefill_pallas(
         q, k_cache, v_cache, layer_idx, page_table, ctx_lens, new_lens,
-        sm_scale=sm_scale, block_s=block_s, interpret=interpret,
+        kv_scales, sm_scale=sm_scale, block_s=block_s, interpret=interpret,
     )
     return out, None

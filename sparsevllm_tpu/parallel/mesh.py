@@ -139,6 +139,13 @@ def shard_executor_state(ex) -> None:
     ex.k_cache = jax.device_put(ex.k_cache, kvs)
     ex.v_cache = jax.device_put(ex.v_cache, kvs)
     ex.tables = jax.device_put(ex.tables, replicated(mesh))
+    if getattr(ex, "kv_scales", None) is not None:
+        # [2, L, pages, Nkv, P] — kv heads on the model axis, like the cache
+        ex.kv_scales = jax.device_put(
+            ex.kv_scales,
+            NamedSharding(mesh, _fit(P(None, None, None, MODEL, None),
+                                     ex.kv_scales.shape, mesh, "kv_scales")),
+        )
     if getattr(ex, "quest_meta", None) is not None:
         # [2, L, pages, Nkv, Dh] — kv heads on the model axis, like the cache
         ex.quest_meta = jax.device_put(

@@ -1,0 +1,171 @@
+"""int8 KV cache (KIVI-style): quant math, fused-dequant kernels, E2E.
+
+Mirrors the reference kernel-vs-eager tests for its quant suite
+(tests/test_deltakv_less_memory_kernel.py:56-724, tolerance-based) plus the
+INT4 grouped pack/unpack roundtrip (triton_kernel/quant.py semantics).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparsevllm_tpu.engine.llm_engine import LLM
+from sparsevllm_tpu.ops import attention_ref as ref
+from sparsevllm_tpu.ops import paged_decode as pd
+from sparsevllm_tpu.ops import prefill_attention as pf
+from sparsevllm_tpu.ops import quant
+from sparsevllm_tpu.sampling_params import SamplingParams
+
+
+def test_int8_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 128)) * 3.0, jnp.float32)
+    q, s = quant.quantize_rows(x)
+    back = quant.dequantize_rows(q, s)
+    err = np.abs(np.asarray(back) - np.asarray(x))
+    # symmetric int8: |err| <= scale/2 per row
+    bound = np.asarray(s)[:, None] * 0.5 + 1e-6
+    assert np.all(err <= bound)
+
+
+def test_int4_pack_unpack_roundtrip():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(7, 128)), jnp.float32)
+    packed, scale, zero = quant.pack_int4_groups(x, group=32)
+    assert packed.shape == (7, 64) and packed.dtype == jnp.uint8
+    back = quant.unpack_int4_groups(packed, scale, zero, group=32)
+    err = np.abs(np.asarray(back) - np.asarray(x))
+    bound = np.asarray(scale).repeat(32, -1) * 0.5 + 1e-6
+    assert np.all(err <= bound)
+
+
+@pytest.fixture(scope="module")
+def quant_caches():
+    """int8 caches + scales filled through the store path."""
+    rng = np.random.default_rng(2)
+    L, pages, Nkv, P, Dh = 2, 16, 2, 8, 128
+    kc = jnp.zeros((L, pages, Nkv, P, Dh), jnp.int8)
+    vc = jnp.zeros((L, pages, Nkv, P, Dh), jnp.int8)
+    scales = jnp.ones((2, L, pages, Nkv, P), jnp.float32)
+    T = 64
+    k_new = jnp.asarray(rng.normal(size=(T, Nkv, Dh)) * 2.0, jnp.float32)
+    v_new = jnp.asarray(rng.normal(size=(T, Nkv, Dh)), jnp.float32)
+    dest = jnp.arange(T, dtype=jnp.int32) + 8  # slots within pages 1..9
+    for li in range(L):
+        kc, vc, scales = quant.store_kv_quant_layer(
+            kc, vc, scales, li, k_new, v_new, dest
+        )
+    return kc, vc, scales, k_new, v_new
+
+
+def test_decode_int8_kernel_matches_ref(quant_caches):
+    kc, vc, scales, _, _ = quant_caches
+    rng = np.random.default_rng(3)
+    B, Nq, MP = 2, 4, 8
+    q = jnp.asarray(rng.normal(size=(B, Nq, 128)), jnp.float32)
+    table = jnp.asarray(
+        np.broadcast_to(np.arange(1, 9), (B, MP)).copy(), jnp.int32
+    )
+    ctx = jnp.asarray([40, 64], jnp.int32)
+    out_p, _ = pd.decode_attention_pallas(
+        q, kc, vc, 1, table, ctx, sm_scale=0.1, kv_scales=scales,
+        interpret=True,
+    )
+    out_r, _ = ref.decode_attention_ref(
+        q, kc[1], vc[1], table, ctx, sm_scale=0.1, kv_scales=scales[:, 1],
+    )
+    np.testing.assert_allclose(out_p, out_r, atol=3e-5)
+
+
+def test_prefill_int8_kernel_matches_ref(quant_caches):
+    kc, vc, scales, _, _ = quant_caches
+    rng = np.random.default_rng(4)
+    B, S, Nq, MP = 2, 16, 4, 8
+    q = jnp.asarray(rng.normal(size=(B, S, Nq, 128)), jnp.float32)
+    table = jnp.asarray(
+        np.broadcast_to(np.arange(1, 9), (B, MP)).copy(), jnp.int32
+    )
+    ctx = jnp.asarray([40, 30], jnp.int32)
+    new = jnp.asarray([16, 10], jnp.int32)
+    out_p, _ = pf.prefill_attention_pallas(
+        q, kc, vc, 0, table, ctx, new, sm_scale=0.1, kv_scales=scales,
+        interpret=True,
+    )
+    out_r, _ = ref.prefill_attention_ref(
+        q, kc[0], vc[0], table, ctx, new, sm_scale=0.1,
+        kv_scales=scales[:, 0],
+    )
+    np.testing.assert_allclose(out_p, out_r, atol=3e-5)
+
+
+def test_quantized_attention_close_to_fp(quant_caches):
+    """int8 attention output must stay close to the unquantized result."""
+    kc, vc, scales, k_new, v_new = quant_caches
+    rng = np.random.default_rng(5)
+    B, Nq, MP, P = 1, 4, 8, 8
+    q = jnp.asarray(rng.normal(size=(B, Nq, 128)), jnp.float32)
+    table = jnp.asarray(np.arange(1, 9)[None, :], jnp.int32)
+    ctx = jnp.asarray([64], jnp.int32)
+    out_q, _ = ref.decode_attention_ref(
+        q, kc[0], vc[0], table, ctx, sm_scale=0.1, kv_scales=scales[:, 0],
+    )
+    # fp oracle: same K/V laid into an fp cache
+    kc_f = jnp.zeros((16, 2, P, 128), jnp.float32)
+    vc_f = jnp.zeros_like(kc_f)
+    dest = jnp.arange(64, dtype=jnp.int32) + 8
+    kc_f, vc_f = ref.store_kv(kc_f, vc_f, k_new, v_new, dest)
+    out_f, _ = ref.decode_attention_ref(
+        q, kc_f, vc_f, table, ctx, sm_scale=0.1,
+    )
+    np.testing.assert_allclose(out_q, out_f, atol=0.05, rtol=0.05)
+
+
+BASE = dict(
+    tiny_random=True,
+    dtype="float32",
+    page_size=8,
+    num_kv_pages=256,
+    max_model_len=512,
+    chunk_prefill_size=64,
+    max_num_batched_tokens=512,
+    max_decoding_seqs=4,
+    max_num_seqs_in_batch=4,
+    decode_context_bucket_base=64,
+    decode_steps_per_dispatch=4,
+)
+
+
+def test_e2e_int8_engine_close_to_fp():
+    rng = np.random.default_rng(7)
+    prompts = [[int(t) for t in rng.integers(3, 500, size=n)]
+               for n in (40, 90)]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    fp = LLM(**BASE)
+    out_fp = fp.generate(prompt_token_ids=prompts, sampling_params=sp)
+    q8 = LLM(kv_cache_dtype="int8", **BASE)
+    out_q8 = q8.generate(prompt_token_ids=prompts, sampling_params=sp)
+    # greedy argmax paths can only diverge where fp logit gaps are tiny;
+    # on the tiny-random model int8 KV keeps the argmax chain identical.
+    for a, b in zip(out_fp, out_q8):
+        assert a.output_token_ids == b.output_token_ids
+
+
+def test_e2e_int8_with_streamingllm():
+    rng = np.random.default_rng(9)
+    prompt = [int(t) for t in rng.integers(3, 500, size=150)]
+    eng = LLM(
+        kv_cache_dtype="int8", sparse_method="streamingllm",
+        sink_keep_tokens=8, recent_keep_tokens=24, **BASE,
+    )
+    outs = eng.generate(
+        prompt_token_ids=[prompt],
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=8,
+                                       ignore_eos=True),
+    )
+    assert len(outs[0].output_token_ids) == 8
+
+
+def test_quest_int8_rejected():
+    with pytest.raises(ValueError, match="quest with int8"):
+        LLM(kv_cache_dtype="int8", sparse_method="quest",
+            quest_page_size=8, **BASE)
