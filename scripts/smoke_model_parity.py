@@ -71,7 +71,7 @@ def main():
         "new_lens": jnp.asarray(np.array(prompt_lens, np.int32)),
     }
     rt = tfm.StepRuntime(impl="ref")
-    k_cache, v_cache, last_h, _, _, _ = tfm.prefill_forward(
+    k_cache, v_cache, last_h, *_rest = tfm.prefill_forward(
         params, k_cache, v_cache, plan, (cos, sin), spec=spec, rt=rt
     )
     logits = tfm.compute_logits(params, last_h, spec)
@@ -100,7 +100,7 @@ def main():
         "dest_slot": jnp.asarray(dest_d),
         "ctx_lens": jnp.asarray(np.broadcast_to(ctx + 1, (L, b)).copy()),
     }
-    k_cache, v_cache, h, _, _ = tfm.decode_forward(
+    k_cache, v_cache, h, *_rest = tfm.decode_forward(
         params, k_cache, v_cache, tables_j, plan_d, (cos, sin),
         spec=spec, rt=rt, mp_bucket=MP,
     )

@@ -175,6 +175,7 @@ class Config:
     rkv_redundancy_weight: float = 0.1
     skipkv_delimiter_tokens: tuple[int, ...] = ()
     skipkv_steering_alpha: float = 0.0
+    skipkv_steering_path: str | None = None  # .npy [L, H] or [H] vector
 
     # --- deltakv knobs (config.py:699-757) ----------------------------------
     deltakv_checkpoint_path: str | None = None

@@ -105,7 +105,31 @@ class ModelExecutor:
             quest_keep_pages=quest_kp,
             quest_skip_layers=config.quest_skip_layers,
             kv_quant=kv_quant,
+            record_queries=config.method in ("rkv", "skipkv"),
+            steer_alpha=(
+                config.skipkv_steering_alpha
+                if config.method == "skipkv" else 0.0
+            ),
         )
+        self.query_cache = None
+        self.steer_vec = None
+        if self._rt.record_queries:
+            from ..ops import rkv as rkv_ops
+
+            self.query_cache = rkv_ops.init_query_cache(
+                l, max_rows, config.rkv_query_cache_size,
+                spec.num_q_heads, spec.head_dim, dtype,
+            )
+        if self._rt.steer_alpha != 0.0 and config.skipkv_steering_path:
+            vec = np.load(config.skipkv_steering_path)
+            if vec.ndim == 1:
+                vec = np.broadcast_to(vec, (l, vec.shape[0]))
+            if vec.shape != (l, spec.hidden_size):
+                raise ValueError(
+                    f"steering vector shape {vec.shape} != "
+                    f"({l}, {spec.hidden_size})"
+                )
+            self.steer_vec = jnp.asarray(vec, dtype)
         self.quest_meta = None
         if self._rt.quest:
             from ..ops import quest as quest_ops
@@ -230,7 +254,7 @@ class ModelExecutor:
         spec, rt, rope = self.spec, self._rt, self.rope
         is_full = self._is_full_layer
 
-        def megastep(params, kc, vc, meta, scales, tables, plan):
+        def megastep(params, kc, vc, meta, scales, qcache, tables, plan):
             """k decode steps in one dispatch: sampled tokens feed back on
             device (lax.scan over steps); ONE token transfer per dispatch.
             This is the TPU answer to per-step CUDA-graph replay + the
@@ -238,7 +262,7 @@ class ModelExecutor:
             base_key = jax.random.fold_in(self._base_key, plan["step"])
 
             def body(carry, t):
-                kc, vc, meta, scales, tok = carry
+                kc, vc, meta, scales, qcache, tok = carry
                 p = {
                     "token_ids": tok,
                     "positions": plan["positions0"] + t,
@@ -246,29 +270,35 @@ class ModelExecutor:
                     "dest_slot": plan["dest"][:, :, t],
                     "ctx_lens": plan["ctx_start"] + t + 1,
                 }
-                kc, vc, h, meta, scales = tfm.decode_forward(
+                if rt.record_queries:
+                    p["qslot"] = (plan["qslot0"] + t) % qcache.shape[2]
+                kc, vc, h, meta, scales, qcache = tfm.decode_forward(
                     params, kc, vc, tables, p, rope,
                     spec=spec, rt=rt, mp_bucket=mp, is_full_layer=is_full,
-                    quest_meta=meta, kv_scales=scales,
+                    quest_meta=meta, kv_scales=scales, query_cache=qcache,
+                    steer_vec=self.steer_vec,
                 )
                 logits = tfm.compute_logits(params, h, spec)
                 tok2 = sampler_ops.sample(
                     logits, plan["temps"], plan["top_k"], plan["top_p"],
                     jax.random.fold_in(base_key, t), mode=mode,
                 )
-                return (kc, vc, meta, scales, tok2), tok2
+                return (kc, vc, meta, scales, qcache, tok2), tok2
 
-            (kc, vc, meta, scales, _), toks = jax.lax.scan(
-                body, (kc, vc, meta, scales, plan["token_ids0"]),
+            (kc, vc, meta, scales, qcache, _), toks = jax.lax.scan(
+                body,
+                (kc, vc, meta, scales, qcache, plan["token_ids0"]),
                 jnp.arange(k, dtype=jnp.int32),
             )
-            return kc, vc, meta, scales, toks  # [k, B]
+            return kc, vc, meta, scales, qcache, toks  # [k, B]
 
         donate = [1, 2]
         if rt.quest:
             donate.append(3)
         if rt.kv_quant:
             donate.append(4)
+        if rt.record_queries:
+            donate.append(5)
         fn = jax.jit(megastep, donate_argnums=tuple(donate))
         self._fn_cache[key] = fn
         logger.info("compiled decode megastep bucket B=%d MP=%d k=%d",
@@ -385,28 +415,133 @@ class ModelExecutor:
             )
             positions[i] = seq.num_tokens - 1
         temps, top_k, top_p, mode = self._sampling_arrays(seqs, bb)
-        plan = self._put_plan(
-            {
-                "token_ids0": token_ids,
-                "positions0": positions,
-                "row_ids": self._pad(row_ids, (bb,)),
-                "dest": self._pad(dest_slots, (l, bb, k), fill=-1),
-                "ctx_start": self._pad(ctx_start, (l, bb)),
-                "step": np.asarray(self._step_counter, np.int32),
-                "temps": temps, "top_k": top_k, "top_p": top_p,
-            },
-            "decode",
-        )
+        host_plan = {
+            "token_ids0": token_ids,
+            "positions0": positions,
+            "row_ids": self._pad(row_ids, (bb,)),
+            "dest": self._pad(dest_slots, (l, bb, k), fill=-1),
+            "ctx_start": self._pad(ctx_start, (l, bb)),
+            "step": np.asarray(self._step_counter, np.int32),
+            "temps": temps, "top_k": top_k, "top_p": top_p,
+        }
+        if self._rt.record_queries:
+            qc_size = self.query_cache.shape[2]
+            qs = np.zeros(bb, np.int32)
+            for i, seq in enumerate(seqs):
+                qs[i] = seq.num_completion_tokens % qc_size
+            host_plan["qslot0"] = qs
+        plan = self._put_plan(host_plan, "decode")
         self._step_counter += 1
         fn = self._get_decode_fn(bb, mp, k, mode)
         with profiler.record("decode_step"):
             (self.k_cache, self.v_cache, self.quest_meta, self.kv_scales,
-             tokens) = fn(
+             self.query_cache, tokens) = fn(
                 self.params, self.k_cache, self.v_cache, self.quest_meta,
-                self.kv_scales, self.tables, plan,
+                self.kv_scales, self.query_cache, self.tables, plan,
             )
         tokens.copy_to_host_async()
         return np.asarray(tokens).T[:b]  # [B, k]
+
+    # ------------------------------------------------------- rkv/skipkv evict
+
+    def _get_rkv_score_fn(self, b: int, mp: int, ns: int):
+        """Jitted retention-score op [L, B, K] (ops/rkv.py). ``ns`` > 0
+        enables SkipKV sentence-mean pooling over ``ns`` sentence buckets."""
+        key = ("rkv_score", b, mp, ns)
+        fn = self._fn_cache.get(key)
+        if fn is not None:
+            return fn
+        from ..ops import attention_ref as ref_ops
+        from ..ops import rkv as rkv_ops
+
+        spec = self.spec
+        sm_scale = spec.head_dim ** -0.5
+        p = self.config.page_size
+        sink = self.config.num_sink_tokens
+        w = self.config.rkv_redundancy_weight
+        kk = mp * p
+
+        def score(kc, kv_scales, qcache, tables, rows, ctx, n_q, sent_id):
+            pos = jnp.arange(kk, dtype=jnp.int32)[None, :]
+
+            def body(carry, li):
+                table_l = jax.lax.dynamic_index_in_dim(
+                    tables, li, 0, keepdims=False
+                )[rows, :mp]
+                kcl = jax.lax.dynamic_index_in_dim(kc, li, 0, keepdims=False)
+                if kv_scales is not None:
+                    lsc = jax.lax.dynamic_index_in_dim(
+                        kv_scales, li, 1, keepdims=False
+                    )
+                    keys = ref_ops.gather_dequant(kcl, lsc[0], table_l)
+                else:
+                    keys = ref_ops.gather_pages(kcl, table_l)
+                ql = jax.lax.dynamic_index_in_dim(
+                    qcache, li, 0, keepdims=False
+                )[rows]
+                sc = rkv_ops.retention_scores(
+                    ql, n_q, keys, ctx, sm_scale=sm_scale,
+                    redundancy_weight=w,
+                )
+                if ns > 0:
+                    # sentence-mean pooling (SkipKV): whole generated
+                    # sentences live or die together.
+                    bidx = jnp.arange(b)[:, None]
+                    valid = sent_id >= 0
+                    sid = jnp.where(valid, sent_id, ns - 1)
+                    sums = jnp.zeros((b, ns), jnp.float32).at[bidx, sid].add(
+                        jnp.where(valid, sc, 0.0)
+                    )
+                    cnt = jnp.zeros((b, ns), jnp.float32).at[bidx, sid].add(
+                        valid.astype(jnp.float32)
+                    )
+                    avg = sums / jnp.maximum(cnt, 1.0)
+                    sc = jnp.where(valid, avg[bidx, sid], sc)
+                sc = jnp.where(pos < sink, 1e30, sc)  # sink always kept
+                return carry, sc
+
+            _, scores = jax.lax.scan(
+                body, None, jnp.arange(spec.num_layers, dtype=jnp.int32)
+            )
+            return scores  # [L, B, K]
+
+        fn = jax.jit(score)
+        self._fn_cache[key] = fn
+        logger.info("compiled rkv score op B=%d MP=%d NS=%d", b, mp, ns)
+        return fn
+
+    def rkv_evict(self, plan: dict) -> None:
+        """Periodic decode-time joint eviction (rkv/skipkv): retention
+        scores from the query ring buffer -> SnapKV-style compaction."""
+        seqs = plan["seqs"]
+        b = len(seqs)
+        p = self.config.page_size
+        mp = self.config.context_bucket_pages(
+            max(-(-int(plan["ctx"].max()) // p), 1)
+        )
+        qc_size = self.query_cache.shape[2]
+        n_q = np.asarray(
+            [min(s.num_completion_tokens, qc_size) for s in seqs], np.int32
+        )
+        sent = plan.get("sentence_id")
+        if sent is not None:
+            ns = _round_up_pow2(int(sent.max()) + 2, lo=4)
+            sent_k = np.full((b, mp * p), -1, np.int32)
+            sent_k[:, : sent.shape[1]] = sent[:, : mp * p]
+            sent_dev = self._dev(sent_k)
+        else:
+            ns = 0
+            sent_dev = None
+        fn = self._get_rkv_score_fn(b, mp, ns)
+        with profiler.record("rkv_score"):
+            scores = fn(
+                self.k_cache, self.kv_scales, self.query_cache, self.tables,
+                self._dev(plan["rows"]), self._dev(plan["ctx"]),
+                self._dev(n_q), sent_dev,
+            )
+        plan = dict(plan)
+        plan["batch_idx"] = np.arange(b, dtype=np.int32)
+        self.compact_rows(plan, scores)
 
     # ----------------------------------------------- snapkv/pyramid compact
 

@@ -47,6 +47,8 @@ class KVCacheManager:
         from .streamingllm import StreamingLLMKVManager
         from .snapkv import SnapKVManager
         from .quest import QuestKVManager
+        from .rkv import RKVManager
+        from .skipkv import SkipKVManager
 
         method = config.method
         cls = {
@@ -57,9 +59,8 @@ class KVCacheManager:
             "snapkv": SnapKVManager,
             "pyramidkv": SnapKVManager,
             "quest": QuestKVManager,
-            "rkv": SnapKVManager,  # rkv adds decode-time joint eviction on
-            # top of snapkv storage (round-1: storage parity)
-            "skipkv": SnapKVManager,
+            "rkv": RKVManager,
+            "skipkv": SkipKVManager,
         }.get(method)
         if cls is None:
             raise NotImplementedError(

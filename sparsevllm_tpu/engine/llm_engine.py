@@ -292,6 +292,14 @@ class LLMEngine:
         self.kv.on_decode_step_end(seqs)
         finished = self.scheduler.postprocess(batch, tokens)
         self._finalize(finished)
+        # rkv/skipkv periodic joint eviction (reference rkv.py decode-time
+        # compression; here eviction == compaction, see executor.rkv_evict)
+        if hasattr(self.kv, "plan_decode_eviction"):
+            alive = [s for s in seqs if not s.is_finished]
+            plan = self.kv.plan_decode_eviction(alive) if alive else None
+            if plan is not None:
+                self.executor.rkv_evict(plan)
+                self.kv.commit_compaction(plan["seqs"], plan)
         return [(s, list(s.last_step_tokens)) for s in seqs]
 
     def _finalize(self, finished: list[Sequence]) -> None:

@@ -31,6 +31,7 @@ from ..layers.rope import apply_rope
 from ..ops import attention as attn_ops
 from ..ops import quant as quant_ops
 from ..ops import quest as quest_ops
+from ..ops import rkv as rkv_ops
 from .spec import ModelSpec
 
 NEG_INF = -1e30
@@ -63,6 +64,12 @@ class StepRuntime:
     # attention kernels (ops/quant.py, KIVI-style — reference
     # triton_kernel/quant.py + full_layer_kivi decode).
     kv_quant: bool = False
+    # RKV/SkipKV: record decode queries into the device ring buffer
+    # (ops/rkv.py; reference rkv.py record_decode_query:313).
+    record_queries: bool = False
+    # SkipKV activation steering: per-layer vector added to the decode
+    # hidden state, alpha-scaled (reference activation_controller.py:55-232).
+    steer_alpha: float = 0.0
 
 
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
@@ -231,9 +238,12 @@ def decode_forward(
     is_full_layer: jax.Array | None = None,  # [L] bool (decode_select)
     quest_meta: jax.Array | None = None,
     kv_scales: jax.Array | None = None,  # [2, L, pages, Nkv, P] (kv_quant)
+    query_cache: jax.Array | None = None,  # [L, R, Qc, Nq, Dh] (rkv/skipkv)
+    steer_vec: jax.Array | None = None,  # [L, H] steering vectors (skipkv)
 ):
     """One decode step for [B] sequences.
-    Returns (k_cache, v_cache, h [B,H], quest_meta, kv_scales)."""
+    Returns (k_cache, v_cache, h [B,H], quest_meta, kv_scales,
+    query_cache)."""
     cos, sin = rope
     tokens = plan["token_ids"]  # [B]
     positions = plan["positions"]
@@ -257,17 +267,25 @@ def decode_forward(
     page_size = k_cache.shape[3]
 
     def body(carry, xs):
-        h, kc, vc, sel, meta, scales = carry
+        h, kc, vc, sel, meta, scales, qcache = carry
         li = xs["_layer_idx"]
         ctx = xs["_ctx"]  # [B]
         table_l = jax.lax.dynamic_index_in_dim(
             tables, li, 0, keepdims=False
         )[row_ids, :mp_bucket]  # [B, MP_bucket]
 
+        if rt.steer_alpha != 0.0 and steer_vec is not None:
+            h = h + rt.steer_alpha * jax.lax.dynamic_index_in_dim(
+                steer_vec, li, 0, keepdims=False
+            ).astype(h.dtype)
         x = rms_norm(h, xs["input_norm"], spec.rms_norm_eps)
         q, k, v = _qkv(x, xs, spec)
         q = apply_rope(q[:, None], positions[:, None], cos, sin)[:, 0]
         k = apply_rope(k[:, None], positions[:, None], cos, sin)[:, 0]
+        if rt.record_queries:
+            qcache = rkv_ops.record_query(
+                qcache, li, q, row_ids, plan["qslot"]
+            )
         if rt.kv_quant:
             kc, vc, scales = quant_ops.store_kv_quant_decode(
                 kc, vc, scales, li, k, v, xs["_dest"]
@@ -331,14 +349,16 @@ def decode_forward(
         h = h + attn_out
         x2 = rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
         h = h + _mlp(x2, xs)
-        return (h, kc, vc, sel, meta, scales), None
+        return (h, kc, vc, sel, meta, scales, qcache), None
 
-    (h, k_cache, v_cache, _, quest_meta, kv_scales), _ = jax.lax.scan(
-        body, (h, k_cache, v_cache, sel0, quest_meta, kv_scales),
+    (h, k_cache, v_cache, _, quest_meta, kv_scales,
+     query_cache), _ = jax.lax.scan(
+        body,
+        (h, k_cache, v_cache, sel0, quest_meta, kv_scales, query_cache),
         _layer_xs(params, spec, extra),
     )
     h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
-    return k_cache, v_cache, h, quest_meta, kv_scales
+    return k_cache, v_cache, h, quest_meta, kv_scales, query_cache
 
 
 def compute_logits(params, hidden: jax.Array, spec: ModelSpec) -> jax.Array:

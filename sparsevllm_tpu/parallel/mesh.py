@@ -146,6 +146,14 @@ def shard_executor_state(ex) -> None:
             NamedSharding(mesh, _fit(P(None, None, None, MODEL, None),
                                      ex.kv_scales.shape, mesh, "kv_scales")),
         )
+    if getattr(ex, "query_cache", None) is not None:
+        # [L, R, Qc, Nq, Dh] — q heads on the model axis
+        ex.query_cache = jax.device_put(
+            ex.query_cache,
+            NamedSharding(mesh, _fit(P(None, None, None, MODEL, None),
+                                     ex.query_cache.shape, mesh,
+                                     "query_cache")),
+        )
     if getattr(ex, "quest_meta", None) is not None:
         # [2, L, pages, Nkv, Dh] — kv heads on the model axis, like the cache
         ex.quest_meta = jax.device_put(

@@ -261,3 +261,116 @@ def test_quest_page_selection_math():
     assert 0 in sel      # sink forced
     assert 7 in sel      # recent forced
     assert 3 in sel      # q-aligned winner
+
+
+# ---------------------------------------------------------------------- rkv
+
+
+def test_rkv_loose_budget_equals_dense(hf_model):
+    """No eviction fires when budgets exceed ctx: identical to dense."""
+    cfg, model = hf_model
+    engine = LLM(
+        sparse_method="rkv",
+        prefill_keep_tokens=256, snapkv_obs_window=16,
+        decode_keep_tokens=256, rkv_compression_interval=8,
+        sink_keep_tokens=8, recent_keep_tokens=16,
+        **BASE,
+    )
+    prompts = prompts_for(cfg, (60, 130))
+    outs = engine.generate(prompt_token_ids=prompts, sampling_params=GREEDY)
+    for p, o in zip(prompts, outs):
+        assert o.output_token_ids == hf_greedy(model, p, 6)
+
+
+def test_rkv_decode_eviction_fires_and_compacts(hf_model):
+    cfg, _ = hf_model
+    engine = LLM(
+        sparse_method="rkv",
+        prefill_keep_tokens=96, snapkv_obs_window=8,
+        decode_keep_tokens=24, rkv_compression_interval=8,
+        rkv_query_cache_size=8,
+        sink_keep_tokens=8, recent_keep_tokens=16,
+        **{**BASE, "decode_steps_per_dispatch": 4},
+    )
+    prompt = prompts_for(cfg, (150,))[0]
+    sid = engine.add_request(
+        prompt_token_ids=prompt,
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=32,
+                                       ignore_eos=True),
+    )
+    seq = engine._seqs[sid]
+    while engine.scheduler.has_work:
+        engine.step()
+    assert len(seq.completion_token_ids) == 32
+    assert getattr(engine.kv, "num_decode_evictions", 0) > 0, (
+        "no joint eviction fired"
+    )
+
+
+def test_rkv_eviction_bounds_resident_kv(hf_model):
+    cfg, _ = hf_model
+    engine = LLM(
+        sparse_method="rkv",
+        prefill_keep_tokens=96, snapkv_obs_window=8,
+        decode_keep_tokens=24, rkv_compression_interval=8,
+        rkv_query_cache_size=8,
+        sink_keep_tokens=8, recent_keep_tokens=16,
+        **{**BASE, "decode_steps_per_dispatch": 4},
+    )
+    prompt = prompts_for(cfg, (120,))[0]
+    sid = engine.add_request(
+        prompt_token_ids=prompt,
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=40,
+                                       ignore_eos=True),
+    )
+    seq = engine._seqs[sid]
+    max_len = 0
+    while engine.scheduler.has_work:
+        engine.step()
+        if seq.row >= 0:
+            max_len = max(max_len, int(engine.kv.row_lens[0, seq.row]))
+    # rows must never exceed budget + interval + one megastep of slack
+    budget = 24 + 8 + 16
+    assert max_len <= 96 + 8 + 4 + 1, max_len  # prefill keep + interval + k
+
+
+# -------------------------------------------------------------------- skipkv
+
+
+def test_skipkv_sentence_segmentation():
+    from sparsevllm_tpu.engine.kv_manager.skipkv import SkipKVManager
+    from sparsevllm_tpu.config import Config
+    from sparsevllm_tpu.engine.sequence import Sequence
+
+    cfg = Config(
+        tiny_random=True, method="skipkv",
+        page_size=8, num_kv_pages=32, max_model_len=256,
+        chunk_prefill_size=32, max_num_batched_tokens=64,
+        num_sink_tokens=8, num_recent_tokens=16,
+        skipkv_delimiter_tokens=(9, 10),
+    )
+    mgr = SkipKVManager(cfg, 2, 32, 4)
+    seq = Sequence([1] * 10, SamplingParams())
+    seq.completion_token_ids = [4, 5, 9, 6, 7, 10, 8]
+    spans = mgr.sentence_spans(seq)
+    assert spans == [(10, 13), (13, 16)]  # trailing [8] never evicted
+
+
+def test_skipkv_e2e_runs(hf_model):
+    cfg, model = hf_model
+    engine = LLM(
+        sparse_method="skipkv",
+        prefill_keep_tokens=96, snapkv_obs_window=8,
+        decode_keep_tokens=24, rkv_compression_interval=8,
+        rkv_query_cache_size=8,
+        skipkv_delimiter_tokens=(7, 13),
+        sink_keep_tokens=8, recent_keep_tokens=16,
+        **{**BASE, "decode_steps_per_dispatch": 4},
+    )
+    prompts = prompts_for(cfg, (120,))
+    outs = engine.generate(
+        prompt_token_ids=prompts,
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=24,
+                                       ignore_eos=True),
+    )
+    assert len(outs[0].output_token_ids) == 24
