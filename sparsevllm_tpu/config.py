@@ -182,6 +182,9 @@ class Config:
     deltakv_cluster_ratio: float = 0.1
     deltakv_latent_bits: int = 4
     deltakv_kivi_bits: int = 4
+    deltakv_latent_dim: int = 0  # 0 = from checkpoint / auto (io_dim // 4)
+    deltakv_compressor_arch: str = "linear"  # linear | mlp_gelu | mlp_swiglu
+    deltakv_max_compressed_tokens: int = 32768  # latent capacity per row
     kivi_group_size: int = 32
     kivi_residual_tokens: int = 32
 
@@ -305,6 +308,20 @@ class Config:
                 raise ValueError(
                     "deltakv supports tensor_parallel_size=1 only "
                     "(mirrors reference deltakv_base.py:74)"
+                )
+            if not (0.0 < self.deltakv_cluster_ratio <= 1.0):
+                raise ValueError("deltakv_cluster_ratio must be in (0, 1]")
+            if self.deltakv_compressor_arch not in (
+                "linear", "mlp_gelu", "mlp_swiglu"
+            ):
+                raise ValueError(
+                    f"unknown deltakv_compressor_arch "
+                    f"{self.deltakv_compressor_arch!r}"
+                )
+            if self.deltakv_max_compressed_tokens % self.page_size:
+                raise ValueError(
+                    "deltakv_max_compressed_tokens must be a multiple of "
+                    "page_size"
                 )
         if self.enable_prefix_cache and not prof.supports_prefix_cache:
             raise ValueError(

@@ -110,6 +110,14 @@ class ModelExecutor:
                 config.skipkv_steering_alpha
                 if config.method == "skipkv" else 0.0
             ),
+            deltakv=config.method == "deltakv",
+            dk_topk=config.decode_keep_tokens,
+            dk_comp_base=(
+                -(-config.num_sink_tokens // config.page_size)
+                * config.page_size
+            ),
+            dk_stride=max(int(round(1.0 / config.deltakv_cluster_ratio)), 1),
+            dk_arch=config.deltakv_compressor_arch,
         )
         self.query_cache = None
         self.steer_vec = None
@@ -144,9 +152,66 @@ class ModelExecutor:
                 [i in set(config.full_attn_layers)
                  for i in range(spec.num_layers)]
             )
-            if self._rt.decode_select
+            if (self._rt.decode_select or self._rt.deltakv)
             else None
         )
+        self.dk_state = None
+        self.dk_comp = None
+        self._sparse_slot = None
+        if self._rt.deltakv:
+            from ..ops import deltakv as dk_ops
+            from ..utils import compressor as comp_ops
+
+            full = set(config.full_attn_layers)
+            sparse_layers = [i for i in range(l) if i not in full]
+            self._dk_sparse_layers = np.asarray(sparse_layers, np.int64)
+            slot = np.zeros(l, np.int32)
+            for si, li in enumerate(sparse_layers):
+                slot[li] = si
+            self._sparse_slot = jnp.asarray(slot)
+            io_dim = 2 * spec.num_kv_heads * spec.head_dim
+            if config.deltakv_checkpoint_path:
+                # checkpoint is the source of truth for latent_dim/arch
+                # (reference sync_deltakv_config_from_checkpoint,
+                # utils/loader.py:186-278 — synced BEFORE cache allocation)
+                self.dk_comp, meta = comp_ops.load_checkpoint(
+                    config.deltakv_checkpoint_path
+                )
+                latent_dim = int(meta["latent_dim"])
+                arch = str(meta["arch"])
+                if arch != config.deltakv_compressor_arch:
+                    object.__setattr__(self._rt, "dk_arch", arch) if False                         else None
+                    self._rt = self._rt.__class__(
+                        **{**self._rt.__dict__, "dk_arch": arch}
+                    )
+            else:
+                latent_dim = config.deltakv_latent_dim or max(
+                    io_dim // 4, 16
+                )
+                logger.warning(
+                    "deltakv without checkpoint: RANDOM compressor "
+                    "(latent_dim=%d) — reconstruction is untrained; pass "
+                    "deltakv_checkpoint_path for real serving "
+                    "(reference rejects this, docs fail-fast rule; kept "
+                    "loud-but-runnable for pipeline tests)", latent_dim,
+                )
+                self.dk_comp = comp_ops.init_compressor_params(
+                    len(sparse_layers), io_dim, latent_dim,
+                    config.deltakv_compressor_arch, config.seed,
+                )
+            if latent_dim % 2:
+                raise ValueError("deltakv latent_dim must be even (int4)")
+            # arch is static (rt.dk_arch); jitted fns take arrays only
+            self.dk_comp = {
+                "down": self.dk_comp["down"], "up": self.dk_comp["up"],
+            }
+            stride = self._rt.dk_stride
+            cmax = config.deltakv_max_compressed_tokens
+            self.dk_state = dk_ops.init_state(
+                len(sparse_layers), max_rows, cmax,
+                -(-cmax // stride), spec.num_kv_heads, spec.head_dim,
+                latent_dim, dtype,
+            )
         if mesh is not None:
             from ..parallel.mesh import shard_executor_state
             shard_executor_state(self)
@@ -246,15 +311,18 @@ class ModelExecutor:
         logger.info("compiled prefill step bucket B=%d S=%d MP=%d", bb, sb, mp)
         return fn
 
-    def _get_decode_fn(self, bb: int, mp: int, k: int, mode: str):
-        key = ("decode", bb, mp, k, mode)
+    def _get_decode_fn(self, bb: int, mp: int, k: int, mode: str,
+                       mpr: int = 0):
+        key = ("decode", bb, mp, k, mode, mpr)
         fn = self._fn_cache.get(key)
         if fn is not None:
             return fn
         spec, rt, rope = self.spec, self._rt, self.rope
         is_full = self._is_full_layer
+        sparse_slot = self._sparse_slot
 
-        def megastep(params, kc, vc, meta, scales, qcache, tables, plan):
+        def megastep(params, kc, vc, meta, scales, qcache, dk, dk_comp,
+                     tables, plan):
             """k decode steps in one dispatch: sampled tokens feed back on
             device (lax.scan over steps); ONE token transfer per dispatch.
             This is the TPU answer to per-step CUDA-graph replay + the
@@ -272,11 +340,14 @@ class ModelExecutor:
                 }
                 if rt.record_queries:
                     p["qslot"] = (plan["qslot0"] + t) % qcache.shape[2]
+                if rt.deltakv:
+                    p["comp_counts"] = plan["comp_counts"]
                 kc, vc, h, meta, scales, qcache = tfm.decode_forward(
                     params, kc, vc, tables, p, rope,
                     spec=spec, rt=rt, mp_bucket=mp, is_full_layer=is_full,
                     quest_meta=meta, kv_scales=scales, query_cache=qcache,
-                    steer_vec=self.steer_vec,
+                    steer_vec=self.steer_vec, dk=dk, dk_comp=dk_comp,
+                    sparse_slot=sparse_slot, mpr_sparse=mpr,
                 )
                 logits = tfm.compute_logits(params, h, spec)
                 tok2 = sampler_ops.sample(
@@ -396,6 +467,7 @@ class ModelExecutor:
         dest_slots: np.ndarray,  # [L, B, k]
         ctx_start: np.ndarray,  # [L, B] resident length BEFORE this megastep
         row_ids: np.ndarray,  # [B]
+        comp_counts: np.ndarray | None = None,  # [B] (deltakv)
     ):
         """k-step decode megastep; returns sampled tokens [B, k] (host)."""
         b = len(seqs)
@@ -430,17 +502,104 @@ class ModelExecutor:
             for i, seq in enumerate(seqs):
                 qs[i] = seq.num_completion_tokens % qc_size
             host_plan["qslot0"] = qs
+        if self._rt.deltakv:
+            host_plan["comp_counts"] = self._pad(
+                np.asarray(comp_counts, np.int32), (bb,)
+            )
         plan = self._put_plan(host_plan, "decode")
         self._step_counter += 1
-        fn = self._get_decode_fn(bb, mp, k, mode)
+        mpr = 0
+        if self._rt.deltakv:
+            # raw-pages bucket for sparse rows (sink + recent + decode tail)
+            sparse_max = int(ctx_start[self._dk_sparse_layers].max()) + k
+            mpr = min(
+                self.config.context_bucket_pages(
+                    max(-(-sparse_max // self.config.page_size), 1)
+                ),
+                mp,
+            )
+        fn = self._get_decode_fn(bb, mp, k, mode, mpr)
         with profiler.record("decode_step"):
             (self.k_cache, self.v_cache, self.quest_meta, self.kv_scales,
              self.query_cache, tokens) = fn(
                 self.params, self.k_cache, self.v_cache, self.quest_meta,
-                self.kv_scales, self.query_cache, self.tables, plan,
+                self.kv_scales, self.query_cache, self.dk_state,
+                self.dk_comp, self.tables, plan,
             )
         tokens.copy_to_host_async()
         return np.asarray(tokens).T[:b]  # [B, k]
+
+    # ---------------------------------------------------- deltakv compression
+
+    def _get_dk_compress_fn(self, b: int, cb: int, mp: int):
+        """Jitted prefill-end compression over all sparse layers
+        (ops/deltakv.compress_layer; reference deltakv_base full-prefill plan
+        :344-399 + compressor-down + latent store)."""
+        key = ("dk_compress", b, cb, mp)
+        fn = self._fn_cache.get(key)
+        if fn is not None:
+            return fn
+        from ..ops import attention_ref as ref_ops
+        from ..ops import deltakv as dk_ops
+        from ..utils import compressor as comp_ops
+
+        spec, rt = self.spec, self._rt
+        cos, sin = self.rope
+        base = rt.dk_comp_base
+        stride = rt.dk_stride
+        sparse_layers = jnp.asarray(self._dk_sparse_layers, jnp.int32)
+
+        def compress(kc, vc, dk, dk_comp, tables, rows, counts):
+            positions = base + jnp.arange(cb, dtype=jnp.int32)  # [Cb]
+
+            def body(dk, si):
+                li = sparse_layers[si]
+                table_l = jax.lax.dynamic_index_in_dim(
+                    tables, li, 0, keepdims=False
+                )[rows, :mp]
+                kcl = jax.lax.dynamic_index_in_dim(kc, li, 0, False)
+                vcl = jax.lax.dynamic_index_in_dim(vc, li, 0, False)
+                kg = ref_ops.gather_pages(kcl, table_l)  # [B,Nkv,K,Dh]
+                vg = ref_ops.gather_pages(vcl, table_l)
+                k_raw = kg.transpose(0, 2, 1, 3)[:, base:base + cb]
+                v_raw = vg.transpose(0, 2, 1, 3)[:, base:base + cb]
+                # stored K is post-RoPE; De-RoPE exactly before compressing
+                # (reference stores pre-RoPE K, deltakv_base.py:681)
+                pos_b = jnp.broadcast_to(positions[None, :], k_raw.shape[:2])
+                k_raw = dk_ops.derope(k_raw, pos_b, cos, sin)
+                comp_layer = comp_ops.layer_slice(dk_comp, si)
+                dk = dk_ops.compress_layer(
+                    dk, si, comp_layer, rt.dk_arch, k_raw, v_raw, rows,
+                    counts, stride=stride,
+                )
+                return dk, None
+
+            dk, _ = jax.lax.scan(
+                body, dk, jnp.arange(len(self._dk_sparse_layers),
+                                     dtype=jnp.int32)
+            )
+            return dk
+
+        fn = jax.jit(compress, donate_argnums=(2,))
+        self._fn_cache[key] = fn
+        logger.info("compiled deltakv compress op B=%d Cb=%d MP=%d",
+                    b, cb, mp)
+        return fn
+
+    def compress_prefill(self, plan: dict) -> None:
+        b = len(plan["seqs"])
+        counts = plan["counts"]
+        cb = _round_up_pow2(int(counts.max()), lo=self.config.page_size)
+        max_ctx = plan["comp_base"] + cb
+        mp = self.config.context_bucket_pages(
+            max(-(-max_ctx // self.config.page_size), 1)
+        )
+        fn = self._get_dk_compress_fn(b, cb, mp)
+        with profiler.record("dk_compress"):
+            self.dk_state = fn(
+                self.k_cache, self.v_cache, self.dk_state, self.dk_comp,
+                self.tables, self._dev(plan["rows"]), self._dev(counts),
+            )
 
     # ------------------------------------------------------- rkv/skipkv evict
 

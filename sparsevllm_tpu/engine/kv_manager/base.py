@@ -49,6 +49,7 @@ class KVCacheManager:
         from .quest import QuestKVManager
         from .rkv import RKVManager
         from .skipkv import SkipKVManager
+        from .deltakv import DeltaKVManager
 
         method = config.method
         cls = {
@@ -61,6 +62,7 @@ class KVCacheManager:
             "quest": QuestKVManager,
             "rkv": RKVManager,
             "skipkv": SkipKVManager,
+            "deltakv": DeltaKVManager,
         }.get(method)
         if cls is None:
             raise NotImplementedError(

@@ -264,6 +264,12 @@ class LLMEngine:
                 )
                 self.executor.compact_rows(plan, obs)
                 self.kv.commit_compaction(fseqs, plan)
+        # deltakv: compress finished prompts' middle region into latents
+        if finishing and hasattr(self.kv, "plan_compression"):
+            plan = self.kv.plan_compression([s for _, s in finishing])
+            if plan is not None:
+                self.executor.compress_prefill(plan)
+                self.kv.commit_compression(plan)
         # publish finished prompts' pages into the prefix cache
         if self.prefix_cache is not None:
             for _, s in finishing:
@@ -288,7 +294,13 @@ class LLMEngine:
         dest, ctx_start = self.kv.alloc_decode(seqs, k)
         rows = self.kv.rows_of(seqs)
         self.executor.apply_table_updates(self.kv.drain_table_updates())
-        tokens = self.executor.run_decode(seqs, dest, ctx_start, rows)
+        comp = (
+            self.kv.comp_counts_of(seqs)
+            if hasattr(self.kv, "comp_counts_of") else None
+        )
+        tokens = self.executor.run_decode(
+            seqs, dest, ctx_start, rows, comp_counts=comp
+        )
         self.kv.on_decode_step_end(seqs)
         finished = self.scheduler.postprocess(batch, tokens)
         self._finalize(finished)

@@ -32,6 +32,9 @@ from ..ops import attention as attn_ops
 from ..ops import quant as quant_ops
 from ..ops import quest as quest_ops
 from ..ops import rkv as rkv_ops
+from ..ops import deltakv as dk_ops
+from ..ops import attention_ref as ref_ops
+from ..utils import compressor as comp_ops
 from .spec import ModelSpec
 
 NEG_INF = -1e30
@@ -67,6 +70,13 @@ class StepRuntime:
     # RKV/SkipKV: record decode queries into the device ring buffer
     # (ops/rkv.py; reference rkv.py record_decode_query:313).
     record_queries: bool = False
+    # DeltaKV: full layers dense + score-emitting; sparse layers attend
+    # [sink|recent raw ∥ reconstructed top-k latents] (ops/deltakv.py).
+    deltakv: bool = False
+    dk_topk: int = 0
+    dk_comp_base: int = 0  # absolute position of compressed token 0
+    dk_stride: int = 1
+    dk_arch: str = "linear"
     # SkipKV activation steering: per-layer vector added to the decode
     # hidden state, alpha-scaled (reference activation_controller.py:55-232).
     steer_alpha: float = 0.0
@@ -240,6 +250,10 @@ def decode_forward(
     kv_scales: jax.Array | None = None,  # [2, L, pages, Nkv, P] (kv_quant)
     query_cache: jax.Array | None = None,  # [L, R, Qc, Nq, Dh] (rkv/skipkv)
     steer_vec: jax.Array | None = None,  # [L, H] steering vectors (skipkv)
+    dk: dict | None = None,  # DeltaKV latent/center state (ops/deltakv.py)
+    dk_comp: dict | None = None,  # stacked compressor params [Ls, ...]
+    sparse_slot: jax.Array | None = None,  # [L] sparse-layer slot index
+    mpr_sparse: int = 0,  # static raw-pages bucket for sparse rows
 ):
     """One decode step for [B] sequences.
     Returns (k_cache, v_cache, h [B,H], quest_meta, kv_scales,
@@ -253,21 +267,25 @@ def decode_forward(
     b = tokens.shape[0]
     k_tokens = mp_bucket * k_cache.shape[3]  # keys bucket in tokens
 
-    if rt.decode_select and is_full_layer is None:
-        raise ValueError("decode_select requires is_full_layer flags")
+    if (rt.decode_select or rt.deltakv) and is_full_layer is None:
+        raise ValueError("decode_select/deltakv require is_full_layer flags")
 
     extra = {
         "_dest": plan["dest_slot"],  # [L, B]
         "_ctx": plan["ctx_lens"],  # [L, B]
     }
-    if rt.decode_select:
+    if rt.decode_select or rt.deltakv:
         extra["_is_full"] = is_full_layer
+    if rt.deltakv:
+        extra["_sparse_slot"] = sparse_slot
 
     sel0 = jnp.ones((b, k_tokens), dtype=bool)
     page_size = k_cache.shape[3]
+    dk_t = max(min(rt.dk_topk, mp_bucket * page_size), 1)
+    topk0 = jnp.zeros((b, dk_t), jnp.int32)
 
     def body(carry, xs):
-        h, kc, vc, sel, meta, scales, qcache = carry
+        h, kc, vc, sel, meta, scales, qcache, topk = carry
         li = xs["_layer_idx"]
         ctx = xs["_ctx"]  # [B]
         table_l = jax.lax.dynamic_index_in_dim(
@@ -293,7 +311,62 @@ def decode_forward(
         else:
             kc, vc = attn_ops.store_kv_layer(kc, vc, li, k, v, xs["_dest"])
 
-        if rt.quest:
+        if rt.deltakv:
+            is_full = xs["_is_full"]
+            sl = xs["_sparse_slot"]
+            kfull = table_l.shape[1] * page_size
+            comp_counts = plan["comp_counts"]  # [B]
+
+            def full_attn(q):
+                out, scores = attn_ops.decode_attention(
+                    q, kc, vc, li, table_l, ctx,
+                    sm_scale=sm_scale, emit_scores=True, impl=rt.impl,
+                )
+                return out, scores
+
+            def sparse_attn(q):
+                kcl = jax.lax.dynamic_index_in_dim(kc, li, 0, False)
+                vcl = jax.lax.dynamic_index_in_dim(vc, li, 0, False)
+                tbl = table_l[:, :mpr_sparse]
+                raw_k = ref_ops.gather_pages(kcl, tbl)  # [B,Nkv,Kr,Dh]
+                raw_v = ref_ops.gather_pages(vcl, tbl)
+                raw_k = raw_k.transpose(0, 2, 1, 3)  # [B,Kr,Nkv,Dh]
+                raw_v = raw_v.transpose(0, 2, 1, 3)
+                kr = raw_k.shape[1]
+                raw_valid = (
+                    jnp.arange(kr, dtype=jnp.int32)[None, :] < ctx[:, None]
+                )
+                comp_layer = comp_ops.layer_slice(dk_comp, sl)
+                k_hat, v_hat, hv = dk_ops.reconstruct(
+                    dk, sl, comp_layer, rt.dk_arch, row_ids, topk,
+                    comp_counts,
+                    jnp.full((b,), rt.dk_comp_base, jnp.int32),
+                    cos, sin,
+                    stride=rt.dk_stride, nkv=spec.num_kv_heads,
+                    dh=spec.head_dim,
+                )
+                out = dk_ops.sparse_decode_attention(
+                    q, raw_k, raw_v, raw_valid, k_hat, v_hat, hv,
+                    sm_scale=sm_scale,
+                )
+                return out, jnp.zeros((b, kfull), jnp.float32)
+
+            out, scores = jax.lax.cond(is_full, full_attn, sparse_attn, q)
+
+            def refresh(_):
+                # top-k compressed indices from full-layer token scores
+                # (reference sparse_controller deltakv top-k over compressed
+                # lens, :1301-1330)
+                pos = jnp.arange(kfull, dtype=jnp.int32)[None, :]
+                in_comp = (pos >= rt.dk_comp_base) & (
+                    pos < rt.dk_comp_base + comp_counts[:, None]
+                )
+                cand = jnp.where(in_comp, scores, NEG_INF)
+                _, idx = jax.lax.top_k(cand, dk_t)
+                return (idx - rt.dk_comp_base).astype(jnp.int32)
+
+            topk = jax.lax.cond(is_full, refresh, lambda _: topk, None)
+        elif rt.quest:
             meta = quest_ops.update_page_meta(
                 meta, kc, li, xs["_dest"] // page_size
             )
@@ -349,12 +422,13 @@ def decode_forward(
         h = h + attn_out
         x2 = rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
         h = h + _mlp(x2, xs)
-        return (h, kc, vc, sel, meta, scales, qcache), None
+        return (h, kc, vc, sel, meta, scales, qcache, topk), None
 
     (h, k_cache, v_cache, _, quest_meta, kv_scales,
-     query_cache), _ = jax.lax.scan(
+     query_cache, _), _ = jax.lax.scan(
         body,
-        (h, k_cache, v_cache, sel0, quest_meta, kv_scales, query_cache),
+        (h, k_cache, v_cache, sel0, quest_meta, kv_scales, query_cache,
+         topk0),
         _layer_xs(params, spec, extra),
     )
     h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
