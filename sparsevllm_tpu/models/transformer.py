@@ -118,6 +118,44 @@ def _mlp(x, lp):
     return (jax.nn.silu(gate) * up) @ lp["w_down"]
 
 
+def _moe(x, lp, spec: ModelSpec):
+    """Sparse MoE block (reference models/qwen3_moe.py:28-251).
+
+    TPU-native 'ep_replicated_kv' re-expression: experts are stacked
+    [E, H, I] and sharded over the mesh 'model' axis (parallel/mesh.py
+    moe_* rules) — every device computes ITS experts' contributions for ALL
+    tokens (top-k routing weights zero the rest) and the final sum over E is
+    a GSPMD all-reduce, exactly the reference's local-expert-then-
+    ep_all_reduce flow (qwen3_moe.py:198-251) without explicit collectives.
+    Dense-over-experts is compute-padded (non-routed pairs are zeroed) —
+    the memory-bound decode regime this engine targets hides it; a
+    sort-based dispatch is the staged optimization.
+    """
+    *lead, h = x.shape
+    xt = x.reshape(-1, h)  # [T, H]
+    logits = xt @ lp["router"]  # [T, E]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    top_w, top_i = jax.lax.top_k(probs, spec.num_experts_per_tok)
+    if spec.norm_topk_prob:
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    e = spec.num_experts
+    # [T, E] routing weights (0 for non-selected experts)
+    w = jnp.zeros_like(probs).at[
+        jnp.arange(xt.shape[0])[:, None], top_i
+    ].set(top_w)
+    # all experts on all tokens, weighted; E axis shards over 'model'
+    gate = jnp.einsum("th,ehi->tei", xt, lp["moe_w_gate"])
+    up = jnp.einsum("th,ehi->tei", xt, lp["moe_w_up"])
+    act = jax.nn.silu(gate) * up
+    out = jnp.einsum("tei,eih->teh", act, lp["moe_w_down"])
+    out = jnp.sum(out * w[..., None].astype(out.dtype), axis=1)  # [T, H]
+    return out.reshape(*lead, h)
+
+
+def _ffn(x, lp, spec: ModelSpec):
+    return _moe(x, lp, spec) if spec.is_moe else _mlp(x, lp)
+
+
 def _layer_xs(params, spec: ModelSpec, extra: dict | None = None):
     """Scan xs pytree: stacked layer params + layer index (+ per-layer plan)."""
     xs = dict(params["layers"])
@@ -211,7 +249,7 @@ def prefill_forward(
         attn_out = out.reshape(*x.shape[:-1], spec.q_dim) @ xs["wo"]
         h = h + attn_out
         x2 = rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
-        h = h + _mlp(x2, xs)
+        h = h + _ffn(x2, xs, spec)
         ys = obs if rt.emit_prefill_scores else None
         return (h, kc, vc, meta, scales), ys
 
@@ -421,7 +459,7 @@ def decode_forward(
         attn_out = out.reshape(b, spec.q_dim) @ xs["wo"]
         h = h + attn_out
         x2 = rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
-        h = h + _mlp(x2, xs)
+        h = h + _ffn(x2, xs, spec)
         return (h, kc, vc, sel, meta, scales, qcache, topk), None
 
     (h, k_cache, v_cache, _, quest_meta, kv_scales,

@@ -47,8 +47,13 @@ def params_from_tensors(spec: ModelSpec, get, dtype: str):
         "input_norm": [],
         "post_attn_norm": [],
         "wq": [], "wk": [], "wv": [], "wo": [],
-        "w_gate": [], "w_up": [], "w_down": [],
     }
+    if spec.is_moe:
+        layer_keys.update({
+            "router": [], "moe_w_gate": [], "moe_w_up": [], "moe_w_down": [],
+        })
+    else:
+        layer_keys.update({"w_gate": [], "w_up": [], "w_down": []})
     if spec.attn_bias:
         layer_keys.update({"bq": [], "bk": [], "bv": []})
     if spec.qk_norm:
@@ -71,9 +76,26 @@ def params_from_tensors(spec: ModelSpec, get, dtype: str):
         if spec.qk_norm:
             layer_keys["q_norm"].append(get(f"{pre}.self_attn.q_norm.weight"))
             layer_keys["k_norm"].append(get(f"{pre}.self_attn.k_norm.weight"))
-        layer_keys["w_gate"].append(w(f"{pre}.mlp.gate_proj.weight"))
-        layer_keys["w_up"].append(w(f"{pre}.mlp.up_proj.weight"))
-        layer_keys["w_down"].append(w(f"{pre}.mlp.down_proj.weight"))
+        if spec.is_moe:
+            # router + per-expert FFN stacked on an expert axis
+            # (reference models/qwen3_moe.py Qwen3MoePackedExperts:75-197)
+            layer_keys["router"].append(w(f"{pre}.mlp.gate.weight"))
+            layer_keys["moe_w_gate"].append(np.stack([
+                w(f"{pre}.mlp.experts.{e}.gate_proj.weight")
+                for e in range(spec.num_experts)
+            ]))
+            layer_keys["moe_w_up"].append(np.stack([
+                w(f"{pre}.mlp.experts.{e}.up_proj.weight")
+                for e in range(spec.num_experts)
+            ]))
+            layer_keys["moe_w_down"].append(np.stack([
+                w(f"{pre}.mlp.experts.{e}.down_proj.weight")
+                for e in range(spec.num_experts)
+            ]))
+        else:
+            layer_keys["w_gate"].append(w(f"{pre}.mlp.gate_proj.weight"))
+            layer_keys["w_up"].append(w(f"{pre}.mlp.up_proj.weight"))
+            layer_keys["w_down"].append(w(f"{pre}.mlp.down_proj.weight"))
 
     params = {
         "embed": jnp.asarray(get("model.embed_tokens.weight"), jdt),
@@ -167,10 +189,21 @@ def init_params(spec: ModelSpec, seed: int, dtype: str,
         "wk": normal(l, h, spec.kv_dim),
         "wv": normal(l, h, spec.kv_dim),
         "wo": normal(l, spec.q_dim, h),
-        "w_gate": normal(l, h, spec.intermediate_size),
-        "w_up": normal(l, h, spec.intermediate_size),
-        "w_down": normal(l, spec.intermediate_size, h),
     }
+    if spec.is_moe:
+        e, im = spec.num_experts, spec.moe_intermediate_size
+        layers.update(
+            router=normal(l, h, e),
+            moe_w_gate=normal(l, e, h, im),
+            moe_w_up=normal(l, e, h, im),
+            moe_w_down=normal(l, e, im, h),
+        )
+    else:
+        layers.update(
+            w_gate=normal(l, h, spec.intermediate_size),
+            w_up=normal(l, h, spec.intermediate_size),
+            w_down=normal(l, spec.intermediate_size, h),
+        )
     if spec.attn_bias:
         layers.update(
             bq=jnp.zeros((l, spec.q_dim), jdt),

@@ -58,6 +58,9 @@ def build_tiny_hf_model(config: dict, seed: int):
         "llama": (transformers.LlamaConfig, transformers.LlamaForCausalLM),
         "qwen2": (transformers.Qwen2Config, transformers.Qwen2ForCausalLM),
         "qwen3": (transformers.Qwen3Config, transformers.Qwen3ForCausalLM),
+        "qwen3_moe": (
+            transformers.Qwen3MoeConfig, transformers.Qwen3MoeForCausalLM,
+        ),
     }
     if model_type not in cls_map:
         raise ValueError(f"tiny_random unsupported for {model_type!r}")
