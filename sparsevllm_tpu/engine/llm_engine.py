@@ -51,6 +51,50 @@ def _device_hbm_bytes() -> int:
     return 16 * 1024**3  # v5e default
 
 
+class _ThroughputLogger:
+    """Interval throughput logger (reference llm_engine.py:51-156): a
+    background thread reporting prefill/decode tok/s and queue depths."""
+
+    def __init__(self, engine, interval_s: float = 10.0):
+        import threading
+
+        self.engine = engine
+        self.interval = interval_s
+        self.prefill_tokens = 0
+        self.decode_tokens = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, name="throughput-log", daemon=True
+        )
+        self._thread.start()
+
+    def record(self, is_prefill: bool, n_tokens: int) -> None:
+        if is_prefill:
+            self.prefill_tokens += n_tokens
+        else:
+            self.decode_tokens += n_tokens
+
+    def _run(self) -> None:
+        import time as _time
+
+        while not self._stop.wait(self.interval):
+            p, d = self.prefill_tokens, self.decode_tokens
+            self.prefill_tokens = 0
+            self.decode_tokens = 0
+            sched = self.engine.scheduler
+            if p or d or sched.has_work:
+                logger.info(
+                    "throughput: prefill %.0f tok/s, decode %.0f tok/s | "
+                    "running=%d waiting=%d preemptions=%d",
+                    p / self.interval, d / self.interval,
+                    len(sched.running), len(sched.waiting),
+                    sched.num_preemptions,
+                )
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
 class LLMEngine:
     def __init__(self, model: str = "", **kwargs):
         allow_unknown = bool(kwargs.pop("allow_unknown_config_keys", False))
@@ -117,6 +161,7 @@ class LLMEngine:
             )
             self.prefix_cache = self.kv.prefix_index
         self.scheduler = Scheduler(config, self.kv, eos_ids)
+        self.throughput = _ThroughputLogger(self)
         self._outputs: dict[int, RequestOutput] = {}
         self._seqs: dict[int, Sequence] = {}
         self._step_times: list[float] = []
@@ -229,8 +274,12 @@ class LLMEngine:
             return []
         if batch.is_prefill:
             results = self._step_prefill(batch)
+            self.throughput.record(True, sum(batch.chunk_sizes))
         else:
             results = self._step_decode(batch)
+            self.throughput.record(
+                False, sum(len(t) for _, t in results)
+            )
         self._step_times.append(time.perf_counter() - t0)
         return results
 
@@ -384,6 +433,7 @@ class LLMEngine:
         return {"enabled": True, **self.prefix_cache.stats()}
 
     def exit(self) -> None:
+        self.throughput.stop()
         if profiler.enabled:
             logger.info("profiler summary:\n%s", profiler.summary())
 
