@@ -145,11 +145,21 @@ class LLMEngine:
 
         # --- KV sizing (analytic) ----------------------------------------
         num_pages, max_rows = self._derive_kv_capacity(params)
-        self.executor = ModelExecutor(
-            config, spec, params, num_pages, max_rows, mesh=mesh
-        )
+        if spec.model_type == "qwen3_next":
+            from .hybrid_executor import HybridExecutor
+
+            self.executor = HybridExecutor(
+                config, spec, params, num_pages, max_rows, mesh=mesh
+            )
+        else:
+            self.executor = ModelExecutor(
+                config, spec, params, num_pages, max_rows, mesh=mesh
+            )
+        # KV rows exist only for full-attention layers (hybrid models map
+        # layer -> kv slot; reference RuntimeLayout.kv_layer_index)
         self.kv = KVCacheManager.create(
-            config, spec.num_layers, num_pages, max_rows
+            config, getattr(spec, "num_kv_layers", spec.num_layers),
+            num_pages, max_rows,
         )
         self.prefix_cache = None
         if config.enable_prefix_cache:
@@ -175,6 +185,7 @@ class LLMEngine:
 
     def _kv_bytes(self, num_pages: int) -> int:
         s = self.spec
+        lkv = getattr(s, "num_kv_layers", s.num_layers)
         if self.config.kv_cache_dtype == "int8":
             per_slot = s.head_dim + 4  # int8 payload + f32 scale
         else:
@@ -182,7 +193,7 @@ class LLMEngine:
                 2 if self.config.dtype != "float32" else 4
             )
         return (
-            2 * s.num_layers * num_pages * s.num_kv_heads
+            2 * lkv * num_pages * s.num_kv_heads
             * self.config.page_size * per_slot
         )
 

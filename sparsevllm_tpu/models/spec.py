@@ -64,10 +64,15 @@ def spec_from_hf_config(cfg: Any) -> ModelSpec:
         lambda k, d=None: getattr(cfg, k, d)
     )
     model_type = get("model_type")
+    if model_type == "qwen3_next":
+        # hybrid full+linear attention (reference models/qwen3_5.py)
+        from .qwen3_next import hybrid_spec_from_hf
+
+        return hybrid_spec_from_hf(cfg)
     if model_type not in ("llama", "qwen2", "qwen3", "qwen3_moe"):
         raise ValueError(
             f"unsupported model_type {model_type!r} "
-            f"(supported: llama, qwen2, qwen3, qwen3_moe)"
+            f"(supported: llama, qwen2, qwen3, qwen3_moe, qwen3_next)"
         )
     hidden = get("hidden_size")
     n_heads = get("num_attention_heads")

@@ -30,8 +30,16 @@ DEFAULT_TINY_CONFIG: dict = {
 # keys a tiny_random_config override may change (whitelist, mirrors
 # reference tiny_random.py:15-27 fail-fast on unknown overrides).
 _OVERRIDE_WHITELIST = frozenset(
-    list(DEFAULT_TINY_CONFIG) + ["num_experts", "num_experts_per_tok",
-                                 "moe_intermediate_size", "rope_scaling"]
+    list(DEFAULT_TINY_CONFIG) + [
+        "num_experts", "num_experts_per_tok", "moe_intermediate_size",
+        "rope_scaling",
+        # hybrid (qwen3_next) keys
+        "layer_types", "linear_num_value_heads", "linear_num_key_heads",
+        "linear_key_head_dim", "linear_value_head_dim",
+        "linear_conv_kernel_dim", "partial_rotary_factor",
+        "decoder_sparse_step", "mlp_only_layers",
+        "shared_expert_intermediate_size",
+    ]
 )
 
 
@@ -61,6 +69,9 @@ def build_tiny_hf_model(config: dict, seed: int):
         "qwen3_moe": (
             transformers.Qwen3MoeConfig, transformers.Qwen3MoeForCausalLM,
         ),
+        "qwen3_next": (
+            transformers.Qwen3NextConfig, transformers.Qwen3NextForCausalLM,
+        ),
     }
     if model_type not in cls_map:
         raise ValueError(f"tiny_random unsupported for {model_type!r}")
@@ -82,5 +93,12 @@ def build_tiny_params_and_spec(
     cfg = tiny_config(config)
     hf_config, model = build_tiny_hf_model(cfg, seed)
     spec = spec_from_hf_config(hf_config)
-    params = params_from_torch_state_dict(spec, model.state_dict(), dtype)
+    if getattr(spec, "model_type", "") == "qwen3_next":
+        from ..models.qwen3_next import params_from_hf_state_dict
+
+        params = params_from_hf_state_dict(spec, model.state_dict(), dtype)
+    else:
+        params = params_from_torch_state_dict(
+            spec, model.state_dict(), dtype
+        )
     return params, spec

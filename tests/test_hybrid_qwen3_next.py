@@ -1,0 +1,123 @@
+"""Qwen3-Next hybrid (full + gated-delta-net linear attention) E2E parity.
+
+Mirrors the reference qwen3_5 test surface (models/qwen3_5.py +
+recurrent_state_manager.py): chunked prefill must carry conv/recurrent state
+across chunks, decode must recur per step, and the whole engine path must
+match HF greedy decoding on the tiny-random ladder.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from sparsevllm_tpu import SamplingParams
+from sparsevllm_tpu.engine.llm_engine import LLM
+from sparsevllm_tpu.utils.tiny_random import build_tiny_hf_model, tiny_config
+
+SEED = 0
+
+HYBRID_CFG = {
+    "model_type": "qwen3_next",
+    "hidden_size": 64,
+    "intermediate_size": 128,
+    "num_hidden_layers": 4,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "head_dim": 16,
+    "vocab_size": 512,
+    "num_experts": 0,
+    "decoder_sparse_step": 0,
+    "linear_num_value_heads": 4,
+    "linear_num_key_heads": 2,
+    "linear_key_head_dim": 16,
+    "linear_value_head_dim": 16,
+    "linear_conv_kernel_dim": 4,
+    "layer_types": ["linear_attention", "full_attention",
+                    "linear_attention", "full_attention"],
+    "partial_rotary_factor": 0.25,
+}
+
+BASE = dict(
+    tiny_random=True,
+    tiny_random_seed=SEED,
+    tiny_random_config=HYBRID_CFG,
+    dtype="float32",
+    page_size=8,
+    num_kv_pages=256,
+    max_model_len=512,
+    chunk_prefill_size=32,  # forces multi-chunk prefill (state carry-over)
+    max_num_batched_tokens=256,
+    max_num_seqs_in_batch=4,
+    max_decoding_seqs=8,
+    decode_context_bucket_base=64,
+    decode_steps_per_dispatch=4,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_hybrid():
+    cfg = tiny_config(HYBRID_CFG)
+    _, model = build_tiny_hf_model(cfg, SEED)
+    return cfg, model
+
+
+def hf_greedy(model, prompt_ids, n, eos_ids=(2,)):
+    ids = list(prompt_ids)
+    out = []
+    with torch.no_grad():
+        for _ in range(n):
+            logits = model(torch.tensor([ids], dtype=torch.long)).logits
+            tok = int(logits[0, -1].argmax())
+            out.append(tok)
+            ids.append(tok)
+            if tok in eos_ids:
+                break
+    return out
+
+
+def test_hybrid_greedy_parity_multichunk(hf_hybrid):
+    """90-token prompt = 3 prefill chunks: conv tail + delta-rule state must
+    carry across chunk boundaries exactly."""
+    cfg, model = hf_hybrid
+    engine = LLM(**BASE)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(3, 500, n).tolist() for n in (25, 90)]
+    outs = engine.generate(
+        prompt_token_ids=prompts,
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=6),
+    )
+    for p, o in zip(prompts, outs):
+        assert o.output_token_ids == hf_greedy(model, p, 6)
+
+
+def test_hybrid_row_reuse_resets_state(hf_hybrid):
+    """A freed row's recurrent state must not leak into the next sequence."""
+    cfg, model = hf_hybrid
+    engine = LLM(**{**BASE, "max_decoding_seqs": 1,
+                    "max_num_seqs_in_batch": 1, "max_num_seqs_in_gpu": 1})
+    rng = np.random.default_rng(5)
+    p1 = rng.integers(3, 500, 40).tolist()
+    p2 = rng.integers(3, 500, 40).tolist()
+    o1 = engine.generate(
+        prompt_token_ids=[p1],
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=4),
+    )[0]
+    o2 = engine.generate(
+        prompt_token_ids=[p2],
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=4),
+    )[0]
+    assert o1.output_token_ids == hf_greedy(model, p1, 4)
+    assert o2.output_token_ids == hf_greedy(model, p2, 4)
+
+
+def test_hybrid_rejects_sparse_methods():
+    with pytest.raises(NotImplementedError, match="hybrid"):
+        LLM(sparse_method="snapkv", prefill_keep_tokens=64,
+            snapkv_obs_window=8, sink_keep_tokens=8, recent_keep_tokens=16,
+            **BASE)
+
+
+def test_hybrid_kv_pools_cover_full_layers_only(hf_hybrid):
+    engine = LLM(**BASE)
+    assert engine.kv.L == 2  # 2 of 4 layers are full attention
+    assert engine.executor.conv_states.shape[0] == 2  # 2 linear layers
