@@ -252,7 +252,24 @@ class KVCacheManager:
         Returns (dest_slots [L, B, k] int32, ctx_start [L, B] int32) where
         ctx_start is the resident length BEFORE this megastep — the executor
         computes per-step context as ctx_start + t + 1 inside the scan.
+
+        Hot path: the native C implementation (csrc/pagepool.cpp) handles
+        the L x B x k loop when built; the Python loop below is the
+        reference semantics and the fallback. Prefix-cache configurations
+        stay on the Python path (it can evict cache blocks on demand).
         """
+        if self.prefix_index is None:
+            from . import native
+
+            rows = np.asarray(
+                [self.seq_rows[s.seq_id] for s in seqs], np.int32
+            )
+            out = native.alloc_decode(self, rows, k)
+            if out is not None:
+                dest, ctx_start, updates = out
+                if updates is not None:
+                    self._queue_update(*updates)
+                return dest, ctx_start
         b = len(seqs)
         dest = np.zeros((self.L, b, k), np.int32)
         ctx_start = np.zeros((self.L, b), np.int32)
