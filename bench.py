@@ -67,7 +67,7 @@ def _smoke_spec():
 
 
 def run(batch: int, steps: int, ctx: int, keep: int, impl: str,
-        smoke: bool = False, kv_dtype: str = "auto") -> dict:
+        smoke: bool = False, kv_dtype: str = "auto", page: int = 64) -> dict:
     import jax
 
     from sparsevllm_tpu.config import Config
@@ -87,8 +87,8 @@ def run(batch: int, steps: int, ctx: int, keep: int, impl: str,
     print(f"device={dev.platform} hbm={hbm_gib:.1f}GiB model={name}",
           file=sys.stderr)
 
-    page = 64
-    pages_per_seq = -(-(keep + steps + page) // page)
+    warmup_tokens = 4 * 32  # 4 warmup dispatches below, k=32 each
+    pages_per_seq = -(-(keep + steps + warmup_tokens + page) // page)
     num_pages = batch * pages_per_seq + 2
     cfg = Config(
         method="snapkv",
@@ -135,8 +135,10 @@ def run(batch: int, steps: int, ctx: int, keep: int, impl: str,
         for s, row in zip(seqs, toks):
             s.completion_token_ids.extend(int(t) for t in row)
 
-    # warmup: jit compile + steady-state
-    for _ in range(2):
+    # warmup: jit compile + steady-state (the first post-compile dispatches
+    # still pay one-off buffer/donation setup; 4 dispatches reach steady
+    # state — measured 42 tok/s with 2 warmups + 2 timed vs 322 with 8)
+    for _ in range(4):
         one_dispatch()
     jax.block_until_ready(ex.k_cache)
     n_dispatch = max(steps // k, 1)
@@ -158,10 +160,11 @@ def run(batch: int, steps: int, ctx: int, keep: int, impl: str,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--steps", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--ctx", type=int, default=131072)
     ap.add_argument("--keep", type=int, default=4608)  # keep + recent window
     ap.add_argument("--impl", default="auto")
+    ap.add_argument("--page", type=int, default=64)
     ap.add_argument("--kv-dtype", default="auto",
                     help="auto | bfloat16 | int8 (KIVI-style quantized KV)")
     ap.add_argument("--smoke", action="store_true",
@@ -176,7 +179,8 @@ def main() -> None:
     for attempt, impl in enumerate([args.impl, args.impl, "ref"]):
         try:
             result = run(args.batch, args.steps, args.ctx, args.keep, impl,
-                         smoke=args.smoke, kv_dtype=args.kv_dtype)
+                         smoke=args.smoke, kv_dtype=args.kv_dtype,
+                         page=args.page)
             break
         except Exception as e:  # noqa: BLE001
             last_err = e

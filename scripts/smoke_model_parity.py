@@ -50,7 +50,7 @@ def main():
 
     # our forward: one prefill step, whole prompt as one chunk
     L = spec.num_layers
-    k_cache = jnp.zeros((L, NUM_PAGES, spec.num_kv_heads, P, spec.head_dim), jnp.float32)
+    k_cache = jnp.zeros((L, NUM_PAGES, P, spec.num_kv_heads, spec.head_dim), jnp.float32)
     v_cache = jnp.zeros_like(k_cache)
     # seq i gets pages [1 + i*MP, ...]; page 0 = trash
     page_table = np.zeros((b, MP), np.int32)

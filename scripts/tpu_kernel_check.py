@@ -1,0 +1,116 @@
+"""On-chip Pallas kernel legality + parity check (run with TPU visible).
+
+Interpret-mode tests (tests/test_pallas_kernels.py) validate semantics but
+NOT Mosaic lowering legality (tile rules, relayouts). This script compiles
+and runs the decode + prefill kernels with interpret=False on the real chip
+at both tiny and production-like shapes and checks them against the XLA
+reference path.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from sparsevllm_tpu.ops import attention_ref as ref  # noqa: E402
+from sparsevllm_tpu.ops import paged_decode as pd  # noqa: E402
+from sparsevllm_tpu.ops import prefill_attention as pf  # noqa: E402
+
+
+def check(name, got, want, atol):
+    d = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                              - want.astype(jnp.float32))))
+    status = "OK" if d <= atol else "FAIL"
+    print(f"{name}: max|d|={d:.2e} (atol {atol}) {status}")
+    return d <= atol
+
+
+def run_case(L, pages, P, Nkv, Dh, Nq, B, MP, S, dtype, quant=False):
+    rng = np.random.default_rng(0)
+    label = (f"L{L} P{P} Nkv{Nkv} Dh{Dh} Nq{Nq} B{B} MP{MP} S{S} "
+             f"{'int8' if quant else np.dtype(dtype).name}")
+    kshape = (L, pages, P, Nkv, Dh)
+    if quant:
+        kc = jnp.asarray(rng.integers(-127, 128, size=kshape), jnp.int8)
+        vc = jnp.asarray(rng.integers(-127, 128, size=kshape), jnp.int8)
+        scales = jnp.asarray(
+            rng.uniform(0.005, 0.02, size=(2, L, pages, P, Nkv)), jnp.float32)
+    else:
+        kc = jnp.asarray(rng.normal(size=kshape), dtype)
+        vc = jnp.asarray(rng.normal(size=kshape), dtype)
+        scales = None
+    table = jnp.asarray(rng.integers(1, pages, size=(B, MP)), jnp.int32)
+    ctx_d = jnp.asarray(rng.integers(P, MP * P + 1, size=(B,)), jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, Nq, Dh)), dtype)
+    sm = Dh ** -0.5
+    ok = True
+
+    out_p, _ = pd.decode_attention_pallas(
+        q, kc, vc, 1, table, ctx_d, sm_scale=sm, kv_scales=scales,
+        interpret=False)
+    lsc = None if scales is None else scales[:, 1]
+    out_r, _ = ref.decode_attention_ref(
+        q, kc[1], vc[1], table, ctx_d, sm_scale=sm, kv_scales=lsc)
+    # on-TPU f32 dots run default-precision (bf16 passes): ~3e-3 abs noise
+    # on BOTH sides of the comparison; semantics are pinned by the CPU
+    # interpret tests at 1e-5 (tests/test_pallas_kernels.py).
+    ok &= check(f"decode  {label}", out_p, out_r,
+                5e-2 if dtype == jnp.bfloat16 else 2e-2)
+
+    mask = jnp.asarray(rng.integers(0, 2, size=(B, MP * P)), bool)
+    mask = mask.at[:, :P].set(True)
+    out_p, _ = pd.decode_attention_pallas(
+        q, kc, vc, 1, table, ctx_d, sm_scale=sm, select_mask=mask,
+        kv_scales=scales, interpret=False)
+    out_r, _ = ref.decode_attention_ref(
+        q, kc[1], vc[1], table, ctx_d, sm_scale=sm, select_mask=mask,
+        kv_scales=lsc)
+    ok &= check(f"decodeM {label}", out_p, out_r,
+                5e-2 if dtype == jnp.bfloat16 else 2e-2)
+
+    qp = jnp.asarray(rng.normal(size=(B, S, Nq, Dh)), dtype)
+    new = jnp.asarray(rng.integers(1, S + 1, size=(B,)), jnp.int32)
+    ctx_p = new + jnp.asarray(rng.integers(0, P * 2, size=(B,)), jnp.int32)
+    out_p, _ = pf.prefill_attention_pallas(
+        qp, kc, vc, 0, table, ctx_p, new, sm_scale=sm, kv_scales=scales,
+        interpret=False)
+    lsc0 = None if scales is None else scales[:, 0]
+    out_r, _ = ref.prefill_attention_ref(
+        qp, kc[0], vc[0], table, ctx_p, new, sm_scale=sm, kv_scales=lsc0)
+    ok &= check(f"prefill {label}", out_p, out_r,
+                5e-2 if dtype == jnp.bfloat16 else 2e-2)
+    return ok
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"backend={jax.default_backend()} device={dev}")
+    if jax.default_backend() == "cpu":
+        print("WARNING: no TPU visible; this checks interpret only")
+    ok = True
+    # production-like 3B shapes
+    ok &= run_case(L=2, pages=64, P=64, Nkv=8, Dh=128, Nq=24, B=4, MP=16,
+                   S=128, dtype=jnp.bfloat16)
+    # bigger pages
+    ok &= run_case(L=2, pages=32, P=128, Nkv=8, Dh=128, Nq=24, B=4, MP=8,
+                   S=128, dtype=jnp.bfloat16)
+    # MHA (Nkv == Nq)
+    ok &= run_case(L=2, pages=64, P=64, Nkv=8, Dh=128, Nq=8, B=2, MP=8,
+                   S=64, dtype=jnp.bfloat16)
+    # int8 fused dequant
+    ok &= run_case(L=2, pages=64, P=64, Nkv=8, Dh=128, Nq=24, B=4, MP=16,
+                   S=128, dtype=jnp.float32, quant=True)
+    # tiny-random debug shapes (Dh=16 < 128 exercises block==array-dim rule)
+    ok &= run_case(L=2, pages=32, P=8, Nkv=2, Dh=16, Nq=8, B=2, MP=8,
+                   S=32, dtype=jnp.float32)
+    print("ALL OK" if ok else "FAILURES")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -70,12 +70,13 @@ class ModelExecutor:
         self.kv_dtype = jnp.int8 if kv_quant else dtype
 
         l, p = spec.num_layers, config.page_size
-        kv_shape = (l, num_pages, spec.num_kv_heads, p, spec.head_dim)
+        # token-major within a page (ops/attention_ref.py docstring)
+        kv_shape = (l, num_pages, p, spec.num_kv_heads, spec.head_dim)
         self.k_cache = jnp.zeros(kv_shape, self.kv_dtype)
         self.v_cache = jnp.zeros(kv_shape, self.kv_dtype)
         # per-slot K/V dequant scales (int8 cache; ops/quant.py)
         self.kv_scales = (
-            jnp.ones((2, l, num_pages, spec.num_kv_heads, p), jnp.float32)
+            jnp.ones((2, l, num_pages, p, spec.num_kv_heads), jnp.float32)
             if kv_quant else None
         )
         self.tables = jnp.zeros(
@@ -750,7 +751,7 @@ def _compact_impl(
     window (last `obs_window` tokens) is always kept; the top (keep - W)
     prefix tokens by score are kept in original order.
     """
-    l_num, pages, nkv, p, dh = kc.shape
+    l_num, pages, p, nkv, dh = kc.shape
     b = rows.shape[0]
     k_len = scores.shape[-1]
     w = obs_window
@@ -794,34 +795,28 @@ def _compact_impl(
         )
         dst_slot = jnp.where(dst >= 0, dst_page * p + dst % p, -1)
 
-        head = jnp.arange(nkv, dtype=jnp.int32)
-        def flat(slot):  # [B,N] -> [B,N,Nkv] flat row indices at layer li
-            return ((li * pages * nkv) + (slot // p)[..., None] * nkv
-                    + head[None, None, :]) * p + (slot % p)[..., None]
-        kc2 = kc.reshape(-1, dh)
-        vc2 = vc.reshape(-1, dh)
-        src_flat = flat(src_slot)
-        gathered_k = kc2[src_flat]  # [B, N, Nkv, Dh]
-        gathered_v = vc2[src_flat]
-        dst_flat = jnp.where(
-            (dst_slot >= 0)[..., None], flat(jnp.maximum(dst_slot, 0)), -1
-        )
-        kc2 = kc2.at[dst_flat.reshape(-1)].set(
-            gathered_k.reshape(-1, dh), mode="drop"
-        )
-        vc2 = vc2.at[dst_flat.reshape(-1)].set(
-            gathered_v.reshape(-1, dh), mode="drop"
-        )
-        kc = kc2.reshape(kc.shape)
-        vc = vc2.reshape(vc.shape)
+        # multi-dim gather/scatter with [Nkv, Dh] token slices — no cache
+        # reshape (merging minor dims is not layout-compatible with TPU
+        # tiling; see ops/attention.py store_kv_layer).
+        lix = jnp.broadcast_to(li, src_slot.shape)
+        src_pg, src_off = src_slot // p, src_slot % p
+        gathered_k = kc[lix, src_pg, src_off]  # [B, N, Nkv, Dh]
+        gathered_v = vc[lix, src_pg, src_off]
+        dst_pg = jnp.where(dst_slot >= 0, dst_slot // p, -1)
+        dst_off = dst_slot % p
+        kc = kc.at[lix, dst_pg, dst_off].set(gathered_k, mode="drop")
+        vc = vc.at[lix, dst_pg, dst_off].set(gathered_v, mode="drop")
         if scales is not None:
             # move per-slot dequant scales with the payload (int8 cache)
-            sc2 = scales.reshape(2, -1)
-            gathered_s = sc2[:, src_flat]  # [2, B, N, Nkv]
-            sc2 = sc2.at[:, dst_flat.reshape(-1)].set(
-                gathered_s.reshape(2, -1), mode="drop"
-            )
-            scales = sc2.reshape(scales.shape)
+            lix2 = jnp.broadcast_to(li, (2,) + src_slot.shape)
+            kvix = jnp.arange(2, dtype=jnp.int32).reshape(2, 1, 1)
+            kvix = jnp.broadcast_to(kvix, lix2.shape)
+            gathered_s = scales[
+                kvix, lix2, src_pg[None], src_off[None]
+            ]  # [2, B, N, Nkv]
+            scales = scales.at[
+                kvix, lix2, dst_pg[None], dst_off[None]
+            ].set(gathered_s, mode="drop")
         mpk = npg.shape[1]
         tables = tables.at[li, rows, :mpk].set(npg)
         return (kc, vc, scales, tables), None

@@ -57,7 +57,7 @@ class HybridExecutor(ModelExecutor):
         self.kv_dtype = dtype
 
         lkv, p = spec.num_kv_layers, config.page_size
-        kv_shape = (lkv, num_pages, spec.num_kv_heads, p, spec.head_dim)
+        kv_shape = (lkv, num_pages, p, spec.num_kv_heads, spec.head_dim)
         self.k_cache = jnp.zeros(kv_shape, dtype)
         self.v_cache = jnp.zeros(kv_shape, dtype)
         self.tables = jnp.zeros(

@@ -21,7 +21,7 @@ slots are layer-shared; per-layer divergence begins only at method-specific
 eviction time (decode plans are per-layer regardless — they are tiny).
 
 The device-side KV payload itself lives in the executor
-([L, num_pages, Nkv, P, Dh] arrays); this class owns only identity/bookkeeping
+([L, num_pages, P, Nkv, Dh] arrays); this class owns only identity/bookkeeping
 (which page belongs to whom), mirroring the reference split where CacheManager
 owns state and kernels own bytes.
 """

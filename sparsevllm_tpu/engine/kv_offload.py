@@ -50,7 +50,7 @@ class HostKVOffload:
                 layer_idx: int, pages) -> None:
         """Snapshot pages [N] of one layer to host memory (async start)."""
         pages = jnp.asarray(pages)
-        k = k_cache[layer_idx][pages]  # [N, Nkv, P, Dh]
+        k = k_cache[layer_idx][pages]  # [N, P, Nkv, Dh]
         v = v_cache[layer_idx][pages]
         hk = jax.device_put(k, self._sharding)
         hv = jax.device_put(v, self._sharding)
@@ -58,7 +58,7 @@ class HostKVOffload:
         self.bytes_offloaded += hk.nbytes + hv.nbytes
 
     def restore(self, key) -> tuple[jax.Array, jax.Array]:
-        """Bring page payloads back to device ([N, Nkv, P, Dh] x2)."""
+        """Bring page payloads back to device ([N, P, Nkv, Dh] x2)."""
         hk, hv = self._store[key]
         dev = jax.devices()[0]
         return (

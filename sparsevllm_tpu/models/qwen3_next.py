@@ -395,7 +395,7 @@ def hybrid_mlp(x: jax.Array, lp: dict, spec: HybridSpec,
 
 def prefill_forward(
     params: dict,
-    k_cache, v_cache,  # [Lkv, pages, Nkv, P, Dh]
+    k_cache, v_cache,  # [Lkv, pages, P, Nkv, Dh]
     conv_states,  # [Llin, B?rows...] handled by executor: [Llin, R, K-1, C]
     rec_states,  # [Llin, R, Hv, Dk, Dv] f32
     plan: dict,  # token_ids/positions/dest_slot [B,S], page_table [B,MP],

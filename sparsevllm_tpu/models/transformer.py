@@ -199,7 +199,7 @@ def build_keep_mask(
 
 def prefill_forward(
     params,
-    k_cache: jax.Array,  # [L, pages, Nkv, P, Dh]
+    k_cache: jax.Array,  # [L, pages, P, Nkv, Dh]
     v_cache: jax.Array,
     plan: dict,  # token_ids/positions/dest_slot [B,S], page_table [B,MP],
     #               ctx_lens/new_lens [B]; quest: touched_pages [B, NP]
@@ -208,7 +208,7 @@ def prefill_forward(
     spec: ModelSpec,
     rt: StepRuntime,
     quest_meta: jax.Array | None = None,
-    kv_scales: jax.Array | None = None,  # [2, L, pages, Nkv, P] (kv_quant)
+    kv_scales: jax.Array | None = None,  # [2, L, pages, P, Nkv] (kv_quant)
 ):
     """One chunked-prefill step. Returns (k_cache, v_cache, last_hidden [B,H],
     obs_scores [L,B,K] or None, quest_meta or None, kv_scales or None)."""
@@ -273,7 +273,7 @@ def prefill_forward(
 
 def decode_forward(
     params,
-    k_cache: jax.Array,  # [L, pages, Nkv, P, Dh]
+    k_cache: jax.Array,  # [L, pages, P, Nkv, Dh]
     v_cache: jax.Array,
     tables: jax.Array,  # [L, R, MP_full] persistent device page table
     plan: dict,  # token_ids/positions/row_ids [B], dest_slot [L,B],
@@ -285,7 +285,7 @@ def decode_forward(
     mp_bucket: int,
     is_full_layer: jax.Array | None = None,  # [L] bool (decode_select)
     quest_meta: jax.Array | None = None,
-    kv_scales: jax.Array | None = None,  # [2, L, pages, Nkv, P] (kv_quant)
+    kv_scales: jax.Array | None = None,  # [2, L, pages, P, Nkv] (kv_quant)
     query_cache: jax.Array | None = None,  # [L, R, Qc, Nq, Dh] (rkv/skipkv)
     steer_vec: jax.Array | None = None,  # [L, H] steering vectors (skipkv)
     dk: dict | None = None,  # DeltaKV latent/center state (ops/deltakv.py)
@@ -303,7 +303,7 @@ def decode_forward(
     h = params["embed"][tokens]  # [B, H]
     sm_scale = spec.head_dim ** -0.5
     b = tokens.shape[0]
-    k_tokens = mp_bucket * k_cache.shape[3]  # keys bucket in tokens
+    k_tokens = mp_bucket * k_cache.shape[2]  # keys bucket in tokens
 
     if (rt.decode_select or rt.deltakv) and is_full_layer is None:
         raise ValueError("decode_select/deltakv require is_full_layer flags")
@@ -318,7 +318,7 @@ def decode_forward(
         extra["_sparse_slot"] = sparse_slot
 
     sel0 = jnp.ones((b, k_tokens), dtype=bool)
-    page_size = k_cache.shape[3]
+    page_size = k_cache.shape[2]
     dk_t = max(min(rt.dk_topk, mp_bucket * page_size), 1)
     topk0 = jnp.zeros((b, dk_t), jnp.int32)
 

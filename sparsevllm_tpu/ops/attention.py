@@ -1,7 +1,8 @@
 """Attention op dispatch: pure-XLA reference path vs Pallas TPU kernels.
 
-All ops operate on the **full layer-stacked cache** ``[L, pages, Nkv, P, Dh]``
-with a traced ``layer_idx`` so they compose with the layer scan without
+All ops operate on the **full layer-stacked cache** ``[L, pages, P, Nkv, Dh]``
+(token-major within a page — see ops/attention_ref.py docstring for why) with
+a traced ``layer_idx`` so they compose with the layer scan without
 materializing per-layer slices (the Pallas kernels index pages of layer
 ``layer_idx`` directly in HBM).
 
@@ -19,37 +20,36 @@ from . import attention_ref as ref
 
 
 def store_kv_layer(
-    k_cache: jax.Array,  # [L, pages, Nkv, P, Dh]
+    k_cache: jax.Array,  # [L, pages, P, Nkv, Dh]
     v_cache: jax.Array,
     layer_idx: jax.Array,  # scalar int32 (traced)
     k_new: jax.Array,  # [..., Nkv, Dh] with leading dims flattening to T
     v_new: jax.Array,
     dest_slot: jax.Array,  # [...] int32 global slot = page*P + off; <0 drops
 ) -> tuple[jax.Array, jax.Array]:
-    """Scatter new K/V rows into layer ``layer_idx`` of the stacked cache."""
-    l, pages, nkv, p, dh = k_cache.shape
+    """Scatter new K/V token rows into layer ``layer_idx``.
+
+    Token-major rows ([Nkv*Dh] contiguous per stored token — 2 KiB bf16 /
+    1 KiB int8 at 8x128) keep XLA's scatter on the in-place path; narrower
+    rows silently degrade to a full-cache copy per store (measured cliff in
+    PERF_NOTES.md)."""
+    l, pages, p, nkv, dh = k_cache.shape
     kf = k_new.reshape(-1, nkv, dh)
     vf = v_new.reshape(-1, nkv, dh)
     dest = dest_slot.reshape(-1)
-    page = dest // p
-    off = dest % p
-    head = jnp.arange(nkv, dtype=dest.dtype)
-    flat = (
-        ((layer_idx * pages + page)[:, None] * nkv + head[None, :]) * p
-        + off[:, None]
-    )  # [T, Nkv]
-    flat = jnp.where(dest[:, None] >= 0, flat, -1)
-    k_out = (
-        k_cache.reshape(-1, dh)
-        .at[flat.reshape(-1)]
-        .set(kf.astype(k_cache.dtype).reshape(-1, dh), mode="drop")
-        .reshape(k_cache.shape)
+    # multi-dim scatter (layer, page, off) with [Nkv, Dh] update slices —
+    # one physical (8,128) tile per token; NO cache reshape (merging minor
+    # dims is not layout-compatible with TPU tiling -> full-cache copy).
+    lix = jnp.broadcast_to(
+        jnp.asarray(layer_idx, dest.dtype), dest.shape
     )
-    v_out = (
-        v_cache.reshape(-1, dh)
-        .at[flat.reshape(-1)]
-        .set(vf.astype(v_cache.dtype).reshape(-1, dh), mode="drop")
-        .reshape(v_cache.shape)
+    page = jnp.where(dest >= 0, dest // p, -1)
+    off = dest % p
+    k_out = k_cache.at[lix, page, off].set(
+        kf.astype(k_cache.dtype), mode="drop"
+    )
+    v_out = v_cache.at[lix, page, off].set(
+        vf.astype(v_cache.dtype), mode="drop"
     )
     return k_out, v_out
 
@@ -60,7 +60,7 @@ def _layer_slice(cache: jax.Array, layer_idx) -> jax.Array:
 
 def prefill_attention(
     q: jax.Array,  # [B, S, Nq, Dh]
-    k_cache: jax.Array,  # [L, pages, Nkv, P, Dh]
+    k_cache: jax.Array,  # [L, pages, P, Nkv, Dh]
     v_cache: jax.Array,
     layer_idx,
     page_table: jax.Array,  # [B, MP]
@@ -70,7 +70,7 @@ def prefill_attention(
     sm_scale: float,
     obs_window: int = 0,
     score_pooling: int = 0,
-    kv_scales=None,  # [2, L, pages, Nkv, P] f32 (int8 cache) or None
+    kv_scales=None,  # [2, L, pages, P, Nkv] f32 (int8 cache) or None
     impl: str = "ref",
 ):
     if impl == "pallas":
@@ -94,7 +94,7 @@ def prefill_attention(
 
 def decode_attention(
     q: jax.Array,  # [B, Nq, Dh]
-    k_cache: jax.Array,  # [L, pages, Nkv, P, Dh]
+    k_cache: jax.Array,  # [L, pages, P, Nkv, Dh]
     v_cache: jax.Array,
     layer_idx,
     page_table: jax.Array,  # [B, MP]
@@ -104,7 +104,7 @@ def decode_attention(
     emit_scores: bool = False,
     select_mask: jax.Array | None = None,
     page_pos: jax.Array | None = None,
-    kv_scales=None,  # [2, L, pages, Nkv, P] f32 (int8 cache) or None
+    kv_scales=None,  # [2, L, pages, P, Nkv] f32 (int8 cache) or None
     impl: str = "ref",
 ):
     if impl == "pallas":

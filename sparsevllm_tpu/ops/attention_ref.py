@@ -8,11 +8,14 @@ engine runs these directly.
 KV-cache layout (TPU-first; contrast with the reference's token-granular slot
 pools, src/sparsevllm/engine/cache_manager/standard.py:104-112):
 
-    k_cache, v_cache: [num_pages, num_kv_heads, page_size, head_dim]
+    k_cache, v_cache: [num_pages, page_size, num_kv_heads, head_dim]
 
-i.e. page-granular, head-major-within-page, so one (page, kv_head) tile is a
-contiguous [page_size, head_dim] block that maps directly onto a TPU
-(sublane, lane) tile and a single DMA. Per-sequence state is a page table
+i.e. page-granular, TOKEN-major-within-page: one stored token is a contiguous
+[num_kv_heads * head_dim] row (2 KiB bf16 / 1 KiB int8 at 8x128), which keeps
+XLA's in-place scatter on the fast path for the decode KV store — narrower
+rows (the head-major layout's [head_dim] rows) silently fall back to a
+full-cache copy. A page is still one contiguous ~128 KiB DMA for the
+attention kernels. Per-sequence state is a page table
 ``page_table[b, i] -> page id`` plus a context length; padded page-table
 entries point at page 0, which is reserved as the trash page (never mapped to
 a live sequence).
@@ -38,51 +41,54 @@ NEG_INF = -1e30
 
 
 def store_kv(
-    k_cache: jax.Array,  # [num_pages, Nkv, P, Dh]
+    k_cache: jax.Array,  # [num_pages, P, Nkv, Dh]
     v_cache: jax.Array,
     k_new: jax.Array,  # [T, Nkv, Dh]
     v_new: jax.Array,
     dest_slot: jax.Array,  # [T] int32 global slot = page*P + offset; <0 = drop
 ) -> tuple[jax.Array, jax.Array]:
-    """Scatter new K/V rows into the paged cache by global slot index."""
-    num_pages, nkv, p, dh = k_cache.shape
-    page = dest_slot // p
+    """Scatter new K/V token rows into the paged cache by global slot index.
+
+    Token-major layout makes the row [Nkv*Dh] contiguous: the global slot IS
+    the flat row index, and the row is wide enough for XLA's in-place
+    scatter (see module docstring).
+    """
+    num_pages, p, nkv, dh = k_cache.shape
+    # multi-dim scatter (page, off) with [Nkv, Dh] update slices — exactly
+    # one physical (8,128) tile per token, no reshape of the cache (merging
+    # the minor dims is NOT layout-compatible with TPU tiling and would
+    # force a full-cache copy per store).
+    page = jnp.where(dest_slot >= 0, dest_slot // p, -1)
     off = dest_slot % p
-    # flat index into [num_pages * Nkv * P, Dh]
-    head = jnp.arange(nkv, dtype=dest_slot.dtype)
-    flat = (page[:, None] * nkv + head[None, :]) * p + off[:, None]  # [T, Nkv]
-    flat = jnp.where(dest_slot[:, None] >= 0, flat, -1)
-    k_flat = k_cache.reshape(num_pages * nkv * p, dh)
-    v_flat = v_cache.reshape(num_pages * nkv * p, dh)
-    k_flat = k_flat.at[flat.reshape(-1)].set(
-        k_new.astype(k_cache.dtype).reshape(-1, dh), mode="drop"
+    k_out = k_cache.at[page, off].set(
+        k_new.astype(k_cache.dtype).reshape(-1, nkv, dh), mode="drop"
     )
-    v_flat = v_flat.at[flat.reshape(-1)].set(
-        v_new.astype(v_cache.dtype).reshape(-1, dh), mode="drop"
+    v_out = v_cache.at[page, off].set(
+        v_new.astype(v_cache.dtype).reshape(-1, nkv, dh), mode="drop"
     )
-    return k_flat.reshape(k_cache.shape), v_flat.reshape(v_cache.shape)
+    return k_out, v_out
 
 
 def gather_pages(
-    cache: jax.Array,  # [num_pages, Nkv, P, Dh]
+    cache: jax.Array,  # [num_pages, P, Nkv, Dh]
     page_table: jax.Array,  # [B, max_pages] int32 (padded entries -> page 0)
 ) -> jax.Array:
     """Gather a sequence-major contiguous view: [B, Nkv, max_pages*P, Dh]."""
-    gathered = cache[page_table]  # [B, max_pages, Nkv, P, Dh]
-    b, mp, nkv, p, dh = gathered.shape
-    return gathered.transpose(0, 2, 1, 3, 4).reshape(b, nkv, mp * p, dh)
+    gathered = cache[page_table]  # [B, max_pages, P, Nkv, Dh]
+    b, mp, p, nkv, dh = gathered.shape
+    return gathered.transpose(0, 3, 1, 2, 4).reshape(b, nkv, mp * p, dh)
 
 
 def gather_dequant(
-    cache: jax.Array,  # [num_pages, Nkv, P, Dh] int8
-    scales: jax.Array,  # [num_pages, Nkv, P] f32 per-slot scales
+    cache: jax.Array,  # [num_pages, P, Nkv, Dh] int8
+    scales: jax.Array,  # [num_pages, P, Nkv] f32 per-slot scales
     page_table: jax.Array,
 ) -> jax.Array:
     """Gather + dequantize an int8 cache: [B, Nkv, K, Dh] fp32."""
     vals = gather_pages(cache, page_table).astype(jnp.float32)
-    sc = scales[page_table]  # [B, MP, Nkv, P]
-    b, mp, nkv, p = sc.shape
-    sc = sc.transpose(0, 2, 1, 3).reshape(b, nkv, mp * p, 1)
+    sc = scales[page_table]  # [B, MP, P, Nkv]
+    b, mp, p, nkv = sc.shape
+    sc = sc.transpose(0, 3, 1, 2).reshape(b, nkv, mp * p, 1)
     return vals * sc.astype(jnp.float32)
 
 
@@ -95,7 +101,7 @@ def _expand_gqa(x: jax.Array, num_q_heads: int) -> jax.Array:
 
 def prefill_attention_ref(
     q: jax.Array,  # [B, S, Nq, Dh] (padded new tokens)
-    k_cache: jax.Array,  # [num_pages, Nkv, P, Dh] (already contains this chunk)
+    k_cache: jax.Array,  # [num_pages, P, Nkv, Dh] (already contains this chunk)
     v_cache: jax.Array,
     page_table: jax.Array,  # [B, max_pages]
     ctx_lens: jax.Array,  # [B] total context incl. this chunk's new tokens
@@ -104,7 +110,7 @@ def prefill_attention_ref(
     sm_scale: float,
     obs_window: int = 0,
     score_pooling: int = 0,
-    kv_scales: jax.Array | None = None,  # [2, pages, Nkv, P] int8 dequant
+    kv_scales: jax.Array | None = None,  # [2, pages, P, Nkv] int8 dequant
 ) -> tuple[jax.Array, jax.Array | None]:
     """Chunked-prefill causal attention over the paged cache.
 
@@ -171,7 +177,7 @@ def prefill_attention_ref(
 
 def decode_attention_ref(
     q: jax.Array,  # [B, Nq, Dh]
-    k_cache: jax.Array,  # [num_pages, Nkv, P, Dh]
+    k_cache: jax.Array,  # [num_pages, P, Nkv, Dh]
     v_cache: jax.Array,
     page_table: jax.Array,  # [B, max_pages]
     ctx_lens: jax.Array,  # [B]
@@ -180,7 +186,7 @@ def decode_attention_ref(
     emit_scores: bool = False,
     select_mask: jax.Array | None = None,  # [B, max_pages*P] bool, extra mask
     page_pos: jax.Array | None = None,  # [B, max_pages] logical page index
-    kv_scales: jax.Array | None = None,  # [2, pages, Nkv, P] int8 dequant
+    kv_scales: jax.Array | None = None,  # [2, pages, P, Nkv] int8 dequant
 ) -> tuple[jax.Array, jax.Array | None]:
     """Single-token decode attention over the paged cache.
 
@@ -196,7 +202,7 @@ def decode_attention_ref(
     derived from it. None = identity (table entry i is logical page i).
     """
     b, nq, dh = q.shape
-    p = k_cache.shape[2]
+    p = k_cache.shape[1]
     if kv_scales is not None:
         keys = gather_dequant(k_cache, kv_scales[0], page_table)
         vals = gather_dequant(v_cache, kv_scales[1], page_table)

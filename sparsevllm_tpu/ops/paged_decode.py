@@ -9,12 +9,12 @@ Design (single-pass online softmax instead of the reference's 2-stage
 split-KV): grid = (B, MP) with the page dimension innermost and sequential.
 The page table rides in scalar-prefetch SMEM so each grid step's BlockSpec
 index_map points the automatic double-buffered DMA pipeline at the full
-[Nkv, page_size, head_dim] page of layer ``layer_idx`` — one contiguous
-~128 KiB DMA per step (small per-head tiles would leave the HBM DMA engines
-underutilized).
+[page_size, Nkv, head_dim] token-major page of layer ``layer_idx`` — one
+contiguous ~128 KiB DMA per step (small per-head tiles would leave the HBM
+DMA engines underutilized).
 
-All q heads are processed in a single [Nq, Nkv*P] MXU matmul with a
-head-match mask (query head r//G only attends key columns of kv head c//P;
+All q heads are processed in a single [Nq, P*Nkv] MXU matmul with a
+head-match mask (query head r//G only attends key columns of kv head c%Nkv;
 cross-head lanes are masked to zero so the p@V matmul still sums correctly).
 The Nkv-fold padding FLOPs are free: decode is HBM-bandwidth-bound
 (arithmetic intensity << the MXU's 240 flops/byte break-even).
@@ -46,10 +46,10 @@ def _decode_kernel(
     #            for dense tables; Quest compacted tables permute pages)
     # blocks
     q_ref,  # [1, Nq, Dh]
-    k_ref,  # [1, 1, Nkv, P, Dh] (kv dtype or int8)
-    v_ref,  # [1, 1, Nkv, P, Dh]
-    ks_ref,  # [1, 1, 1, 1, Nkv*P] f32 K scales, head-major flat (or None)
-    vs_ref,  # [1, 1, 1, 1, Nkv*P] f32 V scales, head-major flat (or None)
+    k_ref,  # [1, 1, P, Nkv, Dh] (kv dtype or int8; token-major)
+    v_ref,  # [1, 1, P, Nkv, Dh]
+    ks_ref,  # [1, 1, 1, 1, P*Nkv] f32 K scales, token-major flat (or None)
+    vs_ref,  # [1, 1, 1, 1, P*Nkv] f32 V scales, token-major flat (or None)
     mask_ref,  # [1, 1, 1, P] int8 select mask (or None)
     out_ref,  # [1, Nq, Dh]
     # scratch
@@ -79,32 +79,31 @@ def _decode_kernel(
     @pl.when(logical_page * page_size < ctx)
     def _compute():
         q = q_ref[0].astype(jnp.float32)  # [Nq, Dh]
-        nkv = k_ref.shape[2]
+        nkv = k_ref.shape[3]
         k = k_ref[0, 0].astype(jnp.float32).reshape(
-            nkv * page_size, -1
-        )  # [Nkv*P, Dh]; row = h*P + offset
+            page_size * nkv, -1
+        )  # [P*Nkv, Dh]; row = offset*Nkv + h (token-major)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale  # [Nq, Nkv*P]
+        ) * sm_scale  # [Nq, P*Nkv]
         if ks_ref is not None:
             # fused int8 dequant: q.(k_int*sc) == (q.k_int)*sc per COLUMN.
-            # The scale row arrives pre-flattened head-major ([1, Nkv*P]) —
+            # The scale row arrives pre-flattened token-major ([1, P*Nkv]) —
             # a free XLA reshape outside the kernel; Mosaic cannot fold the
-            # [Nkv, P] sublane tile into lanes itself.
-            s = s * ks_ref[0, 0, 0]  # [1, Nkv*P] broadcasts over rows
+            # [P, Nkv] sublane tile into lanes itself.
+            s = s * ks_ref[0, 0, 0]  # [1, P*Nkv] broadcasts over rows
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        off = col % page_size
+        off = col // nkv
         pos = logical_page * page_size + off
-        valid = (row // groups == col // page_size) & (pos < ctx)
+        valid = (row // groups == col % nkv) & (pos < ctx)
         if has_mask:
-            # mask lane o applies to token offset o of this page, any head;
-            # key columns are ordered h*P + o, so tile the row Nkv times.
-            # Concat in int32 then compare — Mosaic cannot concat i1 vregs.
-            mrow = mask_ref[0, 0].astype(jnp.int32)  # [1, P]
-            mfull = jnp.concatenate([mrow] * nkv, axis=1)  # [1, Nkv*P]
-            valid = valid & (mfull != 0)
+            # mask element o applies to token offset o = col // Nkv of this
+            # page, any head; the mask arrives pre-expanded to [1, P*Nkv]
+            # outside the kernel (repeat_interleave by Nkv is free in XLA,
+            # awkward in Mosaic).
+            valid = valid & (mask_ref[0, 0].astype(jnp.int32) != 0)
         s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_ref[:, :1]  # [Nq, 1]
@@ -112,13 +111,13 @@ def _decode_kernel(
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)  # [Nq, Nkv*P]
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)  # [Nq, P*Nkv]
         p_num = p
         if vs_ref is not None:
             # p@(v_int*sc) == (p*sc)@v_int per column — numerator ONLY;
             # the softmax denominator l stays the raw exp sum.
             p_num = p * vs_ref[0, 0, 0]
-        v = v_ref[0, 0].astype(jnp.float32).reshape(nkv * page_size, -1)
+        v = v_ref[0, 0].astype(jnp.float32).reshape(page_size * nkv, -1)
         pv = jax.lax.dot_general(
             p_num, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -161,7 +160,7 @@ def _decode_pallas_impl(
     page_pos=None, kv_scales=None, *, sm_scale, interpret=False,
 ):
     b, nq, dh = q.shape
-    l, pages, nkv, p, _ = k_cache.shape
+    l, pages, p, nkv, _ = k_cache.shape
     mp = page_table.shape[1]
     g = nq // nkv
     has_mask = select_mask is not None
@@ -179,14 +178,14 @@ def _decode_pallas_impl(
     in_specs = [
         pl.BlockSpec((1, nq, dh), lambda bb, i, *_: (bb, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, nkv, p, dh), kv_imap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, nkv, p, dh), kv_imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, p, nkv, dh), kv_imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, p, nkv, dh), kv_imap, memory_space=pltpu.VMEM),
     ]
     args = [q, k_cache, v_cache]
     if quantized:
-        # free XLA view: [2, L, pages, Nkv, P] -> [2, L, pages, 1, Nkv*P]
-        # (contiguous, head-major lanes match the kernel's key columns).
-        flat_scales = kv_scales.reshape(2, l, pages, 1, nkv * p)
+        # free XLA view: [2, L, pages, P, Nkv] -> [2, L, pages, 1, P*Nkv]
+        # (contiguous, token-major lanes match the kernel's key columns).
+        flat_scales = kv_scales.reshape(2, l, pages, 1, p * nkv)
 
         def ks_imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
             return (0, lidx_ref[0], table_ref[bb, i], 0, 0)
@@ -194,18 +193,22 @@ def _decode_pallas_impl(
         def vs_imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
             return (1, lidx_ref[0], table_ref[bb, i], 0, 0)
 
-        in_specs.append(pl.BlockSpec((1, 1, 1, 1, nkv * p), ks_imap,
+        in_specs.append(pl.BlockSpec((1, 1, 1, 1, p * nkv), ks_imap,
                                      memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((1, 1, 1, 1, nkv * p), vs_imap,
+        in_specs.append(pl.BlockSpec((1, 1, 1, 1, p * nkv), vs_imap,
                                      memory_space=pltpu.VMEM))
         args.extend([flat_scales, flat_scales])
     if has_mask:
+        # pre-expand token mask to key columns (token-major: o*Nkv+h);
         # singleton sublane dim satisfies the block==array tile rule
         in_specs.append(
-            pl.BlockSpec((1, 1, 1, p), lambda bb, i, *_: (bb, i, 0, 0),
+            pl.BlockSpec((1, 1, 1, p * nkv), lambda bb, i, *_: (bb, i, 0, 0),
                          memory_space=pltpu.VMEM)
         )
-        args.append(select_mask.astype(jnp.int8).reshape(b, mp, 1, p))
+        mask_cols = jnp.repeat(
+            select_mask.astype(jnp.int8).reshape(b, mp, 1, p), nkv, axis=3
+        )
+        args.append(mask_cols)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

@@ -5,14 +5,21 @@ TPU-native counterpart of the reference varlen prefill kernel
 [B, S] query chunks attend the full paged context (cached prefix + this
 chunk, already stored) through the page table.
 
-Grid = (B, Nkv, S_blocks, K_pages), pages innermost/sequential: the page
-table rides in scalar-prefetch SMEM and steers the double-buffered KV DMA
-pipeline, exactly like ops/paged_decode.py. Each step computes a
-[BS*G, page_size] logits tile on the MXU with online-softmax state in VMEM
-scratch. Fully-future pages (causal) and fully-padded query blocks are
-predicated off (DMA still streams — context bucketing bounds the waste;
-causal over-read is <=2x, same trade the reference's flash kernels make with
-their rectangular grids).
+Grid = (B, S_blocks, K_pages), pages innermost/sequential: the page table
+rides in scalar-prefetch SMEM and steers the double-buffered KV DMA pipeline,
+exactly like ops/paged_decode.py. Each step DMAs ONE full token-major page
+[P, Nkv, Dh] (a head-sliced block would violate Mosaic's tile rule: the
+second-minor block dim must be 8-divisible or equal to the array dim) and
+loops the Nkv heads STATICALLY inside the kernel — one [BS*G, P] MXU tile per
+head, so FLOPs and DMA volume match a per-head grid without illegal blocks.
+Online-softmax state for all heads lives stacked in VMEM scratch
+([Nkv*BS*G, ...], row = h*BS*G + qi*G + gi) so the finish step reshapes
+straight into the [Nkv, BS, G, Dh] output block.
+
+Fully-future pages (causal) and fully-padded query blocks are predicated off
+(DMA still streams — context bucketing bounds the waste; causal over-read is
+<=2x, same trade the reference's flash kernels make with their rectangular
+grids).
 
 Observation-score emission (SnapKV window, reference prefill_score.py) runs
 via the XLA reference path — it is only needed on a sequence's final prefill
@@ -40,27 +47,27 @@ def _prefill_kernel(
     ctx_ref,  # [B] total context incl. this chunk
     new_ref,  # [B] valid new tokens in this chunk
     # blocks
-    q_ref,  # [1, 1, BS, G, Dh]
-    k_ref,  # [1, 1, 1, P, Dh] (kv dtype or int8)
-    v_ref,  # [1, 1, 1, P, Dh]
-    ks_ref,  # [1, 1, 1, Nkv, P] f32 per-slot K scales (int8 cache) or None
-    vs_ref,  # [1, 1, 1, Nkv, P] f32 per-slot V scales or None
-    out_ref,  # [1, 1, BS, G, Dh]
-    # scratch
-    acc_ref,  # [BS*G, Dh] f32
-    m_ref,  # [BS*G, 128] f32
-    l_ref,  # [BS*G, 128] f32
+    q_ref,  # [1, Nkv, BS, G, Dh]
+    k_ref,  # [1, 1, P, Nkv, Dh] (kv dtype or int8; full token-major page)
+    v_ref,  # [1, 1, P, Nkv, Dh]
+    ks_ref,  # [1, 1, 1, P, Nkv] f32 per-token K scales (int8 cache) or None
+    vs_ref,  # [1, 1, 1, P, Nkv] f32 per-token V scales or None
+    out_ref,  # [1, Nkv, BS, G, Dh]
+    # scratch (rows stacked head-major: row = h*BS*G + qi*G + gi)
+    acc_ref,  # [Nkv*BS*G, Dh] f32
+    m_ref,  # [Nkv*BS*G, 128] f32
+    l_ref,  # [Nkv*BS*G, 128] f32
     *,
     sm_scale: float,
     page_size: int,
     block_s: int,
     groups: int,
+    nkv: int,
 ):
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    s = pl.program_id(2)
-    k_i = pl.program_id(3)
-    num_k = pl.num_programs(3)
+    s = pl.program_id(1)
+    k_i = pl.program_id(2)
+    num_k = pl.num_programs(2)
 
     @pl.when(k_i == 0)
     def _init():
@@ -71,7 +78,7 @@ def _prefill_kernel(
     ctx = ctx_ref[b]
     new = new_ref[b]
     base = ctx - new + s * block_s  # abs position of this block's first query
-    rows = block_s * groups
+    rows_h = block_s * groups  # rows per kv head
 
     # block-level predicates: any valid query? any causally visible key?
     q_block_valid = s * block_s < new
@@ -81,18 +88,23 @@ def _prefill_kernel(
 
     @pl.when(jnp.logical_and(q_block_valid, visible))
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32).reshape(rows, -1)  # [BS*G, Dh]
-        k = k_ref[0, 0, 0].astype(jnp.float32)  # [P, Dh]
-        st = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale  # [BS*G, P]
-        if ks_ref is not None:
-            # fused int8 dequant applied per key column (head h's row of the
-            # [Nkv, P] scale tile, dynamic sublane slice -> [1, P]).
-            st = st * ks_ref[0, 0, 0, pl.ds(h, 1), :]
+        # scores per head, stacked along rows (static head loop; each slice
+        # is a static index — no dynamic sublane slicing).
+        sts = []
+        for hh in range(nkv):
+            q_h = q_ref[0, hh].astype(jnp.float32).reshape(rows_h, -1)
+            k_h = k_ref[0, 0, :, hh, :].astype(jnp.float32)  # [P, Dh]
+            if ks_ref is not None:
+                # token-major scales are per KEY ROW — sublane broadcast
+                k_h = k_h * ks_ref[0, 0, 0, :, hh : hh + 1]  # [P, 1]
+            sts.append(jax.lax.dot_general(
+                q_h, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        st = jnp.concatenate(sts, axis=0) * sm_scale  # [Nkv*BSG, P]
+
         row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
-        qi = row // groups  # query index within block
+        qi = (row % rows_h) // groups  # query index within block
         qpos = base + qi
         kpos = k_i * page_size + jax.lax.broadcasted_iota(
             jnp.int32, st.shape, 1
@@ -106,15 +118,19 @@ def _prefill_kernel(
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.where(valid, jnp.exp(st - m_new), 0.0)
-        p_num = p
-        if vs_ref is not None:
-            # numerator only — denominator l stays the raw exp sum
-            p_num = p * vs_ref[0, 0, 0, pl.ds(h, 1), :]
-        v = v_ref[0, 0, 0].astype(jnp.float32)  # [P, Dh]
-        pv = jax.lax.dot_general(
-            p_num, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        pvs = []
+        for hh in range(nkv):
+            v_h = v_ref[0, 0, :, hh, :].astype(jnp.float32)  # [P, Dh]
+            if vs_ref is not None:
+                # dequantize V rows before p@V; denominator l is the raw
+                # exp sum either way: exactly p @ (v_int * scale).
+                v_h = v_h * vs_ref[0, 0, 0, :, hh : hh + 1]  # [P, 1]
+            pvs.append(jax.lax.dot_general(
+                p[hh * rows_h : (hh + 1) * rows_h], v_h,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        pv = jnp.concatenate(pvs, axis=0)  # [Nkv*BSG, Dh]
         acc_ref[:] = acc_ref[:] * alpha + pv
         l_ref[:] = jnp.broadcast_to(
             l_prev * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape
@@ -125,12 +141,12 @@ def _prefill_kernel(
     def _finish():
         l = l_ref[:, :1]
         l_safe = jnp.where(l <= 0.0, 1.0, l)
-        out = acc_ref[:] / l_safe  # [BS*G, Dh]
+        out = acc_ref[:] / l_safe  # [Nkv*BSG, Dh]
         # zero padded query rows (parity with ref's probs *= valid_q)
         row = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
-        qi = row // groups
+        qi = (row % rows_h) // groups
         out = jnp.where(s * block_s + qi < new, out, 0.0)
-        out_ref[0, 0] = out.reshape(out_ref.shape[2:]).astype(out_ref.dtype)
+        out_ref[0] = out.reshape(out_ref.shape[1:]).astype(out_ref.dtype)
 
 
 def _prefill_kernel_noquant(
@@ -152,7 +168,7 @@ def _prefill_pallas(
     *, sm_scale, block_s, interpret=False,
 ):
     b, s, nq, dh = q.shape
-    l, pages, nkv, p, _ = k_cache.shape
+    l, pages, p, nkv, _ = k_cache.shape
     mp = page_table.shape[1]
     g = nq // nkv
     quantized = kv_scales is not None
@@ -162,46 +178,47 @@ def _prefill_pallas(
     # satisfies Mosaic's (8, 128) tile rule for any G (see paged_decode.py).
     q5 = q.reshape(b, s, nkv, g, dh).transpose(0, 2, 1, 3, 4)
 
-    def kv_imap(bb, h, si, ki, lidx_ref, table_ref, *_):
-        return (lidx_ref[0], table_ref[bb, ki], h, 0, 0)
+    def kv_imap(bb, si, ki, lidx_ref, table_ref, *_):
+        return (lidx_ref[0], table_ref[bb, ki], 0, 0, 0)
 
-    def q_imap(bb, h, si, ki, *_):
-        return (bb, h, si, 0, 0)
+    def q_imap(bb, si, ki, *_):
+        return (bb, 0, si, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, block_s, g, dh), q_imap,
+        pl.BlockSpec((1, nkv, block_s, g, dh), q_imap,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, p, dh), kv_imap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 1, p, dh), kv_imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, p, nkv, dh), kv_imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, p, nkv, dh), kv_imap, memory_space=pltpu.VMEM),
     ]
     args = [q5, k_cache, v_cache]
     if quantized:
-        def ks_imap(bb, h, si, ki, lidx_ref, table_ref, *_):
+        def ks_imap(bb, si, ki, lidx_ref, table_ref, *_):
             return (0, lidx_ref[0], table_ref[bb, ki], 0, 0)
 
-        def vs_imap(bb, h, si, ki, lidx_ref, table_ref, *_):
+        def vs_imap(bb, si, ki, lidx_ref, table_ref, *_):
             return (1, lidx_ref[0], table_ref[bb, ki], 0, 0)
 
-        in_specs.append(pl.BlockSpec((1, 1, 1, nkv, p), ks_imap,
+        in_specs.append(pl.BlockSpec((1, 1, 1, p, nkv), ks_imap,
                                      memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((1, 1, 1, nkv, p), vs_imap,
+        in_specs.append(pl.BlockSpec((1, 1, 1, p, nkv), vs_imap,
                                      memory_space=pltpu.VMEM))
         args.extend([kv_scales, kv_scales])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(b, nkv, s // block_s, mp),
+        grid=(b, s // block_s, mp),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, block_s, g, dh), q_imap, memory_space=pltpu.VMEM
+            (1, nkv, block_s, g, dh), q_imap, memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((block_s * g, dh), jnp.float32),
-            pltpu.VMEM((block_s * g, 128), jnp.float32),
-            pltpu.VMEM((block_s * g, 128), jnp.float32),
+            pltpu.VMEM((nkv * block_s * g, dh), jnp.float32),
+            pltpu.VMEM((nkv * block_s * g, 128), jnp.float32),
+            pltpu.VMEM((nkv * block_s * g, 128), jnp.float32),
         ],
     )
-    kw = dict(sm_scale=sm_scale, page_size=p, block_s=block_s, groups=g)
+    kw = dict(sm_scale=sm_scale, page_size=p, block_s=block_s, groups=g,
+              nkv=nkv)
     if quantized:
         kernel = functools.partial(_prefill_kernel, **kw)
     else:
@@ -243,8 +260,13 @@ def prefill_attention_pallas(
             score_pooling=score_pooling, kv_scales=lsc,
         )
     s = q.shape[1]
-    g = max(q.shape[2] // k_cache.shape[2], 1)
-    block_s = min(s, max(128 // g, 8))
+    # block_s MUST stay large: every S-block re-streams the whole context
+    # from HBM, so halving block_s doubles prefill DMA. Start from a
+    # power of 2 (chunk sizes are bucketed to powers of 2) so the
+    # divides-s reduction loop does not degenerate (a non-divisor start
+    # like 80 collapses to block_s=2 -> 40x DMA amplification, measured
+    # 550 ms/layer vs ~14 ms at block_s=64).
+    block_s = min(s, 128)
     while s % block_s:
         block_s //= 2
     out = _prefill_pallas(

@@ -8,8 +8,12 @@ round-half-even (quant.py:19-27 — rounding choice is accuracy-visible):
     kernels (ops/paged_decode.py, ops/prefill_attention.py int8 variants).
   * int4 (stage 2, deltakv latents): grouped pack/unpack, 2 values/byte.
 
-Scales layout: kv_scales[2(k,v), L, pages, Nkv, P] fp32 — one row per cache
-slot, addressed with the same page table as the payload.
+Scales layout: kv_scales[2(k,v), L, pages, P, Nkv] fp32 — token-major like
+the payload (ops/attention_ref.py docstring), addressed with the same page
+table; K and V keep separate leading planes so the attention kernels get a
+FREE contiguous [pages, 1, P*Nkv] flat view per plane (a combined
+[..., 2, Nkv] layout would make that view strided and force a copy before
+every pallas_call).
 """
 
 from __future__ import annotations
@@ -35,81 +39,72 @@ def dequantize_rows(q: jax.Array, scale: jax.Array) -> jax.Array:
 
 
 def store_kv_quant_layer(
-    k_cache: jax.Array,  # [L, pages, Nkv, P, Dh] int8
+    k_cache: jax.Array,  # [L, pages, P, Nkv, Dh] int8
     v_cache: jax.Array,
-    kv_scales: jax.Array,  # [2, L, pages, Nkv, P] f32
+    kv_scales: jax.Array,  # [2, L, pages, P, Nkv] f32
     layer_idx,
     k_new: jax.Array,  # [..., Nkv, Dh]
     v_new: jax.Array,
     dest_slot: jax.Array,  # [...] int32 global slot; <0 drops
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Quantize + scatter new K/V rows into layer ``layer_idx``."""
-    l, pages, nkv, p, dh = k_cache.shape
+    """Quantize + scatter new K/V token rows into layer ``layer_idx``.
+
+    Payload rows are [Nkv*Dh] int8 (1 KiB at 8x128) — wide enough for XLA's
+    in-place scatter. Scale rows are [Nkv] f32 (narrow; XLA may copy the
+    scales plane), but the scales array is ~1/128 the payload so a copy per
+    prefill-chunk layer is noise."""
+    l, pages, p, nkv, dh = k_cache.shape
     kq, ks = quantize_rows(k_new.reshape(-1, nkv, dh))  # [T,Nkv,Dh],[T,Nkv]
     vq, vs = quantize_rows(v_new.reshape(-1, nkv, dh))
     dest = dest_slot.reshape(-1)
-    page = dest // p
+    # multi-dim scatter with [Nkv, Dh] slices — no cache reshape (merging
+    # minor dims is not layout-compatible with TPU tiling; see
+    # ops/attention.py store_kv_layer).
+    lix = jnp.broadcast_to(jnp.asarray(layer_idx, dest.dtype), dest.shape)
+    page = jnp.where(dest >= 0, dest // p, -1)
     off = dest % p
-    head = jnp.arange(nkv, dtype=dest.dtype)
-    flat = (
-        ((layer_idx * pages + page)[:, None] * nkv + head[None, :]) * p
-        + off[:, None]
-    )  # [T, Nkv]
-    flat = jnp.where(dest[:, None] >= 0, flat, -1).reshape(-1)
-    k_out = (
-        k_cache.reshape(-1, dh).at[flat].set(kq.reshape(-1, dh), mode="drop")
-        .reshape(k_cache.shape)
-    )
-    v_out = (
-        v_cache.reshape(-1, dh).at[flat].set(vq.reshape(-1, dh), mode="drop")
-        .reshape(v_cache.shape)
-    )
-    sflat = kv_scales.reshape(2, -1)
-    sflat = sflat.at[0, flat].set(ks.reshape(-1), mode="drop")
-    sflat = sflat.at[1, flat].set(vs.reshape(-1), mode="drop")
-    return k_out, v_out, sflat.reshape(kv_scales.shape)
+    k_out = k_cache.at[lix, page, off].set(kq, mode="drop")
+    v_out = v_cache.at[lix, page, off].set(vq, mode="drop")
+    kv_scales = kv_scales.at[0, lix, page, off].set(ks, mode="drop")
+    kv_scales = kv_scales.at[1, lix, page, off].set(vs, mode="drop")
+    return k_out, v_out, kv_scales
 
 
 def store_kv_quant_decode(
-    k_cache: jax.Array,  # [L, pages, Nkv, P, Dh] int8
+    k_cache: jax.Array,  # [L, pages, P, Nkv, Dh] int8
     v_cache: jax.Array,
-    kv_scales: jax.Array,  # [2, L, pages, Nkv, P] f32
+    kv_scales: jax.Array,  # [2, L, pages, P, Nkv] f32
     layer_idx,
     k_new: jax.Array,  # [B, Nkv, Dh]
     v_new: jax.Array,
     dest_slot: jax.Array,  # [B] int32; <0 writes into trash page 0 slot 0
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Decode-path store: dynamic_update_slice per token.
+    """Decode-path store.
 
-    XLA's TPU scatter on int8 operands materializes a full cache copy even
-    when donated (~3 ms/layer at 3B scale); a fori_loop of
-    dynamic_update_slices stays in place (~75 us/layer for the whole batch).
-    The batch is small (<= max_decoding_seqs), so the sequential loop is
-    noise next to attention.
-    """
-    p = k_cache.shape[3]
+    Token-major rows are contiguous 1 KiB int8, so the payload scatter stays
+    in place (same path as the bf16 store). The narrow [Nkv] f32 scale rows
+    go through per-token dynamic_update_slices, which XLA keeps in place
+    where a narrow-row scatter would copy the whole scales plane."""
+    p = k_cache.shape[2]
     kq, ks = quantize_rows(k_new)  # [B, Nkv, Dh], [B, Nkv]
     vq, vs = quantize_rows(v_new)
+    dest = dest_slot.reshape(-1)
+    lix = jnp.broadcast_to(jnp.asarray(layer_idx, dest.dtype), dest.shape)
+    page = jnp.where(dest >= 0, dest // p, -1)
+    off = dest % p
+    k_out = k_cache.at[lix, page, off].set(kq, mode="drop")
+    v_out = v_cache.at[lix, page, off].set(vq, mode="drop")
 
-    def tok(t, carry):
-        kc, vc, sc = carry
+    def tok(t, sc):
         d = jnp.maximum(dest_slot[t], 0)  # <0 -> trash page 0, slot 0
         page, off = d // p, d % p
-        kc = jax.lax.dynamic_update_slice(
-            kc, kq[t][None, None, :, None, :], (layer_idx, page, 0, off, 0)
+        return jax.lax.dynamic_update_slice(
+            sc, jnp.stack([ks[t], vs[t]])[:, None, None, None, :],
+            (0, layer_idx, page, off, 0),
         )
-        vc = jax.lax.dynamic_update_slice(
-            vc, vq[t][None, None, :, None, :], (layer_idx, page, 0, off, 0)
-        )
-        sc = jax.lax.dynamic_update_slice(
-            sc, jnp.stack([ks[t], vs[t]])[:, None, None, :, None],
-            (0, layer_idx, page, 0, off),
-        )
-        return kc, vc, sc
 
-    return jax.lax.fori_loop(
-        0, k_new.shape[0], tok, (k_cache, v_cache, kv_scales)
-    )
+    scales = jax.lax.fori_loop(0, k_new.shape[0], tok, kv_scales)
+    return k_out, v_out, scales
 
 
 # ---------------------------------------------------------------------------

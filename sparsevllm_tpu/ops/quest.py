@@ -35,7 +35,7 @@ def init_page_meta(num_layers: int, num_pages: int, nkv: int, dh: int,
 
 def update_page_meta(
     meta: jax.Array,  # [2, L, pages, Nkv, Dh]
-    k_cache: jax.Array,  # [L, pages, Nkv, P, Dh]
+    k_cache: jax.Array,  # [L, pages, P, Nkv, Dh] (token-major)
     layer_idx,  # scalar
     pages: jax.Array,  # [N] page ids touched by this step's KV store
 ) -> jax.Array:
@@ -47,10 +47,10 @@ def update_page_meta(
     """
     layer_pages = jax.lax.dynamic_index_in_dim(
         k_cache, layer_idx, 0, keepdims=False
-    )[pages]  # [N, Nkv, P, Dh]
+    )[pages]  # [N, P, Nkv, Dh]
     kf = layer_pages.astype(meta.dtype)
-    mn = jnp.min(kf, axis=2)  # [N, Nkv, Dh]
-    mx = jnp.max(kf, axis=2)
+    mn = jnp.min(kf, axis=1)  # [N, Nkv, Dh]
+    mx = jnp.max(kf, axis=1)
     meta = meta.at[0, layer_idx, pages].set(mn)
     meta = meta.at[1, layer_idx, pages].set(mx)
     return meta

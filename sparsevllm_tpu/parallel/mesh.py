@@ -121,9 +121,9 @@ def param_shardings(params, mesh: Mesh):
 
 
 def kv_sharding(mesh: Mesh, kv_shape: tuple[int, ...]) -> NamedSharding:
-    """[L, pages, Nkv, P, Dh] sharded over kv heads on the model axis."""
+    """[L, pages, P, Nkv, Dh] sharded over kv heads on the model axis."""
     return NamedSharding(
-        mesh, _fit(P(None, None, MODEL, None, None), kv_shape, mesh, "kv_cache")
+        mesh, _fit(P(None, None, None, MODEL, None), kv_shape, mesh, "kv_cache")
     )
 
 
@@ -140,10 +140,10 @@ def shard_executor_state(ex) -> None:
     ex.v_cache = jax.device_put(ex.v_cache, kvs)
     ex.tables = jax.device_put(ex.tables, replicated(mesh))
     if getattr(ex, "kv_scales", None) is not None:
-        # [2, L, pages, Nkv, P] — kv heads on the model axis, like the cache
+        # [2, L, pages, P, Nkv] — kv heads on the model axis, like the cache
         ex.kv_scales = jax.device_put(
             ex.kv_scales,
-            NamedSharding(mesh, _fit(P(None, None, None, MODEL, None),
+            NamedSharding(mesh, _fit(P(None, None, None, None, MODEL),
                                      ex.kv_scales.shape, mesh, "kv_scales")),
         )
     if getattr(ex, "query_cache", None) is not None:

@@ -44,9 +44,9 @@ def quant_caches():
     """int8 caches + scales filled through the store path."""
     rng = np.random.default_rng(2)
     L, pages, Nkv, P, Dh = 2, 16, 2, 8, 128
-    kc = jnp.zeros((L, pages, Nkv, P, Dh), jnp.int8)
-    vc = jnp.zeros((L, pages, Nkv, P, Dh), jnp.int8)
-    scales = jnp.ones((2, L, pages, Nkv, P), jnp.float32)
+    kc = jnp.zeros((L, pages, P, Nkv, Dh), jnp.int8)
+    vc = jnp.zeros((L, pages, P, Nkv, Dh), jnp.int8)
+    scales = jnp.ones((2, L, pages, P, Nkv), jnp.float32)
     T = 64
     k_new = jnp.asarray(rng.normal(size=(T, Nkv, Dh)) * 2.0, jnp.float32)
     v_new = jnp.asarray(rng.normal(size=(T, Nkv, Dh)), jnp.float32)
@@ -110,7 +110,7 @@ def test_quantized_attention_close_to_fp(quant_caches):
         q, kc[0], vc[0], table, ctx, sm_scale=0.1, kv_scales=scales[:, 0],
     )
     # fp oracle: same K/V laid into an fp cache
-    kc_f = jnp.zeros((16, 2, P, 128), jnp.float32)
+    kc_f = jnp.zeros((16, P, 2, 128), jnp.float32)
     vc_f = jnp.zeros_like(kc_f)
     dest = jnp.arange(64, dtype=jnp.int32) + 8
     kc_f, vc_f = ref.store_kv(kc_f, vc_f, k_new, v_new, dest)

@@ -21,15 +21,15 @@ from sparsevllm_tpu.ops import prefill_attention as pf
 def caches():
     rng = np.random.default_rng(0)
     L, pages, Nkv, P, Dh = 3, 32, 2, 8, 128
-    kc = jnp.asarray(rng.normal(size=(L, pages, Nkv, P, Dh)), jnp.float32)
-    vc = jnp.asarray(rng.normal(size=(L, pages, Nkv, P, Dh)), jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(L, pages, P, Nkv, Dh)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(L, pages, P, Nkv, Dh)), jnp.float32)
     return kc, vc
 
 
 def test_decode_matches_ref(caches):
     kc, vc = caches
     rng = np.random.default_rng(1)
-    B, Nq, MP, P = 3, 4, 6, kc.shape[3]
+    B, Nq, MP, P = 3, 4, 6, kc.shape[2]
     q = jnp.asarray(rng.normal(size=(B, Nq, 128)), jnp.float32)
     table = jnp.asarray(rng.integers(1, kc.shape[1], size=(B, MP)), jnp.int32)
     ctx = jnp.asarray([5, 33, 48], jnp.int32)
@@ -45,7 +45,7 @@ def test_decode_matches_ref(caches):
 def test_decode_select_mask_matches_ref(caches):
     kc, vc = caches
     rng = np.random.default_rng(2)
-    B, Nq, MP, P = 3, 4, 6, kc.shape[3]
+    B, Nq, MP, P = 3, 4, 6, kc.shape[2]
     q = jnp.asarray(rng.normal(size=(B, Nq, 128)), jnp.float32)
     table = jnp.asarray(rng.integers(1, kc.shape[1], size=(B, MP)), jnp.int32)
     ctx = jnp.asarray([17, 40, 48], jnp.int32)
@@ -122,7 +122,7 @@ def test_decode_compacted_page_table_matches_ref(caches):
     page_pos must equal full attention restricted to those pages."""
     kc, vc = caches
     rng = np.random.default_rng(6)
-    B, Nq, MP, P = 2, 4, 8, kc.shape[3]
+    B, Nq, MP, P = 2, 4, 8, kc.shape[2]
     q = jnp.asarray(rng.normal(size=(B, Nq, 128)), jnp.float32)
     table = jnp.asarray(rng.integers(1, kc.shape[1], size=(B, MP)), jnp.int32)
     ctx = jnp.asarray([60, 44], jnp.int32)
