@@ -164,7 +164,7 @@ def main() -> None:
     ap.add_argument("--ctx", type=int, default=131072)
     ap.add_argument("--keep", type=int, default=4608)  # keep + recent window
     ap.add_argument("--impl", default="auto")
-    ap.add_argument("--page", type=int, default=64)
+    ap.add_argument("--page", type=int, default=128)
     ap.add_argument("--kv-dtype", default="auto",
                     help="auto | bfloat16 | int8 (KIVI-style quantized KV)")
     ap.add_argument("--smoke", action="store_true",
