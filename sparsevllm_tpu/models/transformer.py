@@ -323,7 +323,7 @@ def decode_forward(
     topk0 = jnp.zeros((b, dk_t), jnp.int32)
 
     def body(carry, xs):
-        h, kc, vc, sel, meta, scales, qcache, topk = carry
+        h, kc, vc, sel, meta, qcache, topk = carry
         li = xs["_layer_idx"]
         ctx = xs["_ctx"]  # [B]
         table_l = jax.lax.dynamic_index_in_dim(
@@ -343,11 +343,44 @@ def decode_forward(
                 qcache, li, q, row_ids, plan["qslot"]
             )
         if rt.kv_quant:
-            kc, vc, scales = quant_ops.store_kv_quant_decode(
-                kc, vc, scales, li, k, v, xs["_dest"]
+            # payload stored in-layer; SCALES are not (a per-layer scale
+            # write read back by the attention kernel forces XLA to copy
+            # the whole scales array per layer — see
+            # quant_ops.store_kv_quant_payload). The current token is
+            # excluded from the kernel (ctx-1) and merged exactly from its
+            # dequantized values; this step's scales batch-write after the
+            # layer scan.
+            kq, ks = quant_ops.quantize_rows(k)
+            vq, vs = quant_ops.quantize_rows(v)
+            kc, vc = quant_ops.store_kv_quant_payload(
+                kc, vc, li, kq, vq, xs["_dest"]
             )
+            k_cur = quant_ops.dequantize_rows(kq, ks).astype(q.dtype)
+            v_cur = quant_ops.dequantize_rows(vq, vs).astype(q.dtype)
+            step_scales = (ks, vs)
         else:
             kc, vc = attn_ops.store_kv_layer(kc, vc, li, k, v, xs["_dest"])
+            k_cur = v_cur = None
+            step_scales = None
+
+        def attend(q, table_a, ctx_a, select_mask=None, page_pos=None):
+            """Dense-family decode attention incl. the int8 current-token
+            merge (kv_scales is scan-INVARIANT: no in-scan writes)."""
+            if not rt.kv_quant:
+                out, _ = attn_ops.decode_attention(
+                    q, kc, vc, li, table_a, ctx_a, sm_scale=sm_scale,
+                    select_mask=select_mask, page_pos=page_pos,
+                    kv_scales=None, impl=rt.impl,
+                )
+                return out
+            out_h, m_h, l_h = attn_ops.decode_attention(
+                q, kc, vc, li, table_a, ctx_a - 1, sm_scale=sm_scale,
+                select_mask=select_mask, page_pos=page_pos,
+                kv_scales=kv_scales, impl=rt.impl, return_stats=True,
+            )
+            return attn_ops.merge_token_attention(
+                out_h, m_h, l_h, q, k_cur, v_cur, sm_scale=sm_scale,
+            )
 
         if rt.deltakv:
             is_full = xs["_is_full"]
@@ -417,19 +450,10 @@ def decode_forward(
                     sink_pages=-(-rt.sink_tokens // page_size),
                     recent_pages=-(-rt.recent_tokens // page_size) + 1,
                 )
-                out, _ = attn_ops.decode_attention(
-                    q, kc, vc, li, compact, ctx,
-                    sm_scale=sm_scale, page_pos=ppos, kv_scales=scales,
-                    impl=rt.impl,
-                )
-                return out
+                return attend(q, compact, ctx, page_pos=ppos)
 
             def dense_attn(q):
-                out, _ = attn_ops.decode_attention(
-                    q, kc, vc, li, table_l, ctx,
-                    sm_scale=sm_scale, kv_scales=scales, impl=rt.impl,
-                )
-                return out
+                return attend(q, table_l, ctx)
 
             # first quest_skip_layers layers stay dense
             # (reference quest.py build_decode_view:1270-1297).
@@ -439,11 +463,30 @@ def decode_forward(
         elif rt.decode_select:
             is_full = xs["_is_full"]
             select_mask = jnp.where(is_full, jnp.ones_like(sel), sel)
-            out, scores = attn_ops.decode_attention(
-                q, kc, vc, li, table_l, ctx,
-                sm_scale=sm_scale, emit_scores=True,
-                select_mask=select_mask, kv_scales=scales, impl=rt.impl,
-            )
+            if rt.kv_quant:
+                # obs-layer score emission runs the XLA ref path; patch
+                # the current token's scales into the gathered layer slice
+                # (the big array's entries for this step are written only
+                # after the layer scan).
+                dest = xs["_dest"]
+                pg = jnp.where(dest >= 0, dest // page_size, -1)
+                off = dest % page_size
+                lsc = jax.lax.dynamic_index_in_dim(kv_scales, li, 1, False)
+                lsc = lsc.at[0, pg, off].set(step_scales[0], mode="drop")
+                lsc = lsc.at[1, pg, off].set(step_scales[1], mode="drop")
+                out, scores = ref_ops.decode_attention_ref(
+                    q,
+                    jax.lax.dynamic_index_in_dim(kc, li, 0, False),
+                    jax.lax.dynamic_index_in_dim(vc, li, 0, False),
+                    table_l, ctx, sm_scale=sm_scale, emit_scores=True,
+                    select_mask=select_mask, kv_scales=lsc,
+                )
+            else:
+                out, scores = attn_ops.decode_attention(
+                    q, kc, vc, li, table_l, ctx,
+                    sm_scale=sm_scale, emit_scores=True,
+                    select_mask=select_mask, impl=rt.impl,
+                )
             def refresh(_):
                 return build_keep_mask(
                     scores, ctx, rt.sink_tokens, rt.recent_tokens,
@@ -451,24 +494,28 @@ def decode_forward(
                 )
             sel = jax.lax.cond(is_full, refresh, lambda _: sel, None)
         else:
-            out, _ = attn_ops.decode_attention(
-                q, kc, vc, li, table_l, ctx,
-                sm_scale=sm_scale, emit_scores=False, kv_scales=scales,
-                impl=rt.impl,
-            )
+            out = attend(q, table_l, ctx)
         attn_out = out.reshape(b, spec.q_dim) @ xs["wo"]
         h = h + attn_out
         x2 = rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
         h = h + _ffn(x2, xs, spec)
-        return (h, kc, vc, sel, meta, scales, qcache, topk), None
+        return (h, kc, vc, sel, meta, qcache, topk), step_scales
 
-    (h, k_cache, v_cache, _, quest_meta, kv_scales,
-     query_cache, _), _ = jax.lax.scan(
+    (h, k_cache, v_cache, _, quest_meta,
+     query_cache, _), step_scales = jax.lax.scan(
         body,
-        (h, k_cache, v_cache, sel0, quest_meta, kv_scales, query_cache,
-         topk0),
+        (h, k_cache, v_cache, sel0, quest_meta, query_cache, topk0),
         _layer_xs(params, spec, extra),
     )
+    if rt.kv_quant:
+        # ONE batched scale write for the whole step (all layers). In-scan
+        # writes would force a whole-array copy per layer once the
+        # attention kernel reads the scales (measured; see
+        # quant_ops.store_kv_quant_payload).
+        ks_all, vs_all = step_scales
+        kv_scales = quant_ops.scatter_scales_batch(
+            kv_scales, ks_all, vs_all, plan["dest_slot"]
+        )
     h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
     return k_cache, v_cache, h, quest_meta, kv_scales, query_cache
 

@@ -106,6 +106,7 @@ def decode_attention(
     page_pos: jax.Array | None = None,
     kv_scales=None,  # [2, L, pages, P, Nkv] f32 (int8 cache) or None
     impl: str = "ref",
+    return_stats: bool = False,
 ):
     if impl == "pallas":
         from . import paged_decode as pk
@@ -114,6 +115,7 @@ def decode_attention(
             q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
             sm_scale=sm_scale, emit_scores=emit_scores,
             select_mask=select_mask, page_pos=page_pos, kv_scales=kv_scales,
+            return_stats=return_stats,
         )
     lsc = None if kv_scales is None else kv_scales[:, layer_idx]
     return ref.decode_attention_ref(
@@ -122,5 +124,34 @@ def decode_attention(
         _layer_slice(v_cache, layer_idx),
         page_table, ctx_lens,
         sm_scale=sm_scale, emit_scores=emit_scores, select_mask=select_mask,
-        page_pos=page_pos, kv_scales=lsc,
+        page_pos=page_pos, kv_scales=lsc, return_stats=return_stats,
     )
+
+
+def merge_token_attention(
+    out_h, m_h, l_h,  # history attention (stats form) [B,Nq,Dh],[B,Nq],[B,Nq]
+    q,  # [B, Nq, Dh]
+    k_extra,  # [B, Nkv, Dh] fp values of the extra key (e.g. current token)
+    v_extra,  # [B, Nkv, Dh]
+    *,
+    sm_scale: float,
+):
+    """Exactly merge one extra key/value into a stats-form attention result.
+
+    softmax decomposition: with history (m, l, out) and one extra score s_c,
+        m_f = max(m, s_c); a = exp(m - m_f); e = exp(s_c - m_f)
+        out_f = (a*l*out + e*v) / (a*l + e)
+    Used by the int8 decode path to defer the current token (its scale is
+    batch-written after the layer scan; see models/transformer.py)."""
+    b, nq, dh = q.shape
+    nkv = k_extra.shape[1]
+    g = nq // nkv
+    kf = jnp.repeat(k_extra.astype(jnp.float32), g, axis=1)  # [B, Nq, Dh]
+    vf = jnp.repeat(v_extra.astype(jnp.float32), g, axis=1)
+    s_c = jnp.einsum("bhd,bhd->bh", q.astype(jnp.float32), kf) * sm_scale
+    m_f = jnp.maximum(m_h, s_c)
+    a = jnp.exp(m_h - m_f)
+    e = jnp.exp(s_c - m_f)
+    num = (a * l_h)[..., None] * out_h.astype(jnp.float32) + e[..., None] * vf
+    den = a * l_h + e
+    return (num / den[..., None]).astype(out_h.dtype)

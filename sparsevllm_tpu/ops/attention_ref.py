@@ -187,6 +187,7 @@ def decode_attention_ref(
     select_mask: jax.Array | None = None,  # [B, max_pages*P] bool, extra mask
     page_pos: jax.Array | None = None,  # [B, max_pages] logical page index
     kv_scales: jax.Array | None = None,  # [2, pages, P, Nkv] int8 dequant
+    return_stats: bool = False,
 ) -> tuple[jax.Array, jax.Array | None]:
     """Single-token decode attention over the paged cache.
 
@@ -225,6 +226,17 @@ def decode_attention_ref(
     if select_mask is not None:
         mask = mask & select_mask
     scores = jnp.where(mask[:, None, :], scores, NEG_INF)
+    if return_stats:
+        # unnormalized form matching the Pallas kernel's online-softmax
+        # state: m = running max, l = sumexp, out = acc / l
+        m = jnp.max(scores, axis=-1)  # [B, Nq]
+        e = jnp.exp(scores - m[:, :, None])
+        e = jnp.where(mask[:, None, :], e, 0.0)
+        l = jnp.sum(e, axis=-1)  # [B, Nq]
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
+        out = jnp.einsum("bhk,bhkd->bhd", e / l_safe[:, :, None],
+                         vals.astype(jnp.float32)).astype(q.dtype)
+        return out, m, l
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhk,bhkd->bhd", probs, vals.astype(jnp.float32))
     out = out.astype(q.dtype)

@@ -48,10 +48,12 @@ def _decode_kernel(
     q_ref,  # [1, Nq, Dh]
     k_ref,  # [1, 1, P, Nkv, Dh] (kv dtype or int8; token-major)
     v_ref,  # [1, 1, P, Nkv, Dh]
-    ks_ref,  # [1, 1, 1, 1, P*Nkv] f32 K scales, token-major flat (or None)
-    vs_ref,  # [1, 1, 1, 1, P*Nkv] f32 V scales, token-major flat (or None)
-    mask_ref,  # [1, 1, 1, P] int8 select mask (or None)
+    ks_ref,  # [1, 1, 1, P, Nkv] f32 K scales (or None)
+    vs_ref,  # [1, 1, 1, P, Nkv] f32 V scales (or None)
+    mask_ref,  # [1, 1, 1, P*Nkv] int8 select mask, pre-expanded (or None)
     out_ref,  # [1, Nq, Dh]
+    mo_ref,  # [1, Nq, 128] f32 final running max (or None)
+    lo_ref,  # [1, Nq, 128] f32 final sumexp (or None)
     # scratch
     acc_ref,  # [Nq, Dh] f32
     m_ref,  # [Nq, 128] f32 (running max, lane-replicated)
@@ -80,29 +82,31 @@ def _decode_kernel(
     def _compute():
         q = q_ref[0].astype(jnp.float32)  # [Nq, Dh]
         nkv = k_ref.shape[3]
-        k = k_ref[0, 0].astype(jnp.float32).reshape(
-            page_size * nkv, -1
-        )  # [P*Nkv, Dh]; row = offset*Nkv + h (token-major)
+        k3 = k_ref[0, 0].astype(jnp.float32)  # [P, Nkv, Dh]
+        if ks_ref is not None:
+            # fused int8 dequant of the WHOLE page: minor-singleton
+            # broadcast of the raw [P, Nkv] scale tile (Mosaic supports
+            # this; it rejects both flat-fold directions). Raw scale blocks
+            # keep the scales array free of outside reshapes — with scales
+            # in the megastep scan carry, XLA re-materialized a flat-view
+            # relayout per layer (~57 ms/step at 3B, measured).
+            k3 = k3 * ks_ref[0, 0, 0][:, :, None]
+        # ONE [Nq, P*Nkv] MXU matmul over the token-major page with a
+        # head-match mask (see module docstring) — wasted cross-head FLOPs
+        # are free, decode is HBM-bound.
+        k = k3.reshape(page_size * nkv, -1)  # row = offset*Nkv + h
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * sm_scale  # [Nq, P*Nkv]
-        if ks_ref is not None:
-            # fused int8 dequant: q.(k_int*sc) == (q.k_int)*sc per COLUMN.
-            # The scale row arrives pre-flattened token-major ([1, P*Nkv]) —
-            # a free XLA reshape outside the kernel; Mosaic cannot fold the
-            # [P, Nkv] sublane tile into lanes itself.
-            s = s * ks_ref[0, 0, 0]  # [1, P*Nkv] broadcasts over rows
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         off = col // nkv
         pos = logical_page * page_size + off
         valid = (row // groups == col % nkv) & (pos < ctx)
         if has_mask:
-            # mask element o applies to token offset o = col // Nkv of this
-            # page, any head; the mask arrives pre-expanded to [1, P*Nkv]
-            # outside the kernel (repeat_interleave by Nkv is free in XLA,
-            # awkward in Mosaic).
+            # mask pre-expanded to [1, P*Nkv] outside the kernel
+            # (repeat_interleave by Nkv: free in XLA, awkward here).
             valid = valid & (mask_ref[0, 0].astype(jnp.int32) != 0)
         s = jnp.where(valid, s, NEG_INF)
 
@@ -111,15 +115,13 @@ def _decode_kernel(
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)  # [Nq, P*Nkv]
-        p_num = p
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+        v3 = v_ref[0, 0].astype(jnp.float32)  # [P, Nkv, Dh]
         if vs_ref is not None:
-            # p@(v_int*sc) == (p*sc)@v_int per column — numerator ONLY;
-            # the softmax denominator l stays the raw exp sum.
-            p_num = p * vs_ref[0, 0, 0]
-        v = v_ref[0, 0].astype(jnp.float32).reshape(page_size * nkv, -1)
+            v3 = v3 * vs_ref[0, 0, 0][:, :, None]
+        v = v3.reshape(page_size * nkv, -1)
         pv = jax.lax.dot_general(
-            p_num, v, (((1,), (0,)), ((), ())),
+            p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Nq, Dh] (cross-head lanes are zero in p)
         acc_ref[:] = acc_ref[:] * alpha + pv
@@ -133,11 +135,15 @@ def _decode_kernel(
         l = l_ref[:, :1]
         l_safe = jnp.where(l <= 0.0, 1.0, l)
         out_ref[0] = (acc_ref[:] / l_safe).astype(out_ref.dtype)
+        if mo_ref is not None:
+            mo_ref[0] = m_ref[:]
+            lo_ref[0] = l_ref[:]
 
 
-def _make_kernel(has_mask: bool, quantized: bool, **kw):
+def _make_kernel(has_mask: bool, quantized: bool, stats: bool, **kw):
     """Bind the optional-ref layout: blocks arrive positionally in in_specs
-    order [q, k, v, (ks, vs), (mask)], then out, then 3 scratch refs."""
+    order [q, k, v, (ks, vs), (mask)], then outputs [out, (m, l)], then 3
+    scratch refs."""
 
     def kern(lidx_ref, table_ref, ctx_ref, ppos_ref, q_ref, k_ref, v_ref,
              *rest):
@@ -145,11 +151,15 @@ def _make_kernel(has_mask: bool, quantized: bool, **kw):
         ks_ref = rest.pop(0) if quantized else None
         vs_ref = rest.pop(0) if quantized else None
         mask_ref = rest.pop(0) if has_mask else None
-        out_ref, acc_ref, m_ref, l_ref = rest
+        if stats:
+            out_ref, mo_ref, lo_ref, acc_ref, m_ref, l_ref = rest
+        else:
+            out_ref, acc_ref, m_ref, l_ref = rest
+            mo_ref = lo_ref = None
         _decode_kernel(
             lidx_ref, table_ref, ctx_ref, ppos_ref, q_ref, k_ref, v_ref,
-            ks_ref, vs_ref, mask_ref, out_ref, acc_ref, m_ref, l_ref,
-            has_mask=has_mask, **kw,
+            ks_ref, vs_ref, mask_ref, out_ref, mo_ref, lo_ref,
+            acc_ref, m_ref, l_ref, has_mask=has_mask, **kw,
         )
 
     return kern
@@ -158,6 +168,7 @@ def _make_kernel(has_mask: bool, quantized: bool, **kw):
 def _decode_pallas_impl(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
     page_pos=None, kv_scales=None, *, sm_scale, interpret=False,
+    return_stats=False,
 ):
     b, nq, dh = q.shape
     l, pages, p, nkv, _ = k_cache.shape
@@ -183,24 +194,23 @@ def _decode_pallas_impl(
     ]
     args = [q, k_cache, v_cache]
     if quantized:
-        # free XLA view: [2, L, pages, P, Nkv] -> [2, L, pages, 1, P*Nkv]
-        # (contiguous, token-major lanes match the kernel's key columns).
-        flat_scales = kv_scales.reshape(2, l, pages, 1, p * nkv)
-
+        # RAW [P, Nkv] scale blocks (full array dims — legal). No outside
+        # flat view: with scales in the megastep scan carry, XLA would
+        # re-materialize the [.., 1, P*Nkv] relayout per layer.
         def ks_imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
             return (0, lidx_ref[0], table_ref[bb, i], 0, 0)
 
         def vs_imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
             return (1, lidx_ref[0], table_ref[bb, i], 0, 0)
 
-        in_specs.append(pl.BlockSpec((1, 1, 1, 1, p * nkv), ks_imap,
+        in_specs.append(pl.BlockSpec((1, 1, 1, p, nkv), ks_imap,
                                      memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((1, 1, 1, 1, p * nkv), vs_imap,
+        in_specs.append(pl.BlockSpec((1, 1, 1, p, nkv), vs_imap,
                                      memory_space=pltpu.VMEM))
-        args.extend([flat_scales, flat_scales])
+        args.extend([kv_scales, kv_scales])
     if has_mask:
-        # pre-expand token mask to key columns (token-major: o*Nkv+h);
-        # singleton sublane dim satisfies the block==array tile rule
+        # pre-expand the token mask to the P*Nkv key columns (token-major:
+        # o*Nkv+h; repeat_interleave is free in XLA, awkward in Mosaic)
         in_specs.append(
             pl.BlockSpec((1, 1, 1, p * nkv), lambda bb, i, *_: (bb, i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -210,14 +220,23 @@ def _decode_pallas_impl(
         )
         args.append(mask_cols)
 
+    out_specs = pl.BlockSpec(
+        (1, nq, dh), lambda bb, i, *_: (bb, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((b, nq, dh), q.dtype)
+    if return_stats:
+        stat_spec = pl.BlockSpec(
+            (1, nq, 128), lambda bb, i, *_: (bb, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        stat_shape = jax.ShapeDtypeStruct((b, nq, 128), jnp.float32)
+        out_specs = [out_specs, stat_spec, stat_spec]
+        out_shape = [out_shape, stat_shape, stat_shape]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b, mp),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, nq, dh), lambda bb, i, *_: (bb, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((nq, dh), jnp.float32),
             pltpu.VMEM((nq, 128), jnp.float32),
@@ -225,12 +244,13 @@ def _decode_pallas_impl(
         ],
     )
     kernel = _make_kernel(
-        has_mask, quantized, sm_scale=sm_scale, page_size=p, groups=g,
+        has_mask, quantized, return_stats,
+        sm_scale=sm_scale, page_size=p, groups=g,
     )
-    out = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nq, dh), q.dtype),
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * nq * mp * p * nkv * dh,
@@ -238,47 +258,57 @@ def _decode_pallas_impl(
             transcendentals=b * nq * mp * p * nkv,
         ),
     )(lidx, page_table, ctx_lens, page_pos.astype(jnp.int32), *args)
-    return out
+    if return_stats:
+        out, m, l = res
+        return out, m[:, :, 0], l[:, :, 0]
+    return res
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "interpret")
+    jax.jit, static_argnames=("sm_scale", "interpret", "return_stats")
 )
 def _decode_pallas_nomask(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, page_pos=None,
-    kv_scales=None, *, sm_scale, interpret=False,
+    kv_scales=None, *, sm_scale, interpret=False, return_stats=False,
 ):
     return _decode_pallas_impl(
         q, k_cache, v_cache, layer_idx, page_table, ctx_lens, None,
         page_pos, kv_scales, sm_scale=sm_scale, interpret=interpret,
+        return_stats=return_stats,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "interpret")
+    jax.jit, static_argnames=("sm_scale", "interpret", "return_stats")
 )
 def _decode_pallas_mask(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
-    kv_scales=None, *, sm_scale, interpret=False,
+    kv_scales=None, *, sm_scale, interpret=False, return_stats=False,
 ):
     return _decode_pallas_impl(
         q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
         None, kv_scales, sm_scale=sm_scale, interpret=interpret,
+        return_stats=return_stats,
     )
 
 
 def decode_attention_pallas(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
     *, sm_scale, emit_scores=False, select_mask=None, page_pos=None,
-    kv_scales=None, interpret=None,
+    kv_scales=None, interpret=None, return_stats=False,
 ):
     """Dispatcher-facing API (matches ops.attention.decode_attention).
 
     Score emission runs via the XLA reference path (observation layers only).
+    With ``return_stats`` returns (out, m, l) — the online-softmax running
+    max and sumexp per (seq, q head) — so callers can exactly merge extra
+    key/value contributions outside the kernel (int8 decode defers the
+    current token this way; see models/transformer.py).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if emit_scores:
+        assert not return_stats
         def _layer(c):
             return jax.lax.dynamic_index_in_dim(c, layer_idx, 0,
                                                 keepdims=False)
@@ -289,13 +319,17 @@ def decode_attention_pallas(
             kv_scales=lsc,
         )
     if select_mask is not None:
-        out = _decode_pallas_mask(
+        res = _decode_pallas_mask(
             q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
             select_mask, kv_scales, sm_scale=sm_scale, interpret=interpret,
+            return_stats=return_stats,
         )
     else:
-        out = _decode_pallas_nomask(
+        res = _decode_pallas_nomask(
             q, k_cache, v_cache, layer_idx, page_table, ctx_lens, page_pos,
             kv_scales, sm_scale=sm_scale, interpret=interpret,
+            return_stats=return_stats,
         )
-    return out, None
+    if return_stats:
+        return res  # (out, m, l)
+    return res, None

@@ -70,41 +70,48 @@ def store_kv_quant_layer(
     return k_out, v_out, kv_scales
 
 
-def store_kv_quant_decode(
+def store_kv_quant_payload(
     k_cache: jax.Array,  # [L, pages, P, Nkv, Dh] int8
     v_cache: jax.Array,
-    kv_scales: jax.Array,  # [2, L, pages, P, Nkv] f32
     layer_idx,
-    k_new: jax.Array,  # [B, Nkv, Dh]
-    v_new: jax.Array,
-    dest_slot: jax.Array,  # [B] int32; <0 writes into trash page 0 slot 0
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Decode-path store.
+    kq: jax.Array,  # [B, Nkv, Dh] int8 (already quantized)
+    vq: jax.Array,
+    dest_slot: jax.Array,  # [B] int32; <0 drops
+) -> tuple[jax.Array, jax.Array]:
+    """Decode-path int8 PAYLOAD store (token-major rows scatter in place).
 
-    Token-major rows are contiguous 1 KiB int8, so the payload scatter stays
-    in place (same path as the bf16 store). The narrow [Nkv] f32 scale rows
-    go through per-token dynamic_update_slices, which XLA keeps in place
-    where a narrow-row scatter would copy the whole scales plane."""
+    Scales are deliberately NOT written here: any per-layer write to the
+    scales array that a pallas_call then reads in the same scan forces XLA
+    to copy the whole scales array per layer (~57-100 ms/step at 3B,
+    measured). The decode path batches all layers' scale writes into one
+    scatter after the layer scan and merges the current token's attention
+    contribution analytically (models/transformer.py,
+    ops/attention.merge_token_attention)."""
     p = k_cache.shape[2]
-    kq, ks = quantize_rows(k_new)  # [B, Nkv, Dh], [B, Nkv]
-    vq, vs = quantize_rows(v_new)
     dest = dest_slot.reshape(-1)
     lix = jnp.broadcast_to(jnp.asarray(layer_idx, dest.dtype), dest.shape)
     page = jnp.where(dest >= 0, dest // p, -1)
     off = dest % p
     k_out = k_cache.at[lix, page, off].set(kq, mode="drop")
     v_out = v_cache.at[lix, page, off].set(vq, mode="drop")
+    return k_out, v_out
 
-    def tok(t, sc):
-        d = jnp.maximum(dest_slot[t], 0)  # <0 -> trash page 0, slot 0
-        page, off = d // p, d % p
-        return jax.lax.dynamic_update_slice(
-            sc, jnp.stack([ks[t], vs[t]])[:, None, None, None, :],
-            (0, layer_idx, page, off, 0),
-        )
 
-    scales = jax.lax.fori_loop(0, k_new.shape[0], tok, kv_scales)
-    return k_out, v_out, scales
+def scatter_scales_batch(
+    kv_scales: jax.Array,  # [2, L, pages, P, Nkv] f32
+    ks_all: jax.Array,  # [L, B, Nkv] per-layer K scales of this step
+    vs_all: jax.Array,  # [L, B, Nkv]
+    dest_slots: jax.Array,  # [L, B] int32; <0 drops
+) -> jax.Array:
+    """One batched scale write for a whole decode step (all layers)."""
+    l, b, nkv = ks_all.shape
+    p = kv_scales.shape[3]
+    lix = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32)[:, None], (l, b))
+    page = jnp.where(dest_slots >= 0, dest_slots // p, -1)
+    off = dest_slots % p
+    kv_scales = kv_scales.at[0, lix, page, off].set(ks_all, mode="drop")
+    kv_scales = kv_scales.at[1, lix, page, off].set(vs_all, mode="drop")
+    return kv_scales
 
 
 # ---------------------------------------------------------------------------
