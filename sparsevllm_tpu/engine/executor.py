@@ -122,6 +122,7 @@ class ModelExecutor:
         )
         self.query_cache = None
         self.steer_vec = None
+        self.last_logprobs = None  # set by run_prefill/run_decode
         if self._rt.record_queries:
             from ..ops import rkv as rkv_ops
 
@@ -279,8 +280,9 @@ class ModelExecutor:
 
     # ------------------------------------------------------------- step fns
 
-    def _get_prefill_fn(self, bb: int, sb: int, mp: int, mode: str):
-        key = ("prefill", bb, sb, mp, mode)
+    def _get_prefill_fn(self, bb: int, sb: int, mp: int, mode: str,
+                        nlp: int = -1):
+        key = ("prefill", bb, sb, mp, mode, nlp)
         fn = self._fn_cache.get(key)
         if fn is not None:
             return fn
@@ -300,7 +302,9 @@ class ModelExecutor:
                 logits, plan["temps"], plan["top_k"], plan["top_p"], key,
                 mode=mode,
             )
-            return kc, vc, meta, scales, tokens, obs
+            lps = (sampler_ops.token_logprobs(logits, tokens, nlp)
+                   if nlp >= 0 else None)
+            return kc, vc, meta, scales, tokens, obs, lps
 
         donate = [1, 2]
         if rt.quest:
@@ -313,8 +317,8 @@ class ModelExecutor:
         return fn
 
     def _get_decode_fn(self, bb: int, mp: int, k: int, mode: str,
-                       mpr: int = 0):
-        key = ("decode", bb, mp, k, mode, mpr)
+                       mpr: int = 0, nlp: int = -1):
+        key = ("decode", bb, mp, k, mode, mpr, nlp)
         fn = self._fn_cache.get(key)
         if fn is not None:
             return fn
@@ -355,14 +359,18 @@ class ModelExecutor:
                     logits, plan["temps"], plan["top_k"], plan["top_p"],
                     jax.random.fold_in(base_key, t), mode=mode,
                 )
-                return (kc, vc, meta, scales, qcache, tok2), tok2
+                ys = tok2
+                if nlp >= 0:
+                    ys = (tok2,) + sampler_ops.token_logprobs(
+                        logits, tok2, nlp)
+                return (kc, vc, meta, scales, qcache, tok2), ys
 
             (kc, vc, meta, scales, qcache, _), toks = jax.lax.scan(
                 body,
                 (kc, vc, meta, scales, qcache, plan["token_ids0"]),
                 jnp.arange(k, dtype=jnp.int32),
             )
-            return kc, vc, meta, scales, qcache, toks  # [k, B]
+            return kc, vc, meta, scales, qcache, toks  # [k, B] (+ lp ys)
 
         donate = [1, 2]
         if rt.quest:
@@ -403,7 +411,17 @@ class ModelExecutor:
             mode = "temp_only"
         else:
             mode = "full"
-        return temps, top_k, top_p, mode
+        # static logprobs bucket (jit key): -1 = disabled; else the max
+        # requested top-N across the batch, bucketed to multiples of 5 so a
+        # mixed batch doesn't fragment the jit cache.
+        nlp = -1
+        for s in seqs:
+            lp = s.sampling_params.logprobs
+            if lp is not None:
+                nlp = max(nlp, int(lp))
+        if nlp > 0:
+            nlp = -(-nlp // 5) * 5
+        return temps, top_k, top_p, mode, nlp
 
     def run_prefill(
         self,
@@ -431,7 +449,7 @@ class ModelExecutor:
             dest[i, :c] = dests[i]
             new_lens[i] = c
             ctx[i] = ctx_lens_tokens[i]
-        temps, top_k, top_p, mode = self._sampling_arrays(seqs, bb)
+        temps, top_k, top_p, mode, nlp = self._sampling_arrays(seqs, bb)
         host_plan = {
             "token_ids": token_ids,
             "positions": positions,
@@ -453,13 +471,21 @@ class ModelExecutor:
             host_plan["touched_pages"] = tp
         plan = self._put_plan(host_plan, "prefill")
         self._step_counter += 1
-        fn = self._get_prefill_fn(bb, sb, mp, mode)
+        fn = self._get_prefill_fn(bb, sb, mp, mode, nlp)
         with profiler.record("prefill_step"):
             (self.k_cache, self.v_cache, self.quest_meta, self.kv_scales,
-             tokens, obs) = fn(
+             tokens, obs, lps) = fn(
                 self.params, self.k_cache, self.v_cache, self.quest_meta,
                 self.kv_scales, self.tables, plan,
             )
+        self.last_logprobs = None
+        if lps is not None:
+            lp, tids, tlps = lps
+            self.last_logprobs = {
+                "lp": np.asarray(lp)[:b],  # [B]
+                "top_ids": np.asarray(tids)[:b],  # [B, N]
+                "top_lps": np.asarray(tlps)[:b],
+            }
         return np.asarray(tokens)[:b], obs
 
     def run_decode(
@@ -487,7 +513,7 @@ class ModelExecutor:
                 else seq.prompt_token_ids[-1]
             )
             positions[i] = seq.num_tokens - 1
-        temps, top_k, top_p, mode = self._sampling_arrays(seqs, bb)
+        temps, top_k, top_p, mode, nlp = self._sampling_arrays(seqs, bb)
         host_plan = {
             "token_ids0": token_ids,
             "positions0": positions,
@@ -519,15 +545,26 @@ class ModelExecutor:
                 ),
                 mp,
             )
-        fn = self._get_decode_fn(bb, mp, k, mode, mpr)
+        fn = self._get_decode_fn(bb, mp, k, mode, mpr, nlp)
         with profiler.record("decode_step"):
             (self.k_cache, self.v_cache, self.quest_meta, self.kv_scales,
-             self.query_cache, tokens) = fn(
+             self.query_cache, ys) = fn(
                 self.params, self.k_cache, self.v_cache, self.quest_meta,
                 self.kv_scales, self.query_cache, self.dk_state,
                 self.dk_comp, self.tables, plan,
             )
-        tokens.copy_to_host_async()
+        self.last_logprobs = None
+        if nlp >= 0:
+            tokens, lp, tids, tlps = ys
+            tokens.copy_to_host_async()
+            self.last_logprobs = {
+                "lp": np.asarray(lp).T[:b],  # [B, k]
+                "top_ids": np.asarray(tids).transpose(1, 0, 2)[:b],
+                "top_lps": np.asarray(tlps).transpose(1, 0, 2)[:b],
+            }
+        else:
+            tokens = ys
+            tokens.copy_to_host_async()
         return np.asarray(tokens).T[:b]  # [B, k]
 
     # ---------------------------------------------------- deltakv compression

@@ -97,6 +97,9 @@ class HybridExecutor(ModelExecutor):
         self.steer_vec = None
         self.dk_state = None
         self.dk_comp = None
+        # logprobs for hybrid decode are staged for a later round; the
+        # engine reads this attribute after every step
+        self.last_logprobs = None
 
     # ------------------------------------------------------------- step fns
 
@@ -202,7 +205,7 @@ class HybridExecutor(ModelExecutor):
             new_lens[i] = c
             ctx[i] = ctx_lens_tokens[i]
             fresh[i] = start == 0
-        temps, top_k, top_p, mode = self._sampling_arrays(seqs, bb)
+        temps, top_k, top_p, mode, _nlp = self._sampling_arrays(seqs, bb)
         plan = self._put_plan(
             {
                 "token_ids": token_ids, "positions": positions,
@@ -241,7 +244,7 @@ class HybridExecutor(ModelExecutor):
                 if seq.completion_token_ids else seq.prompt_token_ids[-1]
             )
             positions[i] = seq.num_tokens - 1
-        temps, top_k, top_p, mode = self._sampling_arrays(seqs, bb)
+        temps, top_k, top_p, mode, _nlp = self._sampling_arrays(seqs, bb)
         plan = self._put_plan(
             {
                 "token_ids0": token_ids, "positions0": positions,

@@ -36,6 +36,10 @@ class RequestOutput:
     output_token_ids: list[int]
     finish_reason: str | None
     text: str = ""
+    # per-token logprob of each output token + top-N alternatives (only when
+    # SamplingParams.logprobs is set)
+    logprobs: list[float] | None = None
+    top_logprobs: list[dict[int, float]] | None = None
 
 
 def _device_hbm_bytes() -> int:
@@ -338,7 +342,9 @@ class LLMEngine:
         self.kv.on_prefill_chunk_end(
             seqs, final=bool(finishing)
         )
-        finished = self.scheduler.postprocess(batch, tokens)
+        finished = self.scheduler.postprocess(
+            batch, tokens, self.executor.last_logprobs
+        )
         self._finalize(finished)
         return [(s, list(s.last_step_tokens)) for s in seqs]
 
@@ -362,7 +368,9 @@ class LLMEngine:
             seqs, dest, ctx_start, rows, comp_counts=comp
         )
         self.kv.on_decode_step_end(seqs)
-        finished = self.scheduler.postprocess(batch, tokens)
+        finished = self.scheduler.postprocess(
+            batch, tokens, self.executor.last_logprobs
+        )
         self._finalize(finished)
         # rkv/skipkv periodic joint eviction (reference rkv.py decode-time
         # compression; here eviction == compaction, see executor.rkv_evict)
@@ -383,6 +391,9 @@ class LLMEngine:
                 out.finish_reason = (
                     seq.finish_reason.value if seq.finish_reason else None
                 )
+                if seq.sampling_params.logprobs is not None:
+                    out.logprobs = list(seq.completion_logprobs)
+                    out.top_logprobs = list(seq.completion_top_logprobs)
 
     # ------------------------------------------------------------- generate
 

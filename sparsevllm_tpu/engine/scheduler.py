@@ -250,13 +250,16 @@ class Scheduler:
     # ---------------------------------------------------------- postprocess
 
     def postprocess(
-        self, batch: ScheduledBatch, sampled_tokens
+        self, batch: ScheduledBatch, sampled_tokens, logprobs=None
     ) -> list[Sequence]:
         """Apply step results; returns newly finished sequences (reference
         scheduler.py:665-709).
 
         ``sampled_tokens`` is [B] (prefill) or [B, k] (decode megastep); a
         sequence finishing at step t < k discards the remaining tokens.
+        ``logprobs`` (optional) is the executor's last_logprobs dict with
+        "lp" [B(,k)], "top_ids"/"top_lps" [B(,k),N]; entries are attached to
+        sequences whose sampling params request logprobs.
         """
         finished: list[Sequence] = []
         for i, seq in enumerate(batch.seqs):
@@ -270,9 +273,29 @@ class Scheduler:
             else:
                 row = sampled_tokens[i]
                 step_tokens = [int(t) for t in np.atleast_1d(row)]
-            for token in step_tokens:
+            want_lp = (
+                logprobs is not None
+                and seq.sampling_params.logprobs is not None
+            )
+            for j, token in enumerate(step_tokens):
                 seq.completion_token_ids.append(token)
                 seq.last_step_tokens.append(token)
+                if want_lp:
+                    lp_row = logprobs["lp"][i]
+                    ids_row = logprobs["top_ids"][i]
+                    lps_row = logprobs["top_lps"][i]
+                    if lp_row.ndim:  # decode megastep: [k] / [k, N]
+                        lp_j, ids_j, lps_j = (
+                            lp_row[j], ids_row[j], lps_row[j]
+                        )
+                    else:  # prefill: scalar / [N]
+                        lp_j, ids_j, lps_j = lp_row, ids_row, lps_row
+                    n = seq.sampling_params.logprobs
+                    seq.completion_logprobs.append(float(lp_j))
+                    seq.completion_top_logprobs.append({
+                        int(t): float(v)
+                        for t, v in zip(ids_j[:n], lps_j[:n])
+                    })
                 if self._check_finish(seq, token):
                     finished.append(seq)
                     break

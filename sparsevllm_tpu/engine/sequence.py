@@ -47,6 +47,12 @@ class Sequence:
     row: int = -1  # KV row assigned by the cache manager; -1 = none
     # tokens newly produced in the current step (for streaming)
     last_step_tokens: list[int] = field(default_factory=list)
+    # per-completion-token logprob data (only when sampling_params.logprobs
+    # is set; reference model_runner.py:912-945 logprobs RPC)
+    completion_logprobs: list[float] = field(default_factory=list)
+    completion_top_logprobs: list[dict[int, float]] = field(
+        default_factory=list
+    )
 
     @property
     def num_prompt_tokens(self) -> int:

@@ -149,12 +149,19 @@ class OpenAIServer:
         parts: list[str] = []
         n_tokens = 0
         finish = None
+        all_tokens: list[int] = []
+        all_lps: list[float] = []
+        all_top: list[dict[int, float]] = []
         try:
             async for text, delta in self._generate(
                 prompt_ids, req.sampling, req.request_id
             ):
                 parts.append(text)
                 n_tokens += len(delta.token_ids)
+                if req.sampling.logprobs is not None:
+                    all_tokens.extend(delta.token_ids)
+                    all_lps.extend(delta.logprobs or [])
+                    all_top.extend(delta.top_logprobs or [])
                 if delta.finished:
                     finish = delta.finish_reason
         except RuntimeError as e:
@@ -167,6 +174,10 @@ class OpenAIServer:
         )
         out["object"] = "text_completion"
         out["usage"] = proto.usage_dict(len(prompt_ids), n_tokens)
+        if req.sampling.logprobs is not None:
+            out["choices"][0]["logprobs"] = proto.completion_logprobs(
+                all_tokens, all_lps, all_top, self.tokenizer
+            )
         return web.json_response(out)
 
     async def chat_completions(self, request: web.Request) -> web.StreamResponse:

@@ -39,6 +39,9 @@ class StreamDelta:
     finished: bool
     finish_reason: str | None = None
     error: str | None = None
+    # aligned with token_ids when the request asked for logprobs, else None
+    logprobs: list[float] | None = None
+    top_logprobs: list[dict[int, float]] | None = None
 
 
 class AsyncEngineDispatcher:
@@ -171,12 +174,19 @@ class AsyncEngineDispatcher:
                         continue
                     fin = seq.is_finished
                     if new_tokens or fin:
+                        lp = tlp = None
+                        if (seq.sampling_params.logprobs is not None
+                                and new_tokens):
+                            lp = seq.completion_logprobs[-len(new_tokens):]
+                            tlp = seq.completion_top_logprobs[
+                                -len(new_tokens):]
                         self._push(
                             req,
                             StreamDelta(
                                 new_tokens, fin,
                                 seq.finish_reason.value
                                 if seq.finish_reason else None,
+                                logprobs=lp, top_logprobs=tlp,
                             ),
                         )
                     if fin:

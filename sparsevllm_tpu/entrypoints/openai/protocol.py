@@ -50,6 +50,17 @@ def sampling_from_request(body: dict, default_max_tokens: int = 1024) -> Samplin
         raise ProtocolError("stop must be a string or list of strings")
     seed = body.get("seed")
     ignore_eos = bool(body.get("ignore_eos", False))
+    # completions: integer "logprobs"; chat: "logprobs": true +
+    # "top_logprobs": N (OpenAI schema)
+    logprobs = body.get("logprobs")
+    if logprobs is True:
+        logprobs = _get(body, "top_logprobs", int, 0)
+    elif logprobs is False:
+        logprobs = None
+    if logprobs is not None and not isinstance(logprobs, int):
+        raise ProtocolError("logprobs must be an integer or true")
+    if isinstance(logprobs, int) and not 0 <= logprobs <= 20:
+        raise ProtocolError("logprobs must be in [0, 20]")
     return SamplingParams(
         temperature=temperature,
         top_p=top_p,
@@ -58,6 +69,7 @@ def sampling_from_request(body: dict, default_max_tokens: int = 1024) -> Samplin
         stop=stop_strs,
         seed=seed if isinstance(seed, int) else None,
         ignore_eos=ignore_eos,
+        logprobs=logprobs if isinstance(logprobs, int) else None,
     )
 
 
@@ -159,3 +171,31 @@ def usage_dict(prompt_tokens: int, completion_tokens: int) -> dict:
 
 def now() -> int:
     return int(time.time())
+
+
+def completion_logprobs(token_ids: list[int], lps: list[float],
+                        tops: list[dict[int, float]], tokenizer) -> dict:
+    """OpenAI completions `logprobs` object (tokens / token_logprobs /
+    top_logprobs / text_offset). Token ids render as strings via the
+    tokenizer when available (reference serving logprobs formatting)."""
+    def tok_str(t: int) -> str:
+        if tokenizer is None:
+            return f"token_id:{t}"
+        return tokenizer.decode([t])
+
+    tokens = [tok_str(t) for t in token_ids]
+    offsets = []
+    pos = 0
+    for t in tokens:
+        offsets.append(pos)
+        pos += len(t)
+    top_out = [
+        {tok_str(t): lp for t, lp in d.items()} if d else None
+        for d in tops
+    ] if tops else None
+    return {
+        "tokens": tokens,
+        "token_logprobs": [float(x) for x in lps],
+        "top_logprobs": top_out,
+        "text_offset": offsets,
+    }

@@ -75,3 +75,22 @@ def sample(
 
 def greedy(logits: jax.Array) -> jax.Array:
     return jnp.argmax(logits.astype(jnp.float32), axis=-1).astype(jnp.int32)
+
+
+def token_logprobs(
+    logits: jax.Array,  # [B, V] float
+    token_ids: jax.Array,  # [B] int32 (the sampled tokens)
+    num_top: int,  # static top-N bucket; 0 allowed (sampled-token lp only)
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Log-probabilities for API logprobs output.
+
+    Returns (lp [B] f32 — logprob of token_ids under the model distribution
+    (raw-logit log-softmax, matching the reference's logprobs semantics,
+    model_runner.py:912-945), top_ids [B, max(num_top,1)] int32,
+    top_lps [B, max(num_top,1)] f32). num_top is a STATIC jit-key bucket the
+    executor derives from the batch (max requested logprobs)."""
+    lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    lp = jnp.take_along_axis(lsm, token_ids[:, None], axis=-1)[:, 0]
+    n = max(num_top, 1)
+    top_lps, top_ids = jax.lax.top_k(lsm, n)
+    return lp, top_ids.astype(jnp.int32), top_lps
