@@ -67,7 +67,8 @@ def _smoke_spec():
 
 
 def run(batch: int, steps: int, ctx: int, keep: int, impl: str,
-        smoke: bool = False, kv_dtype: str = "auto", page: int = 64) -> dict:
+        smoke: bool = False, kv_dtype: str = "auto", page: int = 64,
+        method: str = "snapkv") -> dict:
     import jax
 
     from sparsevllm_tpu.config import Config
@@ -88,10 +89,19 @@ def run(batch: int, steps: int, ctx: int, keep: int, impl: str,
           file=sys.stderr)
 
     warmup_tokens = 4 * 32  # 4 warmup dispatches below, k=32 each
-    pages_per_seq = -(-(keep + steps + warmup_tokens + page) // page)
+    # snapkv: rows hold `keep` compacted tokens. omnikv/vanilla: the FULL
+    # context stays resident (logical selection only).
+    resident = keep if method == "snapkv" else ctx
+    pages_per_seq = -(-(resident + steps + warmup_tokens + page) // page)
     num_pages = batch * pages_per_seq + 2
+    extra = {}
+    if method == "snapkv":
+        extra["prefill_keep_tokens"] = keep
+    elif method == "omnikv":
+        extra["full_attn_layers"] = (0, 1)
+        extra["decode_keep_tokens"] = keep
     cfg = Config(
-        method="snapkv",
+        method=method if method != "vanilla" else "",
         dtype="bfloat16",
         page_size=page,
         num_kv_pages=num_pages,
@@ -100,12 +110,12 @@ def run(batch: int, steps: int, ctx: int, keep: int, impl: str,
         max_num_batched_tokens=65536,
         max_decoding_seqs=max(batch, 1),
         max_num_seqs_in_batch=max(batch, 1),
-        prefill_keep_tokens=keep,
         kv_cache_dtype=kv_dtype,
         attention_impl=impl,
         decode_context_bucket_base=1024,
         # long generations amortize dispatch + token-fetch latency
         decode_steps_per_dispatch=32,
+        **extra,
     )
     params = init_params(spec, seed=0, dtype="bfloat16",
                          distribution="zeros")
@@ -120,7 +130,7 @@ def run(batch: int, steps: int, ctx: int, keep: int, impl: str,
         s = Sequence([1] * ctx, SamplingParams(temperature=0.0,
                                                max_tokens=steps + 16))
         kv.alloc_row(s)
-        kv.alloc_prefill(s, keep)
+        kv.alloc_prefill(s, resident)
         s.num_prefilled_tokens = ctx
         s.completion_token_ids.append(1)
         seqs.append(s)
@@ -150,7 +160,7 @@ def run(batch: int, steps: int, ctx: int, keep: int, impl: str,
     tok_s = batch * n_dispatch * k / dt
     suffix = "_int8" if kv_dtype == "int8" else ""
     return {
-        "metric": f"decode_tok_s_{ctx // 1024}k_snapkv{suffix}",
+        "metric": f"decode_tok_s_{ctx // 1024}k_{method}{suffix}",
         "value": round(tok_s, 1),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
@@ -165,6 +175,8 @@ def main() -> None:
     ap.add_argument("--keep", type=int, default=4608)  # keep + recent window
     ap.add_argument("--impl", default="auto")
     ap.add_argument("--page", type=int, default=128)
+    ap.add_argument("--method", default="snapkv",
+                    help="snapkv | omnikv | vanilla (resident-KV methods)")
     ap.add_argument("--kv-dtype", default="auto",
                     help="auto | bfloat16 | int8 (KIVI-style quantized KV)")
     ap.add_argument("--smoke", action="store_true",
@@ -180,7 +192,7 @@ def main() -> None:
         try:
             result = run(args.batch, args.steps, args.ctx, args.keep, impl,
                          smoke=args.smoke, kv_dtype=args.kv_dtype,
-                         page=args.page)
+                         page=args.page, method=args.method)
             break
         except Exception as e:  # noqa: BLE001
             last_err = e

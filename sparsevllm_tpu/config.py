@@ -165,6 +165,10 @@ class Config:
     pyramidkv_beta: int = 20
 
     # --- omnikv / quest knobs (config.py:653-655) --------------------------
+    # OmniKV decode reads: False = page-compacted tables bounded by the keep
+    # budget (TPU-first; HBM reads proportional to the budget); True = the
+    # reference's exact full-width logical token mask (streams the context).
+    omnikv_exact_mask: bool = False
     full_attn_layers: tuple[int, ...] = ()
     quest_page_size: int = 16
     quest_skip_layers: int = 2

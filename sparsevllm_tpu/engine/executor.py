@@ -99,6 +99,7 @@ class ModelExecutor:
             obs_window=config.snapkv_obs_window,
             score_pooling=config.snapkv_kernel_size,
             decode_select=config.method == "omnikv",
+            select_exact_mask=config.omnikv_exact_mask,
             select_keep=config.decode_keep_tokens,
             sink_tokens=config.num_sink_tokens,
             recent_tokens=config.num_recent_tokens,

@@ -54,6 +54,10 @@ class StepRuntime:
     # and refresh a keep-mask that sparse layers attend through
     # (reference sparse_controller.on_layer_end:542-625).
     decode_select: bool = False
+    # OmniKV decode reads: False (default) = page-compacted tables bounded
+    # by the keep budget; True = exact full-width token mask (streams the
+    # whole context; the reference's logical-masking semantics verbatim).
+    select_exact_mask: bool = False
     select_keep: int = 0
     sink_tokens: int = 0
     recent_tokens: int = 0
@@ -163,6 +167,37 @@ def _layer_xs(params, spec: ModelSpec, extra: dict | None = None):
     if extra:
         xs.update(extra)
     return xs
+
+
+def compact_keep_pages(
+    sel: jax.Array,  # [B, MP*P] bool keep mask (token granularity)
+    ctx_lens: jax.Array,  # [B]
+    keep_pages: int,  # static page budget
+    page_size: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-`keep_pages` pages by kept-token count -> (page_pos [B, KP],
+    compact token mask [B, KP*P]).
+
+    TPU adaptation of OmniKV's fused keep-slot tables
+    (triton_kernel/omnikv_fused.py:81-147 build_omnikv_keep_and_slots): the
+    reference gathers kept tokens into slot tables; a TPU kernel wants
+    whole pages, so decode reads only the pages that CONTAIN kept tokens —
+    HBM traffic is bounded by the keep budget instead of the full context.
+    Pages are ranked by kept-token count; the keep budget plus sink/recent
+    spans at most ceil(keep/P)+ceil(sink/P)+ceil(recent/P)+2 pages when
+    tokens cluster, and the page budget adds slack for scatter (tokens
+    beyond the page budget are dropped — the mask-over-all-pages path
+    remains available via omnikv_exact_mask)."""
+    b, k = sel.shape
+    mp = k // page_size
+    pos = jnp.arange(k, dtype=jnp.int32)[None, :]
+    in_ctx = pos < ctx_lens[:, None]
+    counts = (sel & in_ctx).reshape(b, mp, page_size).sum(axis=2)  # [B, MP]
+    _, ppos = jax.lax.top_k(counts, keep_pages)  # [B, KP] logical pages
+    cmask = jnp.take_along_axis(
+        (sel & in_ctx).reshape(b, mp, page_size), ppos[:, :, None], axis=1
+    ).reshape(b, keep_pages * page_size)
+    return ppos.astype(jnp.int32), cmask
 
 
 def build_keep_mask(
@@ -323,7 +358,7 @@ def decode_forward(
     topk0 = jnp.zeros((b, dk_t), jnp.int32)
 
     def body(carry, xs):
-        h, kc, vc, sel, meta, qcache, topk = carry
+        h, kc, vc, sel, have_sel, meta, qcache, topk = carry
         li = xs["_layer_idx"]
         ctx = xs["_ctx"]  # [B]
         table_l = jax.lax.dynamic_index_in_dim(
@@ -462,49 +497,88 @@ def decode_forward(
             )
         elif rt.decode_select:
             is_full = xs["_is_full"]
-            select_mask = jnp.where(is_full, jnp.ones_like(sel), sel)
-            if rt.kv_quant:
-                # obs-layer score emission runs the XLA ref path; patch
-                # the current token's scales into the gathered layer slice
-                # (the big array's entries for this step are written only
-                # after the layer scan).
-                dest = xs["_dest"]
-                pg = jnp.where(dest >= 0, dest // page_size, -1)
-                off = dest % page_size
-                lsc = jax.lax.dynamic_index_in_dim(kv_scales, li, 1, False)
-                lsc = lsc.at[0, pg, off].set(step_scales[0], mode="drop")
-                lsc = lsc.at[1, pg, off].set(step_scales[1], mode="drop")
-                out, scores = ref_ops.decode_attention_ref(
-                    q,
-                    jax.lax.dynamic_index_in_dim(kc, li, 0, False),
-                    jax.lax.dynamic_index_in_dim(vc, li, 0, False),
-                    table_l, ctx, sm_scale=sm_scale, emit_scores=True,
-                    select_mask=select_mask, kv_scales=lsc,
-                )
-            else:
-                out, scores = attn_ops.decode_attention(
+            kp_sel = min(
+                -(-rt.select_keep // page_size)
+                + -(-rt.sink_tokens // page_size)
+                + -(-rt.recent_tokens // page_size) + 4,
+                mp_bucket,
+            )
+
+            def obs_attn(q):
+                """Observation (full) layer: dense + score emission (XLA
+                ref path; obs layers are a small static subset)."""
+                if rt.kv_quant:
+                    # patch the current token's scales into the gathered
+                    # layer slice (the big array's entries for this step
+                    # are written only after the layer scan).
+                    dest = xs["_dest"]
+                    pg = jnp.where(dest >= 0, dest // page_size, -1)
+                    off = dest % page_size
+                    lsc = jax.lax.dynamic_index_in_dim(
+                        kv_scales, li, 1, False)
+                    lsc = lsc.at[0, pg, off].set(step_scales[0],
+                                                 mode="drop")
+                    lsc = lsc.at[1, pg, off].set(step_scales[1],
+                                                 mode="drop")
+                    return ref_ops.decode_attention_ref(
+                        q,
+                        jax.lax.dynamic_index_in_dim(kc, li, 0, False),
+                        jax.lax.dynamic_index_in_dim(vc, li, 0, False),
+                        table_l, ctx, sm_scale=sm_scale, emit_scores=True,
+                        kv_scales=lsc,
+                    )
+                # pallas impl emits scores in the SAME sweep (per-page raw
+                # expsums + late normalization, ops/paged_decode.py) —
+                # replaces the ref-path gather that dominated OmniKV decode.
+                return attn_ops.decode_attention(
                     q, kc, vc, li, table_l, ctx,
-                    sm_scale=sm_scale, emit_scores=True,
-                    select_mask=select_mask, impl=rt.impl,
+                    sm_scale=sm_scale, emit_scores=True, impl=rt.impl,
                 )
+
+            def sparse_attn(q):
+                """Selected layer: page-compacted reads bounded by the keep
+                budget (PERF: a full-width masked read streams the whole
+                context). Falls back to the full masked read until the
+                first obs-layer refresh of this step (sel starts all-ones)
+                or when configured exact."""
+                def full_masked(q):
+                    return attend(q, table_l, ctx, select_mask=sel)
+
+                if rt.select_exact_mask:
+                    out = full_masked(q)
+                else:
+                    def compacted(q):
+                        ppos, cmask = compact_keep_pages(
+                            sel, ctx, kp_sel, page_size)
+                        compact = jnp.take_along_axis(table_l, ppos, axis=1)
+                        return attend(q, compact, ctx, select_mask=cmask,
+                                      page_pos=ppos)
+
+                    out = jax.lax.cond(have_sel, compacted, full_masked, q)
+                return out, jnp.zeros((b, k_tokens), jnp.float32)
+
+            out, scores = jax.lax.cond(is_full, obs_attn, sparse_attn, q)
+
             def refresh(_):
                 return build_keep_mask(
                     scores, ctx, rt.sink_tokens, rt.recent_tokens,
                     min(rt.select_keep, k_tokens),
                 )
             sel = jax.lax.cond(is_full, refresh, lambda _: sel, None)
+            have_sel = have_sel | is_full
         else:
             out = attend(q, table_l, ctx)
         attn_out = out.reshape(b, spec.q_dim) @ xs["wo"]
         h = h + attn_out
         x2 = rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
         h = h + _ffn(x2, xs, spec)
-        return (h, kc, vc, sel, meta, qcache, topk), step_scales
+        return (h, kc, vc, sel, have_sel, meta, qcache, topk), step_scales
 
-    (h, k_cache, v_cache, _, quest_meta,
+    (h, k_cache, v_cache, _, _, quest_meta,
      query_cache, _), step_scales = jax.lax.scan(
         body,
-        (h, k_cache, v_cache, sel0, quest_meta, query_cache, topk0),
+        (h, k_cache, v_cache, sel0, jnp.zeros((), bool), quest_meta,
+         query_cache, topk0),
         _layer_xs(params, spec, extra),
     )
     if rt.kv_quant:

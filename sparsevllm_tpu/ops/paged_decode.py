@@ -54,6 +54,8 @@ def _decode_kernel(
     out_ref,  # [1, Nq, Dh]
     mo_ref,  # [1, Nq, 128] f32 final running max (or None)
     lo_ref,  # [1, Nq, 128] f32 final sumexp (or None)
+    raw_ref,  # [1, 1, Nq, P] f32 per-page raw token expsums (or None)
+    mraw_ref,  # [1, 1, Nq, 128] f32 running max AT this page (or None)
     # scratch
     acc_ref,  # [Nq, Dh] f32
     m_ref,  # [Nq, 128] f32 (running max, lane-replicated)
@@ -129,6 +131,30 @@ def _decode_kernel(
             l_prev * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape
         )
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        if raw_ref is not None:
+            # per-page raw token expsums under THIS page's running max;
+            # outside pass rescales by exp(m_page - m_final)/l_final and
+            # sums over q heads (score emission without a second K sweep).
+            # fold [Nq, P*Nkv] -> [Nq, P] with a 0/1 matmul (Mosaic cannot
+            # reshape lanes into sublanes).
+            er = jax.lax.broadcasted_iota(
+                jnp.int32, (page_size * nkv, page_size), 0)
+            ec = jax.lax.broadcasted_iota(
+                jnp.int32, (page_size * nkv, page_size), 1)
+            fold = (er // nkv == ec).astype(jnp.float32)
+            raw_ref[0, 0] = jax.lax.dot_general(
+                p, fold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            mraw_ref[0, 0] = jnp.broadcast_to(m_new, mraw_ref.shape[2:])
+
+    @pl.when(logical_page * page_size >= ctx)
+    def _skip_scores():
+        # pages past the context emit nothing (the outside rescale treats
+        # NEG_INF page-max as zero contribution)
+        if raw_ref is not None:
+            raw_ref[0, 0] = jnp.zeros_like(raw_ref[0, 0])
+            mraw_ref[0, 0] = jnp.full_like(mraw_ref[0, 0], NEG_INF)
 
     @pl.when(i == num_chunks - 1)
     def _finish():
@@ -140,10 +166,11 @@ def _decode_kernel(
             lo_ref[0] = l_ref[:]
 
 
-def _make_kernel(has_mask: bool, quantized: bool, stats: bool, **kw):
+def _make_kernel(has_mask: bool, quantized: bool, stats: bool,
+                 raw: bool, **kw):
     """Bind the optional-ref layout: blocks arrive positionally in in_specs
-    order [q, k, v, (ks, vs), (mask)], then outputs [out, (m, l)], then 3
-    scratch refs."""
+    order [q, k, v, (ks, vs), (mask)], then outputs
+    [out, (m, l), (raw, mraw)], then 3 scratch refs."""
 
     def kern(lidx_ref, table_ref, ctx_ref, ppos_ref, q_ref, k_ref, v_ref,
              *rest):
@@ -151,15 +178,17 @@ def _make_kernel(has_mask: bool, quantized: bool, stats: bool, **kw):
         ks_ref = rest.pop(0) if quantized else None
         vs_ref = rest.pop(0) if quantized else None
         mask_ref = rest.pop(0) if has_mask else None
-        if stats:
-            out_ref, mo_ref, lo_ref, acc_ref, m_ref, l_ref = rest
-        else:
-            out_ref, acc_ref, m_ref, l_ref = rest
-            mo_ref = lo_ref = None
+        out_ref = rest.pop(0)
+        mo_ref = rest.pop(0) if stats else None
+        lo_ref = rest.pop(0) if stats else None
+        raw_ref = rest.pop(0) if raw else None
+        mraw_ref = rest.pop(0) if raw else None
+        acc_ref, m_ref, l_ref = rest
         _decode_kernel(
             lidx_ref, table_ref, ctx_ref, ppos_ref, q_ref, k_ref, v_ref,
             ks_ref, vs_ref, mask_ref, out_ref, mo_ref, lo_ref,
-            acc_ref, m_ref, l_ref, has_mask=has_mask, **kw,
+            raw_ref, mraw_ref, acc_ref, m_ref, l_ref,
+            has_mask=has_mask, **kw,
         )
 
     return kern
@@ -168,8 +197,10 @@ def _make_kernel(has_mask: bool, quantized: bool, stats: bool, **kw):
 def _decode_pallas_impl(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
     page_pos=None, kv_scales=None, *, sm_scale, interpret=False,
-    return_stats=False,
+    return_stats=False, emit_raw=False,
 ):
+    if emit_raw:
+        return_stats = True
     b, nq, dh = q.shape
     l, pages, p, nkv, _ = k_cache.shape
     mp = page_table.shape[1]
@@ -232,6 +263,16 @@ def _decode_pallas_impl(
         stat_shape = jax.ShapeDtypeStruct((b, nq, 128), jnp.float32)
         out_specs = [out_specs, stat_spec, stat_spec]
         out_shape = [out_shape, stat_shape, stat_shape]
+    if emit_raw:
+        out_specs.append(pl.BlockSpec(
+            (1, 1, nq, p), lambda bb, i, *_: (bb, i, 0, 0),
+            memory_space=pltpu.VMEM))
+        out_specs.append(pl.BlockSpec(
+            (1, 1, nq, 128), lambda bb, i, *_: (bb, i, 0, 0),
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, mp, nq, p), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((b, mp, nq, 128),
+                                              jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(b, mp),
@@ -244,7 +285,7 @@ def _decode_pallas_impl(
         ],
     )
     kernel = _make_kernel(
-        has_mask, quantized, return_stats,
+        has_mask, quantized, return_stats, emit_raw,
         sm_scale=sm_scale, page_size=p, groups=g,
     )
     res = pl.pallas_call(
@@ -258,6 +299,18 @@ def _decode_pallas_impl(
             transcendentals=b * nq * mp * p * nkv,
         ),
     )(lidx, page_table, ctx_lens, page_pos.astype(jnp.int32), *args)
+    if emit_raw:
+        out, m, l, raw, mraw = res
+        m1, l1 = m[:, :, 0], l[:, :, 0]  # [B, Nq]
+        # late normalization: scores[b, t] = sum_r raw * exp(m_page - m_fin)
+        # / l_fin, summed over q heads (exact softmax; skipped pages carry
+        # m_page = -inf -> 0)
+        corr = jnp.exp(mraw[:, :, :, 0] - m1[:, None, :])  # [B, MP, Nq]
+        l_safe = jnp.where(l1 <= 0.0, 1.0, l1)
+        scores = jnp.einsum(
+            "binp,bin->bip", raw, corr / l_safe[:, None, :]
+        ).reshape(b, mp * p)
+        return out, scores
     if return_stats:
         out, m, l = res
         return out, m[:, :, 0], l[:, :, 0]
@@ -265,16 +318,18 @@ def _decode_pallas_impl(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "interpret", "return_stats")
+    jax.jit,
+    static_argnames=("sm_scale", "interpret", "return_stats", "emit_raw"),
 )
 def _decode_pallas_nomask(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, page_pos=None,
     kv_scales=None, *, sm_scale, interpret=False, return_stats=False,
+    emit_raw=False,
 ):
     return _decode_pallas_impl(
         q, k_cache, v_cache, layer_idx, page_table, ctx_lens, None,
         page_pos, kv_scales, sm_scale=sm_scale, interpret=interpret,
-        return_stats=return_stats,
+        return_stats=return_stats, emit_raw=emit_raw,
     )
 
 
@@ -309,6 +364,14 @@ def decode_attention_pallas(
         interpret = jax.default_backend() != "tpu"
     if emit_scores:
         assert not return_stats
+        if kv_scales is None and select_mask is None and page_pos is None:
+            # single-sweep score emission: per-page raw expsums + late
+            # normalization (obs layers; replaces the ref-path gather)
+            return _decode_pallas_nomask(
+                q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
+                None, None, sm_scale=sm_scale, interpret=interpret,
+                emit_raw=True,
+            )
         def _layer(c):
             return jax.lax.dynamic_index_in_dim(c, layer_idx, 0,
                                                 keepdims=False)
@@ -333,3 +396,124 @@ def decode_attention_pallas(
     if return_stats:
         return res  # (out, m, l)
     return res, None
+
+
+# ---------------------------------------------------------------------------
+# Observation-layer score pass (OmniKV/DeltaKV full layers): head-summed
+# softmax token probabilities, computed in a second K-only sweep using the
+# final online-softmax stats (m, l) from the main kernel. Replaces the XLA
+# ref-path gather (which materializes [B, Nq, K, Dh] and dominated OmniKV
+# decode: 31 tok/s obs-bound vs 40 tok/s fully dense at 64K bs1).
+# ---------------------------------------------------------------------------
+
+
+def _score_kernel(
+    lidx_ref, table_ref, ctx_ref, ppos_ref,  # scalar prefetch
+    q_ref,  # [1, Nq, Dh]
+    k_ref,  # [1, 1, P, Nkv, Dh]
+    m_ref,  # [1, Nq, 128] final running max (lane-replicated)
+    l_ref,  # [1, Nq, 128] final sumexp
+    out_ref,  # [1, 1, 8, P] f32; row 0 = head-summed token probabilities
+    *,
+    sm_scale: float,
+    page_size: int,
+    groups: int,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    ctx = ctx_ref[b]
+    logical_page = ppos_ref[b, i]
+
+    out_ref[0, 0] = jnp.zeros_like(out_ref[0, 0])
+
+    @pl.when(logical_page * page_size < ctx)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)  # [Nq, Dh]
+        nkv = k_ref.shape[3]
+        k = k_ref[0, 0].astype(jnp.float32).reshape(page_size * nkv, -1)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale  # [Nq, P*Nkv]
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        pos = logical_page * page_size + col // nkv
+        valid = (row // groups == col % nkv) & (pos < ctx)
+        m = m_ref[0, :, :1]  # [Nq, 1]
+        l = l_ref[0, :, :1]
+        l_safe = jnp.where(l <= 0.0, 1.0, l)
+        probs = jnp.where(valid, jnp.exp(s - m), 0.0) / l_safe
+        # fold [Nq, P*Nkv] -> token sums [Nq, P] with a 0/1 matmul (Mosaic
+        # cannot reshape lanes into sublanes), then reduce over q heads.
+        er = jax.lax.broadcasted_iota(jnp.int32, (page_size * nkv,
+                                                  page_size), 0)
+        ec = jax.lax.broadcasted_iota(jnp.int32, (page_size * nkv,
+                                                  page_size), 1)
+        fold = (er // nkv == ec).astype(jnp.float32)
+        tok = jax.lax.dot_general(
+            probs, fold, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Nq, P]
+        tok_sum = jnp.sum(tok, axis=0, keepdims=True)  # [1, P]
+        out_ref[0, 0] = jnp.broadcast_to(
+            tok_sum, out_ref.shape[2:]
+        ) * (jax.lax.broadcasted_iota(
+            jnp.int32, out_ref.shape[2:], 0) == 0)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def decode_scores_pallas(
+    q, k_cache, layer_idx, page_table, ctx_lens, m, l,
+    *, sm_scale, interpret=False,
+):
+    """Head-summed softmax token scores [B, MP*P] fp32 (K-only sweep).
+
+    ``m``/``l`` are the final online-softmax stats from the main decode
+    kernel (return_stats). Semantics match decode_attention_ref's
+    emit_scores output.
+    """
+    b, nq, dh = q.shape
+    lnum, pages, p, nkv, _ = k_cache.shape
+    mp = page_table.shape[1]
+    g = nq // nkv
+    lidx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+    ppos = jnp.broadcast_to(jnp.arange(mp, dtype=jnp.int32)[None, :],
+                            (b, mp))
+
+    def kv_imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
+        return (lidx_ref[0], table_ref[bb, i], 0, 0, 0)
+
+    m3 = jnp.broadcast_to(m[:, :, None], (b, nq, 128)).astype(jnp.float32)
+    l3 = jnp.broadcast_to(l[:, :, None], (b, nq, 128)).astype(jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, mp),
+        in_specs=[
+            pl.BlockSpec((1, nq, dh), lambda bb, i, *_: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p, nkv, dh), kv_imap,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, 128), lambda bb, i, *_: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, 128), lambda bb, i, *_: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 8, p), lambda bb, i, *_: (bb, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[],
+    )
+    raw = pl.pallas_call(
+        functools.partial(_score_kernel, sm_scale=sm_scale, page_size=p,
+                          groups=g),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, mp, 8, p), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nq * mp * p * nkv * dh,
+            bytes_accessed=b * nkv * mp * p * dh * k_cache.dtype.itemsize,
+            transcendentals=b * nq * mp * p * nkv,
+        ),
+    )(lidx, page_table, ctx_lens, ppos, q, k_cache, m3, l3)
+    return raw[:, :, 0, :].reshape(b, mp * p)

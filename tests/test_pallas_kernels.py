@@ -143,3 +143,71 @@ def test_decode_compacted_page_table_matches_ref(caches):
         select_mask=jnp.asarray(mask),
     )
     np.testing.assert_allclose(out_p, out_r, atol=2e-5)
+
+
+def test_decode_score_pass_matches_ref(caches):
+    """Score pass (stats-form K-only sweep) == ref emit_scores."""
+    kc, vc = caches
+    rng = np.random.default_rng(7)
+    B, Nq, MP = 3, 4, 6
+    q = jnp.asarray(rng.normal(size=(B, Nq, 128)), jnp.float32)
+    table = jnp.asarray(rng.integers(1, kc.shape[1], size=(B, MP)), jnp.int32)
+    ctx = jnp.asarray([17, 40, 48], jnp.int32)
+    out_s, m, l = pd.decode_attention_pallas(
+        q, kc, vc, 1, table, ctx, sm_scale=0.088, interpret=True,
+        return_stats=True,
+    )
+    scores_p = pd.decode_scores_pallas(
+        q, kc, 1, table, ctx, m, l, sm_scale=0.088, interpret=True,
+    )
+    out_r, scores_r = ref.decode_attention_ref(
+        q, kc[1], vc[1], table, ctx, sm_scale=0.088, emit_scores=True,
+    )
+    np.testing.assert_allclose(out_s, out_r, atol=2e-5)
+    np.testing.assert_allclose(scores_p, scores_r, atol=2e-5)
+
+
+def test_decode_stats_merge_matches_full(caches):
+    """(out,m,l) over ctx-1 merged with the excluded token == full ref."""
+    from sparsevllm_tpu.ops import attention as attn_ops
+
+    kc, vc = caches
+    rng = np.random.default_rng(8)
+    B, Nq, Nkv, MP, P = 2, 4, kc.shape[3], 4, kc.shape[2]
+    q = jnp.asarray(rng.normal(size=(B, Nq, 128)), jnp.float32)
+    table = jnp.asarray(rng.integers(1, kc.shape[1], size=(B, MP)), jnp.int32)
+    ctx = jnp.asarray([13, 25], jnp.int32)
+    out_h, m, l = pd.decode_attention_pallas(
+        q, kc, vc, 0, table, ctx - 1, sm_scale=0.1, interpret=True,
+        return_stats=True,
+    )
+    # the "current token" = the cache entry at position ctx-1
+    last = ctx - 1
+    pg = jnp.take_along_axis(table, (last // P)[:, None], axis=1)[:, 0]
+    k_cur = kc[0][pg, last % P]  # [B, Nkv, Dh]
+    v_cur = vc[0][pg, last % P]
+    merged = attn_ops.merge_token_attention(
+        out_h, m, l, q, k_cur, v_cur, sm_scale=0.1)
+    out_full, _ = ref.decode_attention_ref(
+        q, kc[0], vc[0], table, ctx, sm_scale=0.1)
+    np.testing.assert_allclose(merged, out_full, atol=2e-5)
+
+
+def test_decode_emit_scores_single_sweep_matches_ref(caches):
+    """emit_scores through the pallas path (raw expsums + late
+    normalization) == ref emit_scores."""
+    kc, vc = caches
+    rng = np.random.default_rng(9)
+    B, Nq, MP = 3, 4, 6
+    q = jnp.asarray(rng.normal(size=(B, Nq, 128)), jnp.float32)
+    table = jnp.asarray(rng.integers(1, kc.shape[1], size=(B, MP)), jnp.int32)
+    ctx = jnp.asarray([17, 40, 48], jnp.int32)
+    out_p, scores_p = pd.decode_attention_pallas(
+        q, kc, vc, 2, table, ctx, sm_scale=0.088, emit_scores=True,
+        interpret=True,
+    )
+    out_r, scores_r = ref.decode_attention_ref(
+        q, kc[2], vc[2], table, ctx, sm_scale=0.088, emit_scores=True,
+    )
+    np.testing.assert_allclose(out_p, out_r, atol=2e-5)
+    np.testing.assert_allclose(scores_p, scores_r, atol=2e-5)

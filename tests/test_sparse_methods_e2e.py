@@ -188,6 +188,24 @@ def test_omnikv_loose_budget_equals_dense(hf_model):
         assert o.output_token_ids == hf_greedy(model, p, 6)
 
 
+def test_omnikv_exact_mask_equals_dense(hf_model):
+    """The reference-verbatim full-width mask path (omnikv_exact_mask) must
+    match dense at loose budgets, like the default compacted path."""
+    cfg, model = hf_model
+    engine = LLM(
+        sparse_method="omnikv",
+        full_attention_layers=(0,),
+        decode_keep_tokens=512,
+        sink_keep_tokens=8, recent_keep_tokens=16,
+        omnikv_exact_mask=True,
+        **BASE,
+    )
+    prompts = prompts_for(cfg, (60, 130))
+    outs = engine.generate(prompt_token_ids=prompts, sampling_params=GREEDY)
+    for p, o in zip(prompts, outs):
+        assert o.output_token_ids == hf_greedy(model, p, 6)
+
+
 def test_omnikv_tight_budget_runs(hf_model):
     cfg, _ = hf_model
     engine = LLM(
