@@ -1,0 +1,138 @@
+"""Scoring metrics for the quality benchmarks (LongBench/SCBench families).
+
+Pure-python re-expressions of the reference benchmark metrics
+(benchmark/ LongBench scoring: qa_f1_score, rouge_score, classification
+accuracy, retrieval accuracy, code_sim) — no external deps (the reference
+uses rouge/fuzzywuzzy wheels; rouge-L and token-F1 are small enough to
+implement directly, and identical formulas keep scores comparable).
+"""
+
+from __future__ import annotations
+
+import re
+import string
+from collections import Counter
+
+
+def normalize_answer(s: str) -> str:
+    """Lower, strip punctuation/articles/extra whitespace (SQuAD-style)."""
+    s = s.lower()
+    s = "".join(ch for ch in s if ch not in set(string.punctuation))
+    s = re.sub(r"\b(a|an|the)\b", " ", s)
+    return " ".join(s.split())
+
+
+def qa_f1_score(prediction: str, ground_truth: str) -> float:
+    """Token-level F1 after normalization (LongBench qa_f1_score)."""
+    pred = normalize_answer(prediction).split()
+    gold = normalize_answer(ground_truth).split()
+    common = Counter(pred) & Counter(gold)
+    num_same = sum(common.values())
+    if num_same == 0:
+        return 0.0
+    precision = num_same / len(pred)
+    recall = num_same / len(gold)
+    return 2 * precision * recall / (precision + recall)
+
+
+def _lcs_len(a: list[str], b: list[str]) -> int:
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0]
+        for j, y in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if x == y else max(prev[j], cur[-1]))
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l_score(prediction: str, ground_truth: str) -> float:
+    """ROUGE-L F-measure over whitespace tokens (summarization tasks)."""
+    pred = normalize_answer(prediction).split()
+    gold = normalize_answer(ground_truth).split()
+    lcs = _lcs_len(pred, gold)
+    if lcs == 0:
+        return 0.0
+    p = lcs / len(pred)
+    r = lcs / len(gold)
+    return 2 * p * r / (p + r)
+
+
+def classification_score(prediction: str, ground_truth: str,
+                         all_classes: list[str] | None = None) -> float:
+    """LongBench classification: gold label present in the prediction, with
+    longer distractor labels that contain the gold excluded."""
+    em_match_list = []
+    prediction = prediction.lstrip("\n").split("\n")[0]
+    for cls in all_classes or []:
+        if cls.lower() in prediction.lower():
+            em_match_list.append(cls)
+    for match in list(em_match_list):
+        if match != ground_truth and ground_truth.lower() in match.lower():
+            em_match_list.remove(match)
+    if ground_truth in em_match_list:
+        return 1.0 / len(em_match_list)
+    return 0.0
+
+
+def retrieval_score(prediction: str, ground_truth: str) -> float:
+    """Passage-retrieval: the gold paragraph number appears in the answer."""
+    gold = re.findall(r"\d+", ground_truth)
+    if not gold:
+        return float(normalize_answer(ground_truth)
+                     in normalize_answer(prediction))
+    found = re.findall(r"\d+", prediction)
+    return float(gold[0] in found)
+
+
+def code_sim_score(prediction: str, ground_truth: str) -> float:
+    """Code completion (lcc/repobench): similarity of the first meaningful
+    line (reference uses fuzz.ratio; difflib ratio is the stdlib analogue)."""
+    import difflib
+
+    pred_lines = [
+        line for line in prediction.lstrip("\n").split("\n")
+        if line.strip() and not line.strip().startswith("#")
+    ]
+    pred = pred_lines[0] if pred_lines else ""
+    return difflib.SequenceMatcher(
+        None, pred.strip(), ground_truth.strip()
+    ).ratio()
+
+
+def exact_match_score(prediction: str, ground_truth: str) -> float:
+    return float(normalize_answer(prediction) == normalize_answer(ground_truth))
+
+
+DATASET2METRIC = {
+    # LongBench task -> metric (reference benchmark/ dataset2metric map)
+    "narrativeqa": qa_f1_score,
+    "qasper": qa_f1_score,
+    "multifieldqa_en": qa_f1_score,
+    "hotpotqa": qa_f1_score,
+    "2wikimqa": qa_f1_score,
+    "musique": qa_f1_score,
+    "gov_report": rouge_l_score,
+    "qmsum": rouge_l_score,
+    "multi_news": rouge_l_score,
+    "trec": classification_score,
+    "triviaqa": qa_f1_score,
+    "samsum": rouge_l_score,
+    "passage_retrieval_en": retrieval_score,
+    "passage_count": exact_match_score,
+    "lcc": code_sim_score,
+    "repobench-p": code_sim_score,
+}
+
+
+def score_sample(dataset: str, prediction: str, answers: list[str],
+                 all_classes: list[str] | None = None) -> float:
+    metric = DATASET2METRIC.get(dataset, qa_f1_score)
+    best = 0.0
+    for ans in answers:
+        if metric is classification_score:
+            best = max(best, metric(prediction, ans, all_classes))
+        else:
+            best = max(best, metric(prediction, ans))
+    return best

@@ -78,6 +78,7 @@ class RadixPrefixIndex:
         self.hits = 0
         self.misses = 0
         self.evictions = 0
+        self.hit_tokens = 0  # total prompt tokens served from the cache
 
     # ------------------------------------------------------------- queries
 
@@ -103,6 +104,7 @@ class RadixPrefixIndex:
             out.append(node)
         if out:
             self.hits += 1
+            self.hit_tokens += len(out) * self.block_tokens
             now = time.monotonic()
             for n in out:
                 n.last_used = now
@@ -216,6 +218,7 @@ class RadixPrefixIndex:
             "blocks": self.num_blocks,
             "evictable": self.evictable_blocks(),
             "hits": self.hits,
+            "hit_tokens": self.hit_tokens,
             "misses": self.misses,
             "evictions": self.evictions,
         }
