@@ -243,6 +243,73 @@ class OpenAIServer:
             "usage": proto.usage_dict(len(prompt_ids), n_tokens),
         })
 
+    async def responses(self, request: web.Request) -> web.StreamResponse:
+        """OpenAI Responses API (reference routes/responses +
+        serving/responses.py). Chat-rendered input; streams
+        response.output_text.delta SSE events or returns one response
+        object."""
+        try:
+            body = await request.json()
+            req = proto.ResponsesRequest.from_body(
+                body, self.engine.config.max_model_len // 4
+            )
+            prompt_ids = self._render_chat(req.input_items)
+        except (proto.ProtocolError, json.JSONDecodeError, ValueError) as e:
+            return _err(400, str(e))
+        if not self.dispatcher.healthy:
+            return _err(503, "engine unavailable")
+        created = proto.now()
+
+        if req.stream:
+            resp = web.StreamResponse(headers=_SSE_HEADERS)
+            await resp.prepare(request)
+            await resp.write(_sse({
+                "type": "response.created",
+                "response": proto.response_object(
+                    req.request_id, self.served_model, "", "in_progress",
+                    created),
+            }))
+            parts: list[str] = []
+            try:
+                async for text, delta in self._generate(
+                    prompt_ids, req.sampling, req.request_id
+                ):
+                    if text:
+                        parts.append(text)
+                        await resp.write(_sse({
+                            "type": "response.output_text.delta",
+                            "delta": text,
+                        }))
+                await resp.write(_sse({
+                    "type": "response.completed",
+                    "response": proto.response_object(
+                        req.request_id, self.served_model, "".join(parts),
+                        "completed", created),
+                }))
+            except RuntimeError as e:
+                await resp.write(_sse({"type": "error", "error": str(e)}))
+            await resp.write_eof()
+            return resp
+
+        parts = []
+        n_tokens = 0
+        try:
+            async for text, delta in self._generate(
+                prompt_ids, req.sampling, req.request_id
+            ):
+                parts.append(text)
+                n_tokens += len(delta.token_ids)
+        except RuntimeError as e:
+            return _err(500, str(e))
+        usage = {
+            "input_tokens": len(prompt_ids),
+            "output_tokens": n_tokens,
+            "total_tokens": len(prompt_ids) + n_tokens,
+        }
+        return web.json_response(proto.response_object(
+            req.request_id, self.served_model, "".join(parts), "completed",
+            created, usage))
+
     async def models(self, request: web.Request) -> web.Response:
         return web.json_response({
             "object": "list",
@@ -291,6 +358,7 @@ class OpenAIServer:
         app = web.Application(client_max_size=256 * 2**20)
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/v1/chat/completions", self.chat_completions)
+        app.router.add_post("/v1/responses", self.responses)
         app.router.add_get("/v1/models", self.models)
         app.router.add_get("/health", self.health)
         app.router.add_get("/worker/info", self.worker_info)

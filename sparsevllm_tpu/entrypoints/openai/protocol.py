@@ -130,6 +130,84 @@ class ChatRequest:
         )
 
 
+@dataclass
+class ResponsesRequest:
+    """OpenAI Responses API request (reference entrypoints/openai/
+    protocol/responses + serving/responses.py)."""
+
+    input_items: list[dict]  # normalized to chat-style messages
+    sampling: SamplingParams
+    stream: bool
+    model: str
+    instructions: str | None = None
+    request_id: str = field(
+        default_factory=lambda: f"resp_{uuid.uuid4().hex[:24]}"
+    )
+
+    @staticmethod
+    def from_body(body: dict, default_max_tokens: int) -> "ResponsesRequest":
+        raw = body.get("input")
+        if raw is None:
+            raise ProtocolError("'input' is required")
+        if isinstance(raw, str):
+            items = [{"role": "user", "content": raw}]
+        elif isinstance(raw, list):
+            items = []
+            for it in raw:
+                if not isinstance(it, dict) or "role" not in it:
+                    raise ProtocolError(
+                        "input items must be {role, content} objects")
+                content = it.get("content", "")
+                if isinstance(content, list):
+                    # content parts: concatenate text parts
+                    content = "".join(
+                        p.get("text", "") for p in content
+                        if isinstance(p, dict)
+                        and p.get("type") in ("input_text", "output_text",
+                                              "text")
+                    )
+                items.append({"role": it["role"], "content": content})
+        else:
+            raise ProtocolError("input must be a string or a list of items")
+        # responses uses max_output_tokens
+        body = dict(body)
+        if "max_output_tokens" in body and "max_tokens" not in body:
+            body["max_tokens"] = body["max_output_tokens"]
+        instructions = body.get("instructions")
+        if instructions:
+            items = [{"role": "system", "content": instructions}] + items
+        return ResponsesRequest(
+            input_items=items,
+            sampling=sampling_from_request(body, default_max_tokens),
+            stream=bool(body.get("stream", False)),
+            model=str(body.get("model", "")),
+            instructions=instructions,
+        )
+
+
+def response_object(req_id: str, model: str, text: str,
+                    status: str, created: int,
+                    usage: dict | None = None) -> dict:
+    """OpenAI Responses API response object."""
+    return {
+        "id": req_id,
+        "object": "response",
+        "created_at": created,
+        "status": status,
+        "model": model,
+        "output": [{
+            "type": "message",
+            "id": f"msg_{req_id}",
+            "role": "assistant",
+            "status": "completed" if status == "completed" else "in_progress",
+            "content": [{"type": "output_text", "text": text,
+                         "annotations": []}],
+        }],
+        "output_text": text,
+        "usage": usage or {},
+    }
+
+
 def completion_chunk(req_id: str, model: str, text: str,
                      finish_reason: str | None, created: int) -> dict:
     return {

@@ -168,3 +168,46 @@ def test_incremental_detokenizer_utf8_boundary():
     assert d.push([0x82]) == ""
     assert d.push([0xAC]) == "€"
     assert d.finish() == ""
+
+
+def test_responses_protocol_parsing():
+    from sparsevllm_tpu.entrypoints.openai import protocol as proto
+
+    r = proto.ResponsesRequest.from_body(
+        {"input": "hello", "max_output_tokens": 7}, 99)
+    assert r.input_items == [{"role": "user", "content": "hello"}]
+    assert r.sampling.max_tokens == 7
+    r = proto.ResponsesRequest.from_body({
+        "input": [
+            {"role": "user",
+             "content": [{"type": "input_text", "text": "hi "},
+                         {"type": "input_text", "text": "there"}]},
+        ],
+        "instructions": "be brief",
+    }, 99)
+    assert r.input_items[0] == {"role": "system", "content": "be brief"}
+    assert r.input_items[1] == {"role": "user", "content": "hi there"}
+    assert r.sampling.max_tokens == 99
+    with pytest.raises(proto.ProtocolError):
+        proto.ResponsesRequest.from_body({}, 9)
+    with pytest.raises(proto.ProtocolError):
+        proto.ResponsesRequest.from_body({"input": [{"content": "x"}]}, 9)
+
+
+def test_responses_route_registered_and_tokenizer_gated(client):
+    c, loop = client
+    status, body = _post_json(c, loop, "/v1/responses", {"input": "hi"})
+    # tiny-random engine has no tokenizer: loud 400, not 404
+    assert status == 400
+    assert "tokenizer" in body["error"]["message"]
+
+
+def test_response_object_shape():
+    from sparsevllm_tpu.entrypoints.openai import protocol as proto
+
+    obj = proto.response_object("resp_1", "m", "hello", "completed", 123,
+                                {"input_tokens": 2})
+    assert obj["object"] == "response"
+    assert obj["output_text"] == "hello"
+    assert obj["output"][0]["content"][0]["type"] == "output_text"
+    assert obj["status"] == "completed"
