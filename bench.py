@@ -158,7 +158,7 @@ def run(batch: int, steps: int, ctx: int, keep: int, impl: str,
     jax.block_until_ready(ex.k_cache)
     dt = time.perf_counter() - t0
     tok_s = batch * n_dispatch * k / dt
-    suffix = "_int8" if kv_dtype == "int8" else ""
+    suffix = "" if kv_dtype in ("auto", "bfloat16", "float32") else f"_{kv_dtype}"
     return {
         "metric": f"decode_tok_s_{ctx // 1024}k_{method}{suffix}",
         "value": round(tok_s, 1),

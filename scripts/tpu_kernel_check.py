@@ -108,8 +108,52 @@ def main():
     # tiny-random debug shapes (Dh=16 < 128 exercises block==array-dim rule)
     ok &= run_case(L=2, pages=32, P=8, Nkv=2, Dh=16, Nq=8, B=2, MP=8,
                    S=32, dtype=jnp.float32)
+    # int4 (KIVI-4) fused dequant
+    ok &= run_case_int4(L=2, pages=64, P=64, Nkv=8, Dh=128, Nq=24, B=4,
+                        MP=16, S=128)
     print("ALL OK" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
+
+
+
+
+def run_case_int4(L, pages, P, Nkv, Dh, Nq, B, MP, S):
+    """int4 (KIVI-4) fused-dequant kernels vs ref, on chip."""
+    import numpy as _np
+    from sparsevllm_tpu.ops import quant as _q
+
+    rng = _np.random.default_rng(1)
+    kc = jnp.zeros((L, pages, P, Nkv, Dh // 2), jnp.int8)
+    vc = jnp.zeros_like(kc)
+    scales = jnp.ones((4, L, pages, P, Nkv), jnp.float32)
+    k_new = jnp.asarray(rng.normal(size=(pages * P, Nkv, Dh)), jnp.float32)
+    v_new = jnp.asarray(rng.normal(size=(pages * P, Nkv, Dh)), jnp.float32)
+    dest = jnp.arange(pages * P, dtype=jnp.int32)
+    for li in range(L):
+        kc, vc, scales = _q.store_kv_quant_layer_u4(
+            kc, vc, scales, li, k_new, v_new, dest)
+    table = jnp.asarray(rng.integers(1, pages, size=(B, MP)), jnp.int32)
+    ctx = jnp.asarray(rng.integers(P, MP * P + 1, size=(B,)), jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, Nq, Dh)), jnp.float32)
+    sm = Dh ** -0.5
+    ok = True
+    out_p, _ = pd.decode_attention_pallas(
+        q, kc, vc, 1, table, ctx, sm_scale=sm, kv_scales=scales,
+        interpret=False)
+    out_r, _ = ref.decode_attention_ref(
+        q, kc[1], vc[1], table, ctx, sm_scale=sm, kv_scales=scales[:, 1])
+    ok &= check(f"decode  int4 P{P} Nkv{Nkv}", out_p, out_r, 2e-2)
+    qp = jnp.asarray(rng.normal(size=(B, S, Nq, Dh)), jnp.float32)
+    new = jnp.asarray(rng.integers(1, S + 1, size=(B,)), jnp.int32)
+    ctx_p = new + jnp.asarray(rng.integers(0, P, size=(B,)), jnp.int32)
+    out_p, _ = pf.prefill_attention_pallas(
+        qp, kc, vc, 0, table, ctx_p, new, sm_scale=sm, kv_scales=scales,
+        interpret=False)
+    out_r, _ = ref.prefill_attention_ref(
+        qp, kc[0], vc[0], table, ctx_p, new, sm_scale=sm,
+        kv_scales=scales[:, 0])
+    ok &= check(f"prefill int4 P{P} Nkv{Nkv}", out_p, out_r, 2e-2)
+    return ok
 
 
 if __name__ == "__main__":

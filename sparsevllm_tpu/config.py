@@ -254,16 +254,11 @@ class Config:
             raise ValueError(f"unsupported dtype {self.dtype!r}")
         if self.kv_cache_dtype not in ("auto", "bfloat16", "float32", "int8", "int4"):
             raise ValueError(f"unsupported kv_cache_dtype {self.kv_cache_dtype!r}")
-        if self.kv_cache_dtype == "int4":
-            raise NotImplementedError(
-                "kv_cache_dtype='int4' is staged for the DeltaKV/KIVI-4 pass "
-                "(packed latents exist in ops/quant.py); use 'int8'"
-            )
-        if self.kv_cache_dtype == "int8" and self.method == "quest":
+        if self.kv_cache_dtype in ("int8", "int4") and self.method == "quest":
             raise ValueError(
-                "quest with int8 KV is unsupported: page min/max metadata "
-                "would live in quantized space (mirror of reference quest "
-                "metadata over fp KV, quest.py:86-97)"
+                f"quest with {self.kv_cache_dtype} KV is unsupported: page "
+                f"min/max metadata would live in quantized space (mirror of "
+                f"reference quest metadata over fp KV, quest.py:86-97)"
             )
         if not (0.0 < self.hbm_utilization <= 1.0):
             raise ValueError("hbm_utilization must be in (0, 1]")

@@ -66,17 +66,21 @@ class ModelExecutor:
         self.max_rows = max_rows
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                  "float16": jnp.float16}[config.dtype]
-        kv_quant = config.kv_cache_dtype == "int8"
+        kv_quant = config.kv_cache_dtype in ("int8", "int4")
+        kv_bits = 4 if config.kv_cache_dtype == "int4" else 8
         self.kv_dtype = jnp.int8 if kv_quant else dtype
 
         l, p = spec.num_layers, config.page_size
-        # token-major within a page (ops/attention_ref.py docstring)
-        kv_shape = (l, num_pages, p, spec.num_kv_heads, spec.head_dim)
+        # token-major within a page (ops/attention_ref.py docstring);
+        # int4 packs two elements per byte (split-half, ops/quant.py)
+        cdh = spec.head_dim // 2 if kv_bits == 4 else spec.head_dim
+        kv_shape = (l, num_pages, p, spec.num_kv_heads, cdh)
         self.k_cache = jnp.zeros(kv_shape, self.kv_dtype)
         self.v_cache = jnp.zeros(kv_shape, self.kv_dtype)
-        # per-slot K/V dequant scales (int8 cache; ops/quant.py)
+        # per-slot dequant params (int8: k/v scales; int4: + k/v zeros)
         self.kv_scales = (
-            jnp.ones((2, l, num_pages, p, spec.num_kv_heads), jnp.float32)
+            jnp.ones((4 if kv_bits == 4 else 2, l, num_pages, p,
+                      spec.num_kv_heads), jnp.float32)
             if kv_quant else None
         )
         self.tables = jnp.zeros(
@@ -107,6 +111,7 @@ class ModelExecutor:
             quest_keep_pages=quest_kp,
             quest_skip_layers=config.quest_skip_layers,
             kv_quant=kv_quant,
+            kv_quant_bits=kv_bits,
             record_queries=config.method in ("rkv", "skipkv"),
             steer_alpha=(
                 config.skipkv_steering_alpha

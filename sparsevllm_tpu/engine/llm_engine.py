@@ -192,6 +192,8 @@ class LLMEngine:
         lkv = getattr(s, "num_kv_layers", s.num_layers)
         if self.config.kv_cache_dtype == "int8":
             per_slot = s.head_dim + 4  # int8 payload + f32 scale
+        elif self.config.kv_cache_dtype == "int4":
+            per_slot = s.head_dim // 2 + 8  # packed payload + scale + zero
         else:
             per_slot = s.head_dim * (
                 2 if self.config.dtype != "float32" else 4

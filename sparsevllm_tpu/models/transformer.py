@@ -71,6 +71,7 @@ class StepRuntime:
     # attention kernels (ops/quant.py, KIVI-style — reference
     # triton_kernel/quant.py + full_layer_kivi decode).
     kv_quant: bool = False
+    kv_quant_bits: int = 8  # 8 (symmetric int8) | 4 (KIVI-4 packed)
     # RKV/SkipKV: record decode queries into the device ring buffer
     # (ops/rkv.py; reference rkv.py record_decode_query:313).
     record_queries: bool = False
@@ -261,9 +262,14 @@ def prefill_forward(
         q = apply_rope(q, positions, cos, sin)
         k = apply_rope(k, positions, cos, sin)
         if rt.kv_quant:
-            kc, vc, scales = quant_ops.store_kv_quant_layer(
-                kc, vc, scales, li, k, v, plan["dest_slot"]
-            )
+            if rt.kv_quant_bits == 4:
+                kc, vc, scales = quant_ops.store_kv_quant_layer_u4(
+                    kc, vc, scales, li, k, v, plan["dest_slot"]
+                )
+            else:
+                kc, vc, scales = quant_ops.store_kv_quant_layer(
+                    kc, vc, scales, li, k, v, plan["dest_slot"]
+                )
         else:
             kc, vc = attn_ops.store_kv_layer(
                 kc, vc, li, k, v, plan["dest_slot"]
@@ -385,14 +391,23 @@ def decode_forward(
             # excluded from the kernel (ctx-1) and merged exactly from its
             # dequantized values; this step's scales batch-write after the
             # layer scan.
-            kq, ks = quant_ops.quantize_rows(k)
-            vq, vs = quant_ops.quantize_rows(v)
+            if rt.kv_quant_bits == 4:
+                kq, ks, kz = quant_ops.quantize_rows_u4(k)
+                vq, vs, vz = quant_ops.quantize_rows_u4(v)
+                k_cur = quant_ops.dequantize_rows_u4(kq, ks, kz).astype(
+                    q.dtype)
+                v_cur = quant_ops.dequantize_rows_u4(vq, vs, vz).astype(
+                    q.dtype)
+                step_scales = (ks, vs, kz, vz)
+            else:
+                kq, ks = quant_ops.quantize_rows(k)
+                vq, vs = quant_ops.quantize_rows(v)
+                k_cur = quant_ops.dequantize_rows(kq, ks).astype(q.dtype)
+                v_cur = quant_ops.dequantize_rows(vq, vs).astype(q.dtype)
+                step_scales = (ks, vs)
             kc, vc = quant_ops.store_kv_quant_payload(
                 kc, vc, li, kq, vq, xs["_dest"]
             )
-            k_cur = quant_ops.dequantize_rows(kq, ks).astype(q.dtype)
-            v_cur = quant_ops.dequantize_rows(vq, vs).astype(q.dtype)
-            step_scales = (ks, vs)
         else:
             kc, vc = attn_ops.store_kv_layer(kc, vc, li, k, v, xs["_dest"])
             k_cur = v_cur = None
@@ -516,10 +531,8 @@ def decode_forward(
                     off = dest % page_size
                     lsc = jax.lax.dynamic_index_in_dim(
                         kv_scales, li, 1, False)
-                    lsc = lsc.at[0, pg, off].set(step_scales[0],
-                                                 mode="drop")
-                    lsc = lsc.at[1, pg, off].set(step_scales[1],
-                                                 mode="drop")
+                    for _i, _v in enumerate(step_scales):
+                        lsc = lsc.at[_i, pg, off].set(_v, mode="drop")
                     return ref_ops.decode_attention_ref(
                         q,
                         jax.lax.dynamic_index_in_dim(kc, li, 0, False),
@@ -586,9 +599,8 @@ def decode_forward(
         # writes would force a whole-array copy per layer once the
         # attention kernel reads the scales (measured; see
         # quant_ops.store_kv_quant_payload).
-        ks_all, vs_all = step_scales
         kv_scales = quant_ops.scatter_scales_batch(
-            kv_scales, ks_all, vs_all, plan["dest_slot"]
+            kv_scales, step_scales, plan["dest_slot"]
         )
     h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
     return k_cache, v_cache, h, quest_meta, kv_scales, query_cache

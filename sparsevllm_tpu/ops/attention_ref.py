@@ -92,6 +92,30 @@ def gather_dequant(
     return vals * sc.astype(jnp.float32)
 
 
+def gather_dequant_u4(
+    cache: jax.Array,  # [num_pages, P, Nkv, Dh//2] int8 split-half packed
+    scales: jax.Array,  # [num_pages, P, Nkv] f32
+    zeros: jax.Array,  # [num_pages, P, Nkv] f32
+    page_table: jax.Array,
+) -> jax.Array:
+    """Gather + dequantize an int4 (KIVI-4) cache: [B, Nkv, K, Dh] fp32.
+
+    Split-half packing (ops/quant.py quantize_rows_u4): byte j holds
+    elements j and j + Dh/2."""
+    pk = gather_pages(cache, page_table).astype(jnp.int32)  # [B,Nkv,K,Dh/2]
+    lo = (pk & 15).astype(jnp.float32)
+    hi = ((pk >> 4) & 15).astype(jnp.float32)
+    q = jnp.concatenate([lo, hi], axis=-1)  # [B, Nkv, K, Dh]
+
+    def _flat(x):  # [pages, P, Nkv] -> [B, Nkv, K, 1]
+        g = x[page_table]
+        b, mp, p, nkv = g.shape
+        return g.transpose(0, 3, 1, 2).reshape(b, nkv, mp * p, 1)
+
+    return q * _flat(scales).astype(jnp.float32) + _flat(zeros).astype(
+        jnp.float32)
+
+
 def _expand_gqa(x: jax.Array, num_q_heads: int) -> jax.Array:
     """[B, Nkv, S, Dh] -> [B, Nq, S, Dh] by repeating each kv head G times."""
     b, nkv, s, dh = x.shape
@@ -123,7 +147,12 @@ def prefill_attention_ref(
     shaped [B, max_pages*P] in fp32.
     """
     b, s, nq, dh = q.shape
-    if kv_scales is not None:
+    if kv_scales is not None and kv_scales.shape[0] == 4:
+        keys = gather_dequant_u4(k_cache, kv_scales[0], kv_scales[2],
+                                 page_table)
+        vals = gather_dequant_u4(v_cache, kv_scales[1], kv_scales[3],
+                                 page_table)
+    elif kv_scales is not None:
         keys = gather_dequant(k_cache, kv_scales[0], page_table)
         vals = gather_dequant(v_cache, kv_scales[1], page_table)
     else:
@@ -204,7 +233,12 @@ def decode_attention_ref(
     """
     b, nq, dh = q.shape
     p = k_cache.shape[1]
-    if kv_scales is not None:
+    if kv_scales is not None and kv_scales.shape[0] == 4:
+        keys = gather_dequant_u4(k_cache, kv_scales[0], kv_scales[2],
+                                 page_table)
+        vals = gather_dequant_u4(v_cache, kv_scales[1], kv_scales[3],
+                                 page_table)
+    elif kv_scales is not None:
         keys = gather_dequant(k_cache, kv_scales[0], page_table)
         vals = gather_dequant(v_cache, kv_scales[1], page_table)
     else:

@@ -50,6 +50,8 @@ def _decode_kernel(
     v_ref,  # [1, 1, P, Nkv, Dh]
     ks_ref,  # [1, 1, 1, P, Nkv] f32 K scales (or None)
     vs_ref,  # [1, 1, 1, P, Nkv] f32 V scales (or None)
+    kz_ref,  # [1, 1, 1, P, Nkv] f32 K zeros (int4 only, or None)
+    vz_ref,  # [1, 1, 1, P, Nkv] f32 V zeros (int4 only, or None)
     mask_ref,  # [1, 1, 1, P*Nkv] int8 select mask, pre-expanded (or None)
     out_ref,  # [1, Nq, Dh]
     mo_ref,  # [1, Nq, 128] f32 final running max (or None)
@@ -84,19 +86,34 @@ def _decode_kernel(
     def _compute():
         q = q_ref[0].astype(jnp.float32)  # [Nq, Dh]
         nkv = k_ref.shape[3]
-        k3 = k_ref[0, 0].astype(jnp.float32)  # [P, Nkv, Dh]
-        if ks_ref is not None:
-            # fused int8 dequant of the WHOLE page: minor-singleton
-            # broadcast of the raw [P, Nkv] scale tile (Mosaic supports
-            # this; it rejects both flat-fold directions). Raw scale blocks
-            # keep the scales array free of outside reshapes — with scales
-            # in the megastep scan carry, XLA re-materialized a flat-view
-            # relayout per layer (~57 ms/step at 3B, measured).
-            k3 = k3 * ks_ref[0, 0, 0][:, :, None]
+
+        def _dequant_page(ref, sc_ref, zz_ref):
+            """Whole-page fused dequant -> [P*Nkv, Dh] f32 rows
+            (row = offset*Nkv + h). int8: minor-singleton scale broadcast
+            (Mosaic supports this; it rejects both flat-fold reshapes —
+            and with scales in the megastep scan carry an OUTSIDE flat
+            view re-materialized a relayout per layer, ~57 ms/step).
+            int4: split-half nibble unpack + scale/zero, halves
+            concatenated along lanes (ops/quant.py quantize_rows_u4)."""
+            if zz_ref is not None:  # int4 packed [P, Nkv, Dh/2]
+                pk = ref[0, 0].astype(jnp.int32)
+                sc = sc_ref[0, 0, 0][:, :, None]
+                zz = zz_ref[0, 0, 0][:, :, None]
+                half = ref.shape[4]
+                dlo = ((pk & 15).astype(jnp.float32) * sc + zz).reshape(
+                    page_size * nkv, half)
+                dhi = (((pk >> 4) & 15).astype(jnp.float32) * sc
+                       + zz).reshape(page_size * nkv, half)
+                return jnp.concatenate([dlo, dhi], axis=1)
+            x3 = ref[0, 0].astype(jnp.float32)  # [P, Nkv, Dh]
+            if sc_ref is not None:
+                x3 = x3 * sc_ref[0, 0, 0][:, :, None]
+            return x3.reshape(page_size * nkv, -1)
+
         # ONE [Nq, P*Nkv] MXU matmul over the token-major page with a
         # head-match mask (see module docstring) — wasted cross-head FLOPs
         # are free, decode is HBM-bound.
-        k = k3.reshape(page_size * nkv, -1)  # row = offset*Nkv + h
+        k = _dequant_page(k_ref, ks_ref, kz_ref)  # row = offset*Nkv + h
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -118,10 +135,7 @@ def _decode_kernel(
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
-        v3 = v_ref[0, 0].astype(jnp.float32)  # [P, Nkv, Dh]
-        if vs_ref is not None:
-            v3 = v3 * vs_ref[0, 0, 0][:, :, None]
-        v = v3.reshape(page_size * nkv, -1)
+        v = _dequant_page(v_ref, vs_ref, vz_ref)
         pv = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -167,9 +181,9 @@ def _decode_kernel(
 
 
 def _make_kernel(has_mask: bool, quantized: bool, stats: bool,
-                 raw: bool, **kw):
+                 raw: bool, quant4: bool = False, **kw):
     """Bind the optional-ref layout: blocks arrive positionally in in_specs
-    order [q, k, v, (ks, vs), (mask)], then outputs
+    order [q, k, v, (ks, vs[, kz, vz]), (mask)], then outputs
     [out, (m, l), (raw, mraw)], then 3 scratch refs."""
 
     def kern(lidx_ref, table_ref, ctx_ref, ppos_ref, q_ref, k_ref, v_ref,
@@ -177,6 +191,8 @@ def _make_kernel(has_mask: bool, quantized: bool, stats: bool,
         rest = list(rest)
         ks_ref = rest.pop(0) if quantized else None
         vs_ref = rest.pop(0) if quantized else None
+        kz_ref = rest.pop(0) if quant4 else None
+        vz_ref = rest.pop(0) if quant4 else None
         mask_ref = rest.pop(0) if has_mask else None
         out_ref = rest.pop(0)
         mo_ref = rest.pop(0) if stats else None
@@ -186,8 +202,8 @@ def _make_kernel(has_mask: bool, quantized: bool, stats: bool,
         acc_ref, m_ref, l_ref = rest
         _decode_kernel(
             lidx_ref, table_ref, ctx_ref, ppos_ref, q_ref, k_ref, v_ref,
-            ks_ref, vs_ref, mask_ref, out_ref, mo_ref, lo_ref,
-            raw_ref, mraw_ref, acc_ref, m_ref, l_ref,
+            ks_ref, vs_ref, kz_ref, vz_ref, mask_ref, out_ref, mo_ref,
+            lo_ref, raw_ref, mraw_ref, acc_ref, m_ref, l_ref,
             has_mask=has_mask, **kw,
         )
 
@@ -202,11 +218,12 @@ def _decode_pallas_impl(
     if emit_raw:
         return_stats = True
     b, nq, dh = q.shape
-    l, pages, p, nkv, _ = k_cache.shape
+    l, pages, p, nkv, cdh = k_cache.shape  # cdh = Dh (int8/bf16) or Dh/2
     mp = page_table.shape[1]
     g = nq // nkv
     has_mask = select_mask is not None
     quantized = kv_scales is not None
+    quant4 = quantized and kv_scales.shape[0] == 4
 
     lidx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
     if page_pos is None:
@@ -220,25 +237,25 @@ def _decode_pallas_impl(
     in_specs = [
         pl.BlockSpec((1, nq, dh), lambda bb, i, *_: (bb, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, p, nkv, dh), kv_imap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, p, nkv, dh), kv_imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, p, nkv, cdh), kv_imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, p, nkv, cdh), kv_imap, memory_space=pltpu.VMEM),
     ]
     args = [q, k_cache, v_cache]
     if quantized:
         # RAW [P, Nkv] scale blocks (full array dims — legal). No outside
         # flat view: with scales in the megastep scan carry, XLA would
         # re-materialize the [.., 1, P*Nkv] relayout per layer.
-        def ks_imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
-            return (0, lidx_ref[0], table_ref[bb, i], 0, 0)
+        def plane_imap(plane):
+            def imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
+                return (plane, lidx_ref[0], table_ref[bb, i], 0, 0)
+            return imap
 
-        def vs_imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
-            return (1, lidx_ref[0], table_ref[bb, i], 0, 0)
-
-        in_specs.append(pl.BlockSpec((1, 1, 1, p, nkv), ks_imap,
-                                     memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((1, 1, 1, p, nkv), vs_imap,
-                                     memory_space=pltpu.VMEM))
-        args.extend([kv_scales, kv_scales])
+        planes = [0, 1, 2, 3] if quant4 else [0, 1]
+        for plane in planes:
+            in_specs.append(pl.BlockSpec((1, 1, 1, p, nkv),
+                                         plane_imap(plane),
+                                         memory_space=pltpu.VMEM))
+            args.append(kv_scales)
     if has_mask:
         # pre-expand the token mask to the P*Nkv key columns (token-major:
         # o*Nkv+h; repeat_interleave is free in XLA, awkward in Mosaic)
@@ -285,7 +302,7 @@ def _decode_pallas_impl(
         ],
     )
     kernel = _make_kernel(
-        has_mask, quantized, return_stats, emit_raw,
+        has_mask, quantized, return_stats, emit_raw, quant4=quant4,
         sm_scale=sm_scale, page_size=p, groups=g,
     )
     res = pl.pallas_call(

@@ -52,6 +52,8 @@ def _prefill_kernel(
     v_ref,  # [1, 1, P, Nkv, Dh]
     ks_ref,  # [1, 1, 1, P, Nkv] f32 per-token K scales (int8 cache) or None
     vs_ref,  # [1, 1, 1, P, Nkv] f32 per-token V scales or None
+    kz_ref,  # [1, 1, 1, P, Nkv] f32 K zeros (int4 only, or None)
+    vz_ref,  # [1, 1, 1, P, Nkv] f32 V zeros (int4 only, or None)
     out_ref,  # [1, Nkv, BS, G, Dh]
     # scratch (rows stacked head-major: row = h*BS*G + qi*G + gi)
     acc_ref,  # [Nkv*BS*G, Dh] f32
@@ -88,15 +90,27 @@ def _prefill_kernel(
 
     @pl.when(jnp.logical_and(q_block_valid, visible))
     def _compute():
+        def _head_slice(ref, sc_ref, zz_ref, hh):
+            """One head's dequantized [P, Dh] tile (static index)."""
+            if zz_ref is not None:  # int4 split-half packed [P, Dh/2]
+                pk = ref[0, 0, :, hh, :].astype(jnp.int32)
+                sc = sc_ref[0, 0, 0, :, hh : hh + 1]  # [P, 1]
+                zz = zz_ref[0, 0, 0, :, hh : hh + 1]
+                dlo = (pk & 15).astype(jnp.float32) * sc + zz
+                dhi = ((pk >> 4) & 15).astype(jnp.float32) * sc + zz
+                return jnp.concatenate([dlo, dhi], axis=1)
+            x = ref[0, 0, :, hh, :].astype(jnp.float32)  # [P, Dh]
+            if sc_ref is not None:
+                # token-major scales are per KEY ROW — sublane broadcast
+                x = x * sc_ref[0, 0, 0, :, hh : hh + 1]  # [P, 1]
+            return x
+
         # scores per head, stacked along rows (static head loop; each slice
         # is a static index — no dynamic sublane slicing).
         sts = []
         for hh in range(nkv):
             q_h = q_ref[0, hh].astype(jnp.float32).reshape(rows_h, -1)
-            k_h = k_ref[0, 0, :, hh, :].astype(jnp.float32)  # [P, Dh]
-            if ks_ref is not None:
-                # token-major scales are per KEY ROW — sublane broadcast
-                k_h = k_h * ks_ref[0, 0, 0, :, hh : hh + 1]  # [P, 1]
+            k_h = _head_slice(k_ref, ks_ref, kz_ref, hh)
             sts.append(jax.lax.dot_general(
                 q_h, k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -120,11 +134,9 @@ def _prefill_kernel(
         p = jnp.where(valid, jnp.exp(st - m_new), 0.0)
         pvs = []
         for hh in range(nkv):
-            v_h = v_ref[0, 0, :, hh, :].astype(jnp.float32)  # [P, Dh]
-            if vs_ref is not None:
-                # dequantize V rows before p@V; denominator l is the raw
-                # exp sum either way: exactly p @ (v_int * scale).
-                v_h = v_h * vs_ref[0, 0, 0, :, hh : hh + 1]  # [P, 1]
+            # dequantize V rows before p@V; denominator l is the raw exp
+            # sum either way: exactly p @ dequant(v).
+            v_h = _head_slice(v_ref, vs_ref, vz_ref, hh)
             pvs.append(jax.lax.dot_general(
                 p[hh * rows_h : (hh + 1) * rows_h], v_h,
                 (((1,), (0,)), ((), ())),
@@ -155,7 +167,17 @@ def _prefill_kernel_noquant(
 ):
     _prefill_kernel(
         lidx_ref, table_ref, ctx_ref, new_ref, q_ref, k_ref, v_ref,
-        None, None, out_ref, acc_ref, m_ref, l_ref, **kw,
+        None, None, None, None, out_ref, acc_ref, m_ref, l_ref, **kw,
+    )
+
+
+def _prefill_kernel_int8(
+    lidx_ref, table_ref, ctx_ref, new_ref, q_ref, k_ref, v_ref, ks_ref,
+    vs_ref, out_ref, acc_ref, m_ref, l_ref, **kw,
+):
+    _prefill_kernel(
+        lidx_ref, table_ref, ctx_ref, new_ref, q_ref, k_ref, v_ref,
+        ks_ref, vs_ref, None, None, out_ref, acc_ref, m_ref, l_ref, **kw,
     )
 
 
@@ -168,10 +190,11 @@ def _prefill_pallas(
     *, sm_scale, block_s, interpret=False,
 ):
     b, s, nq, dh = q.shape
-    l, pages, p, nkv, _ = k_cache.shape
+    l, pages, p, nkv, cdh = k_cache.shape  # cdh = Dh or Dh/2 (int4 packed)
     mp = page_table.shape[1]
     g = nq // nkv
     quantized = kv_scales is not None
+    quant4 = quantized and kv_scales.shape[0] == 4
 
     lidx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
     # [B, Nkv, S, G, Dh]: GQA group as a full (block == array) trailing dim
@@ -187,22 +210,21 @@ def _prefill_pallas(
     in_specs = [
         pl.BlockSpec((1, nkv, block_s, g, dh), q_imap,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, p, nkv, dh), kv_imap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, p, nkv, dh), kv_imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, p, nkv, cdh), kv_imap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, p, nkv, cdh), kv_imap, memory_space=pltpu.VMEM),
     ]
     args = [q5, k_cache, v_cache]
     if quantized:
-        def ks_imap(bb, si, ki, lidx_ref, table_ref, *_):
-            return (0, lidx_ref[0], table_ref[bb, ki], 0, 0)
+        def plane_imap(plane):
+            def imap(bb, si, ki, lidx_ref, table_ref, *_):
+                return (plane, lidx_ref[0], table_ref[bb, ki], 0, 0)
+            return imap
 
-        def vs_imap(bb, si, ki, lidx_ref, table_ref, *_):
-            return (1, lidx_ref[0], table_ref[bb, ki], 0, 0)
-
-        in_specs.append(pl.BlockSpec((1, 1, 1, p, nkv), ks_imap,
-                                     memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((1, 1, 1, p, nkv), vs_imap,
-                                     memory_space=pltpu.VMEM))
-        args.extend([kv_scales, kv_scales])
+        for plane in ([0, 1, 2, 3] if quant4 else [0, 1]):
+            in_specs.append(pl.BlockSpec((1, 1, 1, p, nkv),
+                                         plane_imap(plane),
+                                         memory_space=pltpu.VMEM))
+            args.append(kv_scales)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -219,8 +241,10 @@ def _prefill_pallas(
     )
     kw = dict(sm_scale=sm_scale, page_size=p, block_s=block_s, groups=g,
               nkv=nkv)
-    if quantized:
+    if quant4:
         kernel = functools.partial(_prefill_kernel, **kw)
+    elif quantized:
+        kernel = functools.partial(_prefill_kernel_int8, **kw)
     else:
         kernel = functools.partial(_prefill_kernel_noquant, **kw)
     out5 = pl.pallas_call(

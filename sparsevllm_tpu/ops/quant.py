@@ -98,19 +98,18 @@ def store_kv_quant_payload(
 
 
 def scatter_scales_batch(
-    kv_scales: jax.Array,  # [2, L, pages, P, Nkv] f32
-    ks_all: jax.Array,  # [L, B, Nkv] per-layer K scales of this step
-    vs_all: jax.Array,  # [L, B, Nkv]
+    kv_scales: jax.Array,  # [NP, L, pages, P, Nkv] f32 (NP=2 int8, 4 int4)
+    planes,  # tuple of [L, B, Nkv] arrays, one per leading plane
     dest_slots: jax.Array,  # [L, B] int32; <0 drops
 ) -> jax.Array:
     """One batched scale write for a whole decode step (all layers)."""
-    l, b, nkv = ks_all.shape
+    l, b, nkv = planes[0].shape
     p = kv_scales.shape[3]
     lix = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32)[:, None], (l, b))
     page = jnp.where(dest_slots >= 0, dest_slots // p, -1)
     off = dest_slots % p
-    kv_scales = kv_scales.at[0, lix, page, off].set(ks_all, mode="drop")
-    kv_scales = kv_scales.at[1, lix, page, off].set(vs_all, mode="drop")
+    for i, vals in enumerate(planes):
+        kv_scales = kv_scales.at[i, lix, page, off].set(vals, mode="drop")
     return kv_scales
 
 
@@ -149,3 +148,67 @@ def unpack_int4_groups(
     g = q.reshape(*lead, d // group, group)
     out = g * scale[..., None] + zero[..., None]
     return out.reshape(*lead, d)
+
+
+# ---------------------------------------------------------------------------
+# INT4 full-KV cache (KIVI-4; reference triton_kernel/quant.py INT4 +
+# ppl_int4kv_flash_decoding). Asymmetric uint4 per (token, kv head),
+# SPLIT-HALF packed: byte j of a row holds elements j (low nibble) and
+# j + Dh/2 (high nibble) — halves concatenate along lanes in-kernel, which
+# Mosaic supports where nibble INTERLEAVING (a lane reshape) is rejected.
+# ---------------------------------------------------------------------------
+
+
+def store_kv_quant_layer_u4(
+    k_cache: jax.Array,  # [L, pages, P, Nkv, Dh//2] int8 packed
+    v_cache: jax.Array,
+    kv_scales: jax.Array,  # [4, L, pages, P, Nkv] f32 (ks, vs, kz, vz)
+    layer_idx,
+    k_new: jax.Array,  # [..., Nkv, Dh]
+    v_new: jax.Array,
+    dest_slot: jax.Array,  # [...] int32 global slot; <0 drops
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """int4 prefill store: quantize + scatter packed token rows + 4 scale
+    planes (same in-place discipline as the int8 store)."""
+    l, pages, p, nkv, _ = k_cache.shape
+    dh = k_new.shape[-1]
+    kq, ks, kz = quantize_rows_u4(k_new.reshape(-1, nkv, dh))
+    vq, vs, vz = quantize_rows_u4(v_new.reshape(-1, nkv, dh))
+    dest = dest_slot.reshape(-1)
+    lix = jnp.broadcast_to(jnp.asarray(layer_idx, dest.dtype), dest.shape)
+    page = jnp.where(dest >= 0, dest // p, -1)
+    off = dest % p
+    k_out = k_cache.at[lix, page, off].set(kq, mode="drop")
+    v_out = v_cache.at[lix, page, off].set(vq, mode="drop")
+    for i, vals in enumerate((ks, vs, kz, vz)):
+        kv_scales = kv_scales.at[i, lix, page, off].set(vals, mode="drop")
+    return k_out, v_out, kv_scales
+
+
+def quantize_rows_u4(x: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """x [..., Dh] -> (packed int8 [..., Dh//2], scale [...], zero [...]).
+
+    q = round((x - zero)/scale) in [0, 15]; round-half-even (accuracy-
+    visible, reference quant.py:19-27)."""
+    xf = x.astype(jnp.float32)
+    lo = jnp.min(xf, axis=-1)
+    hi = jnp.max(xf, axis=-1)
+    scale = jnp.where(hi > lo, (hi - lo) / 15.0, 1.0)
+    zero = lo
+    q = jnp.rint((xf - zero[..., None]) / scale[..., None])
+    q = jnp.clip(q, 0, 15).astype(jnp.int32)
+    d = x.shape[-1]
+    packed = q[..., : d // 2] | (q[..., d // 2:] << 4)
+    return packed.astype(jnp.int8), scale, zero
+
+
+def dequantize_rows_u4(packed: jax.Array, scale: jax.Array,
+                       zero: jax.Array) -> jax.Array:
+    """(packed int8 [..., Dh//2], scale [...], zero [...]) -> f32 [..., Dh]."""
+    pi = packed.astype(jnp.int32)
+    lo = (pi & 15).astype(jnp.float32)
+    hi = ((pi >> 4) & 15).astype(jnp.float32)
+    q = jnp.concatenate([lo, hi], axis=-1)
+    return q * scale[..., None].astype(jnp.float32) + (
+        zero[..., None].astype(jnp.float32)
+    )

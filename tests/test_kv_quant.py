@@ -169,3 +169,111 @@ def test_quest_int8_rejected():
     with pytest.raises(ValueError, match="quest with int8"):
         LLM(kv_cache_dtype="int8", sparse_method="quest",
             quest_page_size=8, **BASE)
+
+
+# ------------------------------------------------------------------- int4
+
+
+def test_int4_roundtrip_error_bound():
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(size=(64, 8, 128)) * 3.0, jnp.float32)
+    p, s, z = quant.quantize_rows_u4(x)
+    assert p.shape == (64, 8, 64) and p.dtype == jnp.int8
+    back = quant.dequantize_rows_u4(p, s, z)
+    err = np.abs(np.asarray(back) - np.asarray(x))
+    bound = np.asarray(s)[..., None] * 0.5 + 1e-6
+    assert np.all(err <= bound)
+
+
+@pytest.fixture(scope="module")
+def quant4_caches():
+    """int4 caches + 4-plane scales filled through the prefill store."""
+    rng = np.random.default_rng(22)
+    L, pages, P, Nkv, Dh = 2, 16, 8, 2, 128
+    kc = jnp.zeros((L, pages, P, Nkv, Dh // 2), jnp.int8)
+    vc = jnp.zeros((L, pages, P, Nkv, Dh // 2), jnp.int8)
+    scales = jnp.ones((4, L, pages, P, Nkv), jnp.float32)
+    T = 64
+    k_new = jnp.asarray(rng.normal(size=(T, Nkv, Dh)) * 2.0, jnp.float32)
+    v_new = jnp.asarray(rng.normal(size=(T, Nkv, Dh)), jnp.float32)
+    dest = jnp.arange(T, dtype=jnp.int32) + 8
+    for li in range(L):
+        kc, vc, scales = quant.store_kv_quant_layer_u4(
+            kc, vc, scales, li, k_new, v_new, dest
+        )
+    return kc, vc, scales, k_new, v_new
+
+
+def test_decode_int4_kernel_matches_ref(quant4_caches):
+    kc, vc, scales, _, _ = quant4_caches
+    rng = np.random.default_rng(23)
+    B, Nq, MP = 2, 4, 8
+    q = jnp.asarray(rng.normal(size=(B, Nq, 128)), jnp.float32)
+    table = jnp.asarray(
+        np.broadcast_to(np.arange(1, 9), (B, MP)).copy(), jnp.int32
+    )
+    ctx = jnp.asarray([40, 64], jnp.int32)
+    out_p, _ = pd.decode_attention_pallas(
+        q, kc, vc, 1, table, ctx, sm_scale=0.1, kv_scales=scales,
+        interpret=True,
+    )
+    out_r, _ = ref.decode_attention_ref(
+        q, kc[1], vc[1], table, ctx, sm_scale=0.1, kv_scales=scales[:, 1],
+    )
+    np.testing.assert_allclose(out_p, out_r, atol=3e-5)
+
+
+def test_prefill_int4_kernel_matches_ref(quant4_caches):
+    kc, vc, scales, _, _ = quant4_caches
+    rng = np.random.default_rng(24)
+    B, S, Nq, MP = 2, 16, 4, 8
+    q = jnp.asarray(rng.normal(size=(B, S, Nq, 128)), jnp.float32)
+    table = jnp.asarray(
+        np.broadcast_to(np.arange(1, 9), (B, MP)).copy(), jnp.int32
+    )
+    ctx = jnp.asarray([40, 30], jnp.int32)
+    new = jnp.asarray([16, 10], jnp.int32)
+    out_p, _ = pf.prefill_attention_pallas(
+        q, kc, vc, 0, table, ctx, new, sm_scale=0.1, kv_scales=scales,
+        interpret=True,
+    )
+    out_r, _ = ref.prefill_attention_ref(
+        q, kc[0], vc[0], table, ctx, new, sm_scale=0.1,
+        kv_scales=scales[:, 0],
+    )
+    np.testing.assert_allclose(out_p, out_r, atol=3e-5)
+
+
+def test_int4_attention_close_to_fp(quant4_caches):
+    kc, vc, scales, k_new, v_new = quant4_caches
+    rng = np.random.default_rng(25)
+    B, Nq, MP, P = 1, 4, 8, 8
+    q = jnp.asarray(rng.normal(size=(B, Nq, 128)), jnp.float32)
+    table = jnp.asarray(np.arange(1, 9)[None, :], jnp.int32)
+    ctx = jnp.asarray([64], jnp.int32)
+    out_q, _ = ref.decode_attention_ref(
+        q, kc[0], vc[0], table, ctx, sm_scale=0.1, kv_scales=scales[:, 0],
+    )
+    kc_f = jnp.zeros((16, P, 2, 128), jnp.float32)
+    vc_f = jnp.zeros_like(kc_f)
+    dest = jnp.arange(64, dtype=jnp.int32) + 8
+    kc_f, vc_f = ref.store_kv(kc_f, vc_f, k_new, v_new, dest)
+    out_f, _ = ref.decode_attention_ref(
+        q, kc_f, vc_f, table, ctx, sm_scale=0.1,
+    )
+    # int4 carries ~4x the quantization noise of int8; this is a sanity
+    # bound (exactness is pinned by the kernel-vs-ref parity tests)
+    np.testing.assert_allclose(out_q, out_f, atol=0.25, rtol=0.25)
+
+
+def test_e2e_int4_engine_close_to_fp():
+    rng = np.random.default_rng(27)
+    prompts = [[int(t) for t in rng.integers(3, 500, size=n)]
+               for n in (40, 90)]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    fp = LLM(**BASE)
+    out_fp = fp.generate(prompt_token_ids=prompts, sampling_params=sp)
+    q4 = LLM(kv_cache_dtype="int4", **BASE)
+    out_q4 = q4.generate(prompt_token_ids=prompts, sampling_params=sp)
+    for a, b in zip(out_fp, out_q4):
+        assert a.output_token_ids == b.output_token_ids
