@@ -262,6 +262,12 @@ class Config:
             )
         if not (0.0 < self.hbm_utilization <= 1.0):
             raise ValueError("hbm_utilization must be in (0, 1]")
+        for name in ("max_model_len", "chunk_prefill_size",
+                     "max_num_batched_tokens", "max_num_seqs_in_batch",
+                     "max_decoding_seqs", "page_size",
+                     "decode_steps_per_dispatch"):
+            if getattr(self, name) < 1:
+                raise ValueError(f"{name} must be >= 1")
         for name in ("tensor_parallel_size", "expert_parallel_size",
                      "data_parallel_size"):
             if getattr(self, name) < 1:

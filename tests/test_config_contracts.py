@@ -1,0 +1,141 @@
+"""Config / runtime-params / method-registry contracts (pure unit).
+
+Mirrors the reference's tier-1 contract suites
+(test_runtime_param_normalization.py, test_skipkv_config.py,
+test_moe_config.py, test_research_fail_fast.py): canonical-name
+normalization with legacy rejection, registry aliasing and policy
+resolution, and loud Config fail-fast for invalid combinations — bad
+configs must raise, never degrade.
+"""
+
+import pytest
+
+from sparsevllm_tpu import method_registry as registry
+from sparsevllm_tpu.config import Config
+from sparsevllm_tpu.runtime_params import normalize_runtime_params
+
+
+# ----------------------------------------------------------- normalization
+
+
+def test_public_names_map_to_internal():
+    out = normalize_runtime_params({
+        "sparse_method": "snapkv",
+        "sink_keep_tokens": 8,
+        "recent_keep_tokens": 16,
+        "full_attention_layers": (0, 2),
+        "engine_prefill_chunk_size": 128,
+    })
+    assert out["method"] == "snapkv"
+    assert out["num_sink_tokens"] == 8
+    assert out["num_recent_tokens"] == 16
+    assert out["full_attn_layers"] == (0, 2)
+    assert out["chunk_prefill_size"] == 128
+
+
+def test_aliases_accepted():
+    out = normalize_runtime_params({"method": "omnikv",
+                                    "prefill_chunk_size": 64})
+    assert out["method"] == "omnikv"
+    assert out["chunk_prefill_size"] == 64
+
+
+@pytest.mark.parametrize("legacy,repl", [
+    ("num_sink_tokens", "sink_keep_tokens"),
+    ("num_recent_tokens", "recent_keep_tokens"),
+    ("sparse_attn_method", "sparse_method"),
+    ("kv_keep_ratio", "prefill_keep_tokens"),
+    ("chunk_size", "engine_prefill_chunk_size"),
+])
+def test_legacy_names_rejected_with_pointer(legacy, repl):
+    with pytest.raises(ValueError, match=repl.split(" ")[0]):
+        normalize_runtime_params({legacy: 1})
+
+
+def test_unknown_key_rejected_unless_allowed():
+    with pytest.raises(ValueError, match="Unknown runtime parameter"):
+        normalize_runtime_params({"definitely_a_typo": 1})
+    out = normalize_runtime_params({"definitely_a_typo": 1},
+                                   allow_unknown=True)
+    assert "definitely_a_typo" not in out  # dropped, not silently kept
+
+
+def test_conflicting_aliases_rejected():
+    with pytest.raises(ValueError, match="Conflicting"):
+        normalize_runtime_params({
+            "engine_prefill_chunk_size": 64,
+            "prefill_chunk_size": 128,
+        })
+
+
+# ---------------------------------------------------------------- registry
+
+
+def test_method_aliases_and_unknown():
+    assert registry.normalize_method(None) == ""
+    assert registry.normalize_method("") == ""
+    with pytest.raises(ValueError, match="vanilla"):
+        registry.normalize_method("h2o")  # not a supported method
+
+
+def test_prefix_cache_whitelist():
+    """Reference method_registry.py:47: {"", omnikv, quest} only."""
+    assert registry.supports_prefix_cache("")
+    assert registry.supports_prefix_cache("omnikv")
+    assert registry.supports_prefix_cache("quest")
+    for m in ("snapkv", "streamingllm", "pyramidkv", "rkv", "skipkv",
+              "deltakv"):
+        assert not registry.supports_prefix_cache(m)
+
+
+def test_profiles_cover_all_methods():
+    for m in registry.CANONICAL_METHODS:
+        prof = registry.get_profile(m)
+        assert prof is not None
+
+
+# ------------------------------------------------------- config fail-fast
+
+
+BASE = dict(
+    model="", tiny_random=True, page_size=8, num_kv_pages=64,
+    max_model_len=256, chunk_prefill_size=64, max_num_batched_tokens=256,
+)
+
+
+def _cfg(**over):
+    kw = dict(BASE)
+    kw.update(over)
+    return Config(**kw)
+
+
+def test_bad_dtype_rejected():
+    with pytest.raises(ValueError, match="dtype"):
+        _cfg(dtype="int7")
+    with pytest.raises(ValueError, match="kv_cache_dtype"):
+        _cfg(kv_cache_dtype="fp4")
+
+
+def test_quest_quantized_kv_rejected():
+    for dt in ("int8", "int4"):
+        with pytest.raises(ValueError, match="quest"):
+            _cfg(method="quest", kv_cache_dtype=dt)
+
+
+def test_omnikv_requires_full_layers():
+    with pytest.raises(ValueError):
+        _cfg(method="omnikv", full_attn_layers=())
+
+
+def test_prefix_cache_method_whitelist_enforced():
+    with pytest.raises(ValueError, match="prefix"):
+        _cfg(method="snapkv", enable_prefix_cache=True,
+             max_model_len=4096, snapkv_obs_window=8,
+             prefill_keep_tokens=64)
+
+
+def test_budget_sanity():
+    with pytest.raises(ValueError):
+        _cfg(hbm_utilization=0.0)
+    with pytest.raises(ValueError):
+        _cfg(max_model_len=0)
