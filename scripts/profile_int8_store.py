@@ -1,6 +1,9 @@
-"""Isolate int8 decode-store cost on chip: payload scatter vs scale DUS loop
-vs fused-dequant attention kernel, at decode shapes (B tokens/step, L-layer
-scan), next to the bf16 equivalents.
+"""Isolate int8 decode-store cost on chip (HISTORICAL probe).
+
+This script diagnosed the int8 scale-store pathology (see PERF_NOTES.md
+issue 1, commit eed8da7): its store_kv_quant_decode variants reproduce the
+OLD in-scan scale-write dataflow inline since the production op was split
+into store_kv_quant_payload + scatter_scales_batch.
 """
 
 from __future__ import annotations
@@ -17,6 +20,25 @@ sys.path.insert(0, ".")
 
 from sparsevllm_tpu.ops import attention as attn_ops  # noqa: E402
 from sparsevllm_tpu.ops import quant as quant_ops  # noqa: E402
+
+
+def _legacy_store_quant_decode(kc, vc, sc, li, k_new, v_new, dest):
+    """The OLD in-scan store (payload scatter + per-token scale DUS) that
+    this probe was written to diagnose; kept inline after the production op
+    was split (quant_ops.store_kv_quant_payload + scatter_scales_batch)."""
+    p = kc.shape[2]
+    kq, ks = quant_ops.quantize_rows(k_new)
+    vq, vs = quant_ops.quantize_rows(v_new)
+    kc, vc = quant_ops.store_kv_quant_payload(kc, vc, li, kq, vq, dest)
+
+    def tok(t, s2):
+        d = jnp.maximum(dest[t], 0)
+        return jax.lax.dynamic_update_slice(
+            s2, jnp.stack([ks[t], vs[t]])[:, None, None, None, :],
+            (0, li, d // p, d % p, 0))
+
+    sc = jax.lax.fori_loop(0, k_new.shape[0], tok, sc)
+    return kc, vc, sc
 
 
 def timeit(fn, *args, n=5, thread=0):
@@ -80,7 +102,7 @@ def main():
     def int8_store_full(kc, vc, sc):
         def body(c, li):
             kc, vc, sc = c
-            kc, vc, sc = quant_ops.store_kv_quant_decode(
+            kc, vc, sc = _legacy_store_quant_decode(
                 kc, vc, sc, li, k_new, v_new, dest)
             return (kc, vc, sc), None
         return scan_l(body, (kc, vc, sc))
@@ -167,7 +189,7 @@ def megastep_probe():
             kc, vc, sc = carry
             def layer(c, li):
                 kc, vc, sc = c
-                kc, vc, sc = quant_ops.store_kv_quant_decode(
+                kc, vc, sc = _legacy_store_quant_decode(
                     kc, vc, sc, li, k_new, v_new, dest0 + t)
                 out, _ = attn_ops.decode_attention(
                     q, kc, vc, li, table, ctx + t, sm_scale=dh ** -0.5,
@@ -227,7 +249,7 @@ def megastep_probe():
             kc, vc, sc = carry
             def layer(c, li):
                 kc, vc, sc = c
-                kc, vc, sc = quant_ops.store_kv_quant_decode(
+                kc, vc, sc = _legacy_store_quant_decode(
                     kc, vc, sc, li, k_new, v_new, dest0 + t)
                 out, _ = attn_ops.decode_attention(
                     q, kc.astype(jnp.int8), vc, li, table, ctx + t,
