@@ -19,8 +19,17 @@ cross-head lanes are masked to zero so the p@V matmul still sums correctly).
 The Nkv-fold padding FLOPs are free: decode is HBM-bandwidth-bound
 (arithmetic intensity << the MXU's 240 flops/byte break-even).
 
-Score emission (OmniKV observation layers) runs through the XLA reference
-path (ops/attention_ref.py) — those layers are a small static subset.
+Score emission (OmniKV/DeltaKV observation layers) happens in the SAME
+sweep: with ``emit_raw`` the kernel writes per-page raw token expsums (a
+0/1-matmul fold of the probability tile) plus the page-local running max,
+and a late-normalization pass outside rescales by exp(m_page - m_final) /
+l_final — exact softmax scores without a second K sweep (a separate score
+pass measured slower than the ref gather it replaced).
+
+int8/int4 KV dequantize whole pages in-kernel from raw [P, Nkv] scale
+(+zero) blocks; ``return_stats`` additionally emits the final online-softmax
+(m, l) so callers can merge extra tokens exactly outside the kernel (the
+quantized decode path defers the current token this way).
 """
 
 from __future__ import annotations

@@ -3,10 +3,11 @@
 Pass structure mirrors the reference's grouped INT quantization with
 round-half-even (quant.py:19-27 — rounding choice is accuracy-visible):
 
-  * int8: symmetric per-(token, kv-head) scales. K and V each carry one
-    fp32 scale per stored token per head; dequant fuses into the attention
-    kernels (ops/paged_decode.py, ops/prefill_attention.py int8 variants).
-  * int4 (stage 2, deltakv latents): grouped pack/unpack, 2 values/byte.
+  * int8 full-KV: symmetric per-(token, kv-head) scales; dequant fuses
+    into the attention kernels (ops/paged_decode.py, prefill_attention.py).
+  * int4 full-KV (KIVI-4): asymmetric uint4 per (token, kv head),
+    split-half packed, 4 scale planes (k/v scale + k/v zero).
+  * int4 grouped (deltakv latents): last-dim grouped pack/unpack.
 
 Scales layout: kv_scales[2(k,v), L, pages, P, Nkv] fp32 — token-major like
 the payload (ops/attention_ref.py docstring), addressed with the same page
