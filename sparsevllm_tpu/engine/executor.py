@@ -460,7 +460,9 @@ class ModelExecutor:
             "token_ids": token_ids,
             "positions": positions,
             "dest_slot": dest,
-            "row_ids": self._pad(row_ids, (bb,)),
+            # padded lanes get an out-of-range row: row-keyed scatters
+            # (query ring, recurrent state) drop, gathers clamp harmlessly
+            "row_ids": self._pad(row_ids, (bb,), fill=self.max_rows),
             "ctx_lens": ctx,
             "new_lens": new_lens,
             "step": np.asarray(self._step_counter, np.int32),
@@ -523,7 +525,7 @@ class ModelExecutor:
         host_plan = {
             "token_ids0": token_ids,
             "positions0": positions,
-            "row_ids": self._pad(row_ids, (bb,)),
+            "row_ids": self._pad(row_ids, (bb,), fill=self.max_rows),
             "dest": self._pad(dest_slots, (l, bb, k), fill=-1),
             "ctx_start": self._pad(ctx_start, (l, bb)),
             "step": np.asarray(self._step_counter, np.int32),
@@ -676,7 +678,12 @@ class ModelExecutor:
                     lsc = jax.lax.dynamic_index_in_dim(
                         kv_scales, li, 1, keepdims=False
                     )
-                    keys = ref_ops.gather_dequant(kcl, lsc[0], table_l)
+                    if lsc.shape[0] == 4:  # int4: planes = (ks, vs, kz, vz)
+                        keys = ref_ops.gather_dequant_u4(
+                            kcl, lsc[0], lsc[2], table_l
+                        )
+                    else:  # int8: planes = (ks, vs)
+                        keys = ref_ops.gather_dequant(kcl, lsc[0], table_l)
                 else:
                     keys = ref_ops.gather_pages(kcl, table_l)
                 ql = jax.lax.dynamic_index_in_dim(
@@ -850,13 +857,17 @@ def _compact_impl(
         kc = kc.at[lix, dst_pg, dst_off].set(gathered_k, mode="drop")
         vc = vc.at[lix, dst_pg, dst_off].set(gathered_v, mode="drop")
         if scales is not None:
-            # move per-slot dequant scales with the payload (int8 cache)
-            lix2 = jnp.broadcast_to(li, (2,) + src_slot.shape)
-            kvix = jnp.arange(2, dtype=jnp.int32).reshape(2, 1, 1)
+            # move ALL per-slot dequant planes with the payload:
+            # int8 = (k_scale, v_scale); int4 = + (k_zero, v_zero)
+            nplanes = scales.shape[0]
+            lix2 = jnp.broadcast_to(li, (nplanes,) + src_slot.shape)
+            kvix = jnp.arange(nplanes, dtype=jnp.int32).reshape(
+                nplanes, 1, 1
+            )
             kvix = jnp.broadcast_to(kvix, lix2.shape)
             gathered_s = scales[
                 kvix, lix2, src_pg[None], src_off[None]
-            ]  # [2, B, N, Nkv]
+            ]  # [nplanes, B, N, Nkv]
             scales = scales.at[
                 kvix, lix2, dst_pg[None], dst_off[None]
             ].set(gathered_s, mode="drop")

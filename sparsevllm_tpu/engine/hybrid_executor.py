@@ -115,10 +115,12 @@ class HybridExecutor(ModelExecutor):
             rows = plan["row_ids"]
             fresh = plan["fresh"]  # [B] bool
             conv = conv.at[:, rows].multiply(
-                (~fresh)[None, :, None, None].astype(conv.dtype)
+                (~fresh)[None, :, None, None].astype(conv.dtype),
+                mode="drop",
             )
             rec = rec.at[:, rows].multiply(
-                (~fresh)[None, :, None, None, None].astype(rec.dtype)
+                (~fresh)[None, :, None, None, None].astype(rec.dtype),
+                mode="drop",
             )
             inner = dict(plan)
             inner["page_table"] = tables[0][rows, :mp]
@@ -210,7 +212,9 @@ class HybridExecutor(ModelExecutor):
             {
                 "token_ids": token_ids, "positions": positions,
                 "dest_slot": dest,
-                "row_ids": self._pad(row_ids, (bb,)),
+                # out-of-range rows for padded lanes: conv/rec state
+                # scatters drop instead of scribbling over row 0
+                "row_ids": self._pad(row_ids, (bb,), fill=self.max_rows),
                 "ctx_lens": ctx, "new_lens": new_lens, "fresh": fresh,
                 "step": np.asarray(self._step_counter, np.int32),
                 "temps": temps, "top_k": top_k, "top_p": top_p,
@@ -248,7 +252,7 @@ class HybridExecutor(ModelExecutor):
         plan = self._put_plan(
             {
                 "token_ids0": token_ids, "positions0": positions,
-                "row_ids": self._pad(row_ids, (bb,)),
+                "row_ids": self._pad(row_ids, (bb,), fill=self.max_rows),
                 "dest": self._pad(dest_slots, (lkv, bb, k), fill=-1),
                 "ctx_start": self._pad(ctx_start, (lkv, bb)),
                 "step": np.asarray(self._step_counter, np.int32),

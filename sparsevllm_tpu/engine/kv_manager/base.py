@@ -100,6 +100,8 @@ class KVCacheManager:
         self._free_rows: list[int] = list(range(max_rows - 1, -1, -1))
         self.seq_rows: dict[int, int] = {}
 
+        self._reclaim_cache: int | None = None
+
         # pending device page-table updates (flushed by the executor).
         self._upd_l: list[np.ndarray] = []
         self._upd_r: list[np.ndarray] = []
@@ -124,6 +126,7 @@ class KVCacheManager:
         blocks = self._seq_prefix_blocks.pop(seq.seq_id, None)
         if blocks and self.prefix_index is not None:
             self.prefix_index.release(blocks)
+        self._invalidate_reclaim_cache()
         # drop page references (vectorized over layers).
         for l in range(self.L):
             n = int(-(-self.row_lens[l, row] // self.P))
@@ -175,6 +178,7 @@ class KVCacheManager:
         reclaimed (blocks whose pages a live sequence still holds release
         only the cache's reference)."""
         freed = 0
+        self._invalidate_reclaim_cache()
         while freed < n_pages:
             blocks = self.prefix_index.evict(1)
             if not blocks:
@@ -320,13 +324,22 @@ class KVCacheManager:
         return free
 
     def _reclaimable_blocks(self) -> int:
-        n = 0
-        for node in self.prefix_index._nodes.values():
-            if node.refcount == 0 and (
-                self._page_refs[0, node.pages[0]] == 1
-            ):
-                n += 1
+        """Cached count of evictable cache blocks. The scan is O(blocks) but
+        runs only after a mutation (attach/commit/free/evict) — the
+        scheduler queries num_free_pages many times per step (ADVICE r1)."""
+        n = self._reclaim_cache
+        if n is None:
+            n = 0
+            for node in self.prefix_index._nodes.values():
+                if node.refcount == 0 and (
+                    self._page_refs[0, node.pages[0]] == 1
+                ):
+                    n += 1
+            self._reclaim_cache = n
         return n
+
+    def _invalidate_reclaim_cache(self) -> None:
+        self._reclaim_cache = None
 
     def num_free_rows(self) -> int:
         return len(self._free_rows)
@@ -378,6 +391,7 @@ class KVCacheManager:
         if not blocks:
             return 0
         self.prefix_index.acquire(blocks)
+        self._invalidate_reclaim_cache()
         self._seq_prefix_blocks[seq.seq_id] = blocks
         row = self.seq_rows[seq.seq_id]
         n = len(blocks)
@@ -408,6 +422,7 @@ class KVCacheManager:
         created = self.prefix_index.insert_chain(
             seq.prompt_token_ids, pages_of, upto
         )
+        self._invalidate_reclaim_cache()
         for node in created:
             for l in range(self.L):
                 self._page_refs[l, node.pages[l]] += 1

@@ -231,6 +231,12 @@ class LLMEngine:
         budget = int(hbm * config.hbm_utilization) - weights // tp - act
         page_bytes = max(self._kv_bytes(1) // tp, 1)
         num_pages = max(budget // page_bytes, 0)
+        # cap at the addressable demand: every row at max_model_len plus an
+        # equal allowance of prefix-cache blocks. Without this, tiny debug
+        # models get a multi-GiB pool whose cache-sized copies wedge the
+        # first prefill (PERF_NOTES r1 issue 6).
+        addressable = max_rows * config.max_pages_per_seq * 2 + 1
+        num_pages = min(num_pages, addressable)
         need_one_seq = config.max_model_len // config.page_size + 1
         if num_pages < need_one_seq:
             logger.warning(
@@ -449,6 +455,7 @@ class LLMEngine:
         for block in self.prefix_cache.reset():
             for l in range(self.spec.num_layers):
                 self.kv._release_pages(l, block.pages[l : l + 1])
+        self.kv._invalidate_reclaim_cache()
         return {"blocks": before - self.prefix_cache.num_blocks}
 
     def prefix_cache_stats(self) -> dict:

@@ -86,12 +86,19 @@ class OpenAIServer:
         return best
 
     async def _generate(self, prompt_ids, sp, request_id):
-        """Core generation: yields (text_delta, delta) honoring stop strings."""
+        """Core generation: yields (text_delta, delta) honoring stop strings.
+
+        Stop handling uses a vLLM-style holdback buffer: the last
+        max(len(stop)) - 1 characters are withheld from each streamed delta
+        until the next chunk rules out a stop-string match, so clients never
+        see text at or past a stop string (ADVICE r1)."""
         detok = (
             IncrementalDetokenizer(self.tokenizer)
             if self.tokenizer is not None else None
         )
-        emitted = 0
+        holdback = max((len(s) for s in sp.stop), default=1) - 1 \
+            if sp.stop else 0
+        pending = ""  # decoded but not yet yielded (stop holdback tail)
         async for delta in self.dispatcher.submit(prompt_ids, sp, request_id):
             if detok is None:
                 yield "", delta
@@ -99,18 +106,23 @@ class OpenAIServer:
             text = detok.push(delta.token_ids)
             if delta.finished:
                 text += detok.finish()
-            if sp.stop:
-                whole = detok._emitted_text
-                stop_at = self._find_stop(whole, sp.stop)
-                if stop_at >= 0:
-                    cut = whole[:stop_at]
-                    yield cut[emitted:], StreamDelta(
-                        delta.token_ids, True, "stop"
-                    )
-                    self.dispatcher.abort(request_id)
-                    return
-            emitted += len(text)
-            yield text, delta
+            if not sp.stop:
+                yield text, delta
+                continue
+            pending += text
+            stop_at = self._find_stop(pending, sp.stop)
+            if stop_at >= 0:
+                yield pending[:stop_at], StreamDelta(
+                    delta.token_ids, True, "stop"
+                )
+                self.dispatcher.abort(request_id)
+                return
+            if delta.finished:
+                yield pending, delta
+                return
+            emit = pending[: max(len(pending) - holdback, 0)]
+            pending = pending[len(emit):]
+            yield emit, delta
 
     # -------------------------------------------------------------- routes
 
@@ -408,6 +420,10 @@ def main() -> None:
     if args.tiny_random:
         kwargs.setdefault("tiny_random", True)
         kwargs.setdefault("dtype", "float32")
+        # debug server: bound the auto-sized KV pool (a 2-layer toy with the
+        # production max_model_len would otherwise get a multi-GiB pool
+        # whose cache-sized copies wedge the first prefill)
+        kwargs.setdefault("max_model_len", 4096)
     engine = LLMEngine(model=args.model, **kwargs)
     app = create_app(engine, args.served_model_name)
     logger.info("serving %s on %s:%d", args.model or "tiny-random",

@@ -445,10 +445,12 @@ def prefill_forward(
             out, tail, st = gdn_layer(
                 x, lp, spec, tail, st, valid, plan["new_lens"]
             )
+            # padded lanes carry rows == max_rows (out of range): drop
+            # their state writes instead of aliasing a live row
             conv_states = conv_states.at[ls, rows].set(
-                tail.astype(conv_states.dtype)
+                tail.astype(conv_states.dtype), mode="drop"
             )
-            rec_states = rec_states.at[ls, rows].set(st)
+            rec_states = rec_states.at[ls, rows].set(st, mode="drop")
             h = res + out
         res = h
         x2 = zc_rms_norm(h, lp["post_attn_norm"], spec.rms_norm_eps)
@@ -511,9 +513,9 @@ def decode_forward(
             st = rec_states[ls][rows]
             out, tail, st = gdn_layer(x[:, None], lp, spec, tail, st)
             conv_states = conv_states.at[ls, rows].set(
-                tail.astype(conv_states.dtype)
+                tail.astype(conv_states.dtype), mode="drop"
             )
-            rec_states = rec_states.at[ls, rows].set(st)
+            rec_states = rec_states.at[ls, rows].set(st, mode="drop")
             h = res + out[:, 0]
         res = h
         x2 = zc_rms_norm(h, lp["post_attn_norm"], spec.rms_norm_eps)

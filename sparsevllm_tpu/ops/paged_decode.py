@@ -364,11 +364,12 @@ def _decode_pallas_nomask(
 )
 def _decode_pallas_mask(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
-    kv_scales=None, *, sm_scale, interpret=False, return_stats=False,
+    page_pos=None, kv_scales=None, *, sm_scale, interpret=False,
+    return_stats=False,
 ):
     return _decode_pallas_impl(
         q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
-        None, kv_scales, sm_scale=sm_scale, interpret=interpret,
+        page_pos, kv_scales, sm_scale=sm_scale, interpret=interpret,
         return_stats=return_stats,
     )
 
@@ -398,6 +399,11 @@ def decode_attention_pallas(
                 None, None, sm_scale=sm_scale, interpret=interpret,
                 emit_raw=True,
             )
+        if page_pos is not None:
+            raise NotImplementedError(
+                "emit_scores with a compacted table (page_pos) has no "
+                "ref fallback — obs layers always read the dense table"
+            )
         def _layer(c):
             return jax.lax.dynamic_index_in_dim(c, layer_idx, 0,
                                                 keepdims=False)
@@ -408,10 +414,12 @@ def decode_attention_pallas(
             kv_scales=lsc,
         )
     if select_mask is not None:
+        # page_pos threads through: the OmniKV compacted path passes a
+        # permuted table + mask + logical page positions together
         res = _decode_pallas_mask(
             q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
-            select_mask, kv_scales, sm_scale=sm_scale, interpret=interpret,
-            return_stats=return_stats,
+            select_mask, page_pos, kv_scales, sm_scale=sm_scale,
+            interpret=interpret, return_stats=return_stats,
         )
     else:
         res = _decode_pallas_nomask(

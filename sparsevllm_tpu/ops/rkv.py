@@ -34,9 +34,13 @@ def record_query(
     row_ids: jax.Array,  # [B]
     slots: jax.Array,  # [B] ring position = completion_len % Qc
 ) -> jax.Array:
-    """Write this step's decode queries into the ring buffer."""
+    """Write this step's decode queries into the ring buffer.
+
+    Padded decode lanes carry out-of-range row_ids (= max_rows); drop their
+    writes instead of scribbling over a live row.
+    """
     return qcache.at[layer_idx, row_ids, slots].set(
-        q.astype(qcache.dtype)
+        q.astype(qcache.dtype), mode="drop"
     )
 
 

@@ -211,3 +211,53 @@ def test_response_object_shape():
     assert obj["output_text"] == "hello"
     assert obj["output"][0]["content"][0]["type"] == "output_text"
     assert obj["status"] == "completed"
+
+
+def test_stream_stop_holdback():
+    """Streamed deltas never contain text at or past a stop string, even
+    when the stop spans chunk boundaries (vLLM-style holdback)."""
+    from sparsevllm_tpu.entrypoints.openai.api_server import OpenAIServer
+    from sparsevllm_tpu.entrypoints.openai.dispatcher import StreamDelta
+    from sparsevllm_tpu.sampling_params import SamplingParams
+
+    class _CharTok:
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(i) for i in ids)
+
+    class _FakeDispatcher:
+        def __init__(self, token_batches):
+            self.batches = token_batches
+            self.aborted = False
+
+        async def submit(self, prompt_ids, sp, request_id):
+            for i, b in enumerate(self.batches):
+                yield StreamDelta(b, i == len(self.batches) - 1, "length")
+
+        def abort(self, request_id):
+            self.aborted = True
+
+    srv = OpenAIServer.__new__(OpenAIServer)
+    srv.tokenizer = _CharTok()
+    # stream "hello STOP world" with the stop split across deltas
+    text = "hello STOP world"
+    ids = [ord(c) for c in text]
+    batches = [ids[:7], ids[7:9], ids[9:12], ids[12:]]  # "...ST","OP","..."
+    srv.dispatcher = _FakeDispatcher(batches)
+    sp = SamplingParams(max_tokens=64, stop=("STOP",))
+
+    async def run():
+        parts = []
+        async for t, d in srv._generate([1], sp, "rid"):
+            parts.append((t, d.finished, d.finish_reason))
+        return parts
+
+    loop = asyncio.new_event_loop()
+    parts = loop.run_until_complete(run())
+    loop.close()
+    streamed = "".join(t for t, _, _ in parts)
+    assert streamed == "hello "
+    assert parts[-1][1] is True and parts[-1][2] == "stop"
+    assert srv.dispatcher.aborted
+    # no intermediate delta ever contained any char of "STOP" or beyond
+    for t, _, _ in parts[:-1]:
+        assert "S" not in t or t.endswith("hello ")

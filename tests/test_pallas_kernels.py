@@ -211,3 +211,36 @@ def test_decode_emit_scores_single_sweep_matches_ref(caches):
     )
     np.testing.assert_allclose(out_p, out_r, atol=2e-5)
     np.testing.assert_allclose(scores_p, scores_r, atol=2e-5)
+
+
+def test_decode_mask_with_compacted_table_matches_ref(caches):
+    """OmniKV compacted path: permuted table + select_mask + page_pos
+    together (ADVICE r1: page_pos was silently dropped when a mask was
+    set, mis-masking short contexts)."""
+    kc, vc = caches
+    rng = np.random.default_rng(10)
+    B, Nq, MP, P = 2, 4, 8, kc.shape[2]
+    q = jnp.asarray(rng.normal(size=(B, Nq, 128)), jnp.float32)
+    table = jnp.asarray(rng.integers(1, kc.shape[1], size=(B, MP)), jnp.int32)
+    # short contexts: some selected logical pages sit near/over ctx
+    ctx = jnp.asarray([23, 44], jnp.int32)
+    ppos = jnp.asarray([[2, 0, 5, 1], [4, 2, 0, 3]], jnp.int32)
+    compact = jnp.take_along_axis(table, ppos, axis=1)
+    # per-token keep mask in COMPACTED order
+    cmask_np = rng.integers(0, 2, size=(B, ppos.shape[1] * P)).astype(bool)
+    cmask_np[:, :3] = True
+    cmask = jnp.asarray(cmask_np)
+    out_p, _ = pd.decode_attention_pallas(
+        q, kc, vc, 1, compact, ctx, sm_scale=0.1, select_mask=cmask,
+        page_pos=ppos, interpret=True,
+    )
+    # reference: full table + mask scattered back to logical positions
+    mask = np.zeros((B, MP * P), bool)
+    for b in range(B):
+        for j, lp in enumerate(np.asarray(ppos[b])):
+            mask[b, lp * P:(lp + 1) * P] = cmask_np[b, j * P:(j + 1) * P]
+    out_r, _ = ref.decode_attention_ref(
+        q, kc[1], vc[1], table, ctx, sm_scale=0.1,
+        select_mask=jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(out_p, out_r, atol=2e-5)
