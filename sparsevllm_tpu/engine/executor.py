@@ -227,6 +227,9 @@ class ModelExecutor:
         self._step_counter = 0
         self._fn_cache: dict = {}
         self._update_fn = jax.jit(self._update_tables_impl, donate_argnums=(0,))
+        # streamed long-prefill (host KV archive); engine wires kv_manager
+        self.kv_manager = None
+        self._streamed = None
 
     def _resolve_impl(self) -> str:
         if self.config.attention_impl in ("ref", "pallas"):
@@ -246,6 +249,55 @@ class ModelExecutor:
         self.tables = self._update_fn(
             self.tables, self._dev(l_idx), self._dev(r_idx),
             self._dev(i_idx), self._dev(pages),
+        )
+
+    # -------------------------------------------------- streamed long prefill
+
+    @property
+    def streamed(self):
+        if self._streamed is None:
+            from .streamed_prefill import StreamedPrefillRunner
+
+            self._streamed = StreamedPrefillRunner(self)
+        return self._streamed
+
+    def run_prefill_streamed(self, seq, chunk: int):
+        """One chunk of a host-archived long prefill (engine routes prompts
+        over long_prefill_offload_threshold here; see streamed_prefill.py)."""
+        with profiler.record("streamed_prefill_chunk"):
+            return self.streamed.run_chunk(seq, chunk)
+
+    def store_rows_layer(self, layer_idx: int, k_rows, v_rows, slots) -> None:
+        """Scatter [N, Nkv, Dh] fp rows into one layer's pages (streamed
+        compaction adoption). Quantizes when the cache is int8/int4."""
+        from ..ops import attention as attn_ops
+        from ..ops import quant as quant_ops
+
+        key = "store_rows"
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            if self._rt.kv_quant:
+                bits = self._rt.kv_quant_bits
+
+                def impl(kc, vc, scales, li, k, v, slots):
+                    if bits == 4:
+                        return quant_ops.store_kv_quant_layer_u4(
+                            kc, vc, scales, li, k, v, slots
+                        )
+                    return quant_ops.store_kv_quant_layer(
+                        kc, vc, scales, li, k, v, slots
+                    )
+            else:
+                def impl(kc, vc, scales, li, k, v, slots):
+                    kc, vc = attn_ops.store_kv_layer(
+                        kc, vc, li, k, v, slots
+                    )
+                    return kc, vc, scales
+            fn = jax.jit(impl, donate_argnums=(0, 1, 2))
+            self._fn_cache[key] = fn
+        self.k_cache, self.v_cache, self.kv_scales = fn(
+            self.k_cache, self.v_cache, self.kv_scales,
+            jnp.asarray(layer_idx, jnp.int32), k_rows, v_rows, slots,
         )
 
     # ---------------------------------------------------- device placement
@@ -274,8 +326,19 @@ class ModelExecutor:
             _round_up_pow2(s, lo=min(16, self.config.chunk_prefill_size)),
             max(self.config.chunk_prefill_size, s),
         )
-        mp = self.config.context_bucket_pages(
-            max(-(-max_ctx_tokens // self.config.page_size), 1)
+        # prefill context buckets are PURE powers of two, unlike decode's
+        # interleaved {2^n, 1.5*2^n}: a long chunked prefill walks the
+        # context upward, and every distinct bucket is a fresh XLA compile
+        # (60-120 s through the TPU tunnel) — 5 buckets cover 128K vs 9
+        # interleaved, for <=33% average page over-stream on a path that is
+        # compile-dominated anyway.
+        base = max(
+            self.config.decode_context_bucket_base // self.config.page_size,
+            1,
+        )
+        pages = max(-(-max_ctx_tokens // self.config.page_size), 1)
+        mp = min(
+            _round_up_pow2(pages, lo=base), self.config.max_pages_per_seq
         )
         return bb, sb, mp
 

@@ -53,11 +53,20 @@ class SnapKVManager(KVCacheManager):
         )
 
     # admission peak: whole prompt resident + compaction destination pages
-    # (new pages are allocated before old ones are freed).
+    # (new pages are allocated before old ones are freed). Streamed long
+    # prefills (host KV archive, engine/streamed_prefill.py) never hold the
+    # prompt in device pages — only the compacted keep budget.
     def admission_cost_pages(self, seq: Sequence) -> int:
-        prompt_pages = -(-(seq.num_prompt_tokens + 1) // self.P)
         keep_pages = -(-int(self.layer_budgets.max()) // self.P)
+        if getattr(seq, "streamed_prefill", False):
+            return keep_pages + 1
+        prompt_pages = -(-(seq.num_prompt_tokens + 1) // self.P)
         return prompt_pages + keep_pages
+
+    def prefill_step_cost_pages(self, seq: Sequence, chunk: int) -> int:
+        if getattr(seq, "streamed_prefill", False):
+            return 0  # chunk KV lives in activations + the host archive
+        return super().prefill_step_cost_pages(seq, chunk)
 
     def plan_compaction(self, seqs: list[Sequence]) -> dict | None:
         """Pre-plan prefill-end eviction for sequences that just finished
@@ -81,6 +90,33 @@ class SnapKVManager(KVCacheManager):
             "new_pages": new_pages,
             "obs_window": self.obs_window,
         }
+
+    # ---------------------------------------------- streamed-prefill adoption
+
+    def plan_streamed_adoption(self, seq: Sequence, keep: "np.ndarray"):
+        """Allocate destination pages for a streamed sequence's compacted
+        rows (keep[l] tokens per layer); the executor scatters archived KV
+        into them (streamed_prefill.py _compact_and_sample)."""
+        new_pages = []
+        for l in range(self.L):
+            n = int(-(-int(keep[l]) // self.P))
+            new_pages.append(self._pop_pages(l, n))
+        return {"keep": keep, "new_pages": new_pages}
+
+    def commit_streamed_adoption(self, seq: Sequence, plan: dict) -> None:
+        row = self.seq_rows[seq.seq_id]
+        if int(self.row_lens[:, row].max()) != 0:
+            raise AssertionError(
+                "streamed sequence unexpectedly holds device pages"
+            )
+        for l in range(self.L):
+            pages = plan["new_pages"][l]
+            n = len(pages)
+            self.page_tables[l, row, :n] = pages
+            self.row_lens[l, row] = int(plan["keep"][l])
+            self._queue_update(
+                np.full(n, l), np.full(n, row), np.arange(n), pages
+            )
 
     def commit_compaction(self, seqs: list[Sequence], plan: dict) -> None:
         """Free old pages, adopt the new tables host-side (the device rows

@@ -100,7 +100,10 @@ class _ThroughputLogger:
 
 
 class LLMEngine:
-    def __init__(self, model: str = "", **kwargs):
+    def __init__(self, model: str = "", *, spec=None, params=None, **kwargs):
+        """``spec``/``params`` inject a synthetic model directly (benchmarks
+        and tests; no tokenizer, eos=2) — the production path loads from a
+        checkpoint via ``model``."""
         allow_unknown = bool(kwargs.pop("allow_unknown_config_keys", False))
         cfg_kwargs = normalize_runtime_params(kwargs, allow_unknown)
         cfg_kwargs.setdefault("allow_unknown_config_keys", allow_unknown)
@@ -109,7 +112,12 @@ class LLMEngine:
         profiler.enabled = profiler.enabled or config.enable_profiler
 
         # --- model + tokenizer ------------------------------------------
-        if config.tiny_random:
+        if spec is not None:
+            if params is None:
+                raise ValueError("spec injection requires params")
+            self.tokenizer = None
+            eos_ids: tuple[int, ...] = (2,)
+        elif config.tiny_random:
             from ..utils.tiny_random import build_tiny_params_and_spec
 
             params, spec = build_tiny_params_and_spec(
@@ -165,6 +173,7 @@ class LLMEngine:
             config, getattr(spec, "num_kv_layers", spec.num_layers),
             num_pages, max_rows,
         )
+        self.executor.kv_manager = self.kv
         self.prefix_cache = None
         if config.enable_prefix_cache:
             from .prefix_cache import RadixPrefixIndex, config_fingerprint
@@ -285,6 +294,9 @@ class LLMEngine:
         seq = self.scheduler.abort(seq_id)
         if seq is not None and seq.row >= 0:
             self.kv.free_seq(seq)
+        if seq is not None and getattr(seq, "streamed_prefill", False):
+            if self.executor._streamed is not None:
+                self.executor._streamed.abort(seq_id)
 
     # ----------------------------------------------------------------- step
 
@@ -308,6 +320,15 @@ class LLMEngine:
 
     def _step_prefill(self, batch: ScheduledBatch):
         seqs, chunks = batch.seqs, batch.chunk_sizes
+        if getattr(seqs[0], "streamed_prefill", False):
+            # host-archive long prefill (bs=1 by the long bucket)
+            assert len(seqs) == 1
+            token = self.executor.run_prefill_streamed(seqs[0], chunks[0])
+            finished = self.scheduler.postprocess(
+                batch, [token if token is not None else 0], None
+            )
+            self._finalize(finished)
+            return [(s, list(s.last_step_tokens)) for s in seqs]
         dests = [
             self.kv.alloc_prefill(s, c) for s, c in zip(seqs, chunks)
         ]

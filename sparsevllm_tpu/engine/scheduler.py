@@ -64,6 +64,18 @@ class Scheduler:
                 f"prompt length {seq.num_prompt_tokens} >= max_model_len "
                 f"{self.config.max_model_len}"
             )
+        # long prompts route to the host-archive streamed prefill
+        # (reference long_bs1full + RawKV offload, scheduler.py:171-221):
+        # the device never holds the whole prompt's KV, so admission only
+        # reserves the compacted keep budget. Applies to methods whose
+        # decode residency is bounded by prefill-end compaction.
+        thr = getattr(self.config, "long_prefill_offload_threshold", 0)
+        if (
+            thr
+            and seq.num_prompt_tokens > thr
+            and getattr(self.config, "method", "") in ("snapkv", "pyramidkv")
+        ):
+            seq.streamed_prefill = True
         self.waiting.append(seq)
 
     def abort(self, seq_id: int) -> Sequence | None:

@@ -278,3 +278,125 @@ def decode_attention_ref(
     if emit_scores:
         token_scores = jnp.sum(probs, axis=1)  # [B, K] fp32
     return out, token_scores
+
+
+def _pool_scores(obs_scores: jax.Array, score_pooling: int) -> jax.Array:
+    """1D max pool with 'same' padding over the key axis (snapkv
+    kernel_size smoothing; matches prefill_attention_ref)."""
+    if score_pooling <= 1:
+        return obs_scores
+    kk = obs_scores.shape[1]
+    pad = score_pooling // 2
+    padded = jnp.pad(
+        obs_scores, ((0, 0), (pad, score_pooling - 1 - pad)),
+        constant_values=0.0,
+    )
+    windows = jnp.stack(
+        [padded[:, i : i + kk] for i in range(score_pooling)], axis=-1
+    )
+    return jnp.max(windows, axis=-1)
+
+
+def prefill_obs_scores_blockwise(
+    q: jax.Array,  # [B, S, Nq, Dh] this chunk's (post-RoPE) queries
+    k_cache: jax.Array,  # [num_pages, P, Nkv, Dh] one layer's cache
+    page_table: jax.Array,  # [B, max_pages]
+    ctx_lens: jax.Array,  # [B] total context incl. this chunk
+    new_lens: jax.Array,  # [B] valid new tokens in this chunk
+    *,
+    sm_scale: float,
+    obs_window: int,
+    score_pooling: int = 0,
+    kv_scales: jax.Array | None = None,  # [2|4, pages, P, Nkv]
+    block_pages: int = 8,
+) -> jax.Array:
+    """SnapKV observation scores with bounded memory at any context length.
+
+    Numerically identical to ``prefill_attention_ref``'s obs path (exact
+    softmax over the full context), but never materializes the
+    [B, Nq, S, K] score tensor: a two-pass online-softmax ``lax.scan`` over
+    page blocks keeps the peak at O(B * Nq * W * block_pages * P). The
+    reference's equivalent is the 3-kernel prefill_score pipeline
+    (triton_kernel/prefill_score.py:7-247) which exists for the same reason.
+    Returns [B, max_pages * P] fp32.
+    """
+    b, s, nq, dh = q.shape
+    p = k_cache.shape[1]
+    nkv = k_cache.shape[2]
+    w = min(obs_window, s)
+
+    # last `w` valid queries of each sequence (+ validity for short prompts)
+    wi = jnp.arange(w)[None, :]  # [1, W]
+    src = new_lens[:, None] - w + wi  # [B, W] chunk-row of each obs query
+    valid_q = src >= 0
+    src_c = jnp.clip(src, 0, s - 1)
+    q_obs = jnp.take_along_axis(
+        q, src_c[:, :, None, None], axis=1
+    ).astype(jnp.float32)  # [B, W, Nq, Dh]
+    qpos = (ctx_lens - new_lens)[:, None] + src_c  # [B, W] absolute position
+
+    mp = page_table.shape[1]
+    nblk = -(-mp // block_pages)
+    table_pad = jnp.pad(
+        page_table, ((0, 0), (0, nblk * block_pages - mp))
+    )  # padded entries masked by kpos >= ctx below? no — by kpos >= mp*P
+
+    def _keys_block(j):
+        tb = jax.lax.dynamic_slice(
+            table_pad, (0, j * block_pages), (b, block_pages)
+        )
+        if kv_scales is not None and kv_scales.shape[0] == 4:
+            keys = gather_dequant_u4(
+                k_cache, kv_scales[0], kv_scales[2], tb
+            )
+        elif kv_scales is not None:
+            keys = gather_dequant(k_cache, kv_scales[0], tb)
+        else:
+            keys = gather_pages(k_cache, tb).astype(jnp.float32)
+        return keys  # [B, Nkv, bp*P, Dh] f32
+
+    kb = block_pages * p
+    kpos0 = jnp.arange(kb)[None, None, :]  # [1, 1, kb]
+
+    def _scores_block(j):
+        keys = _expand_gqa(_keys_block(j), nq)  # [B, Nq, kb, Dh]
+        st = jnp.einsum(
+            "bwhd,bhkd->bhwk", q_obs, keys,
+            preferred_element_type=jnp.float32,
+        ) * sm_scale  # [B, Nq, W, kb]
+        kpos = j * kb + kpos0  # [1, 1, kb]
+        mask = (
+            (kpos[:, :, None, :] <= qpos[:, None, :, None])
+            & (kpos[:, :, None, :] < ctx_lens[:, None, None, None])
+            & (kpos[:, :, None, :] < mp * p)
+            & valid_q[:, None, :, None]
+        )  # [B, 1->Nq, W, kb]
+        return jnp.where(mask, st, NEG_INF), mask
+
+    # pass 1: running (m, l) per (b, head, obs query)
+    def p1(carry, j):
+        m, l = carry
+        st, _ = _scores_block(j)
+        m_cur = jnp.max(st, axis=-1)  # [B, Nq, W]
+        m_new = jnp.maximum(m, m_cur)
+        l = l * jnp.exp(m - m_new) + jnp.sum(
+            jnp.exp(st - m_new[..., None]), axis=-1
+        )
+        return (m_new, l), None
+
+    m0 = jnp.full((b, nq, w), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, nq, w), jnp.float32)
+    (m, l), _ = jax.lax.scan(p1, (m0, l0), jnp.arange(nblk))
+    l_safe = jnp.where(l <= 0.0, 1.0, l)
+
+    # pass 2: per-block normalized probabilities summed over heads+queries
+    def p2(_, j):
+        st, mask = _scores_block(j)
+        prob = jnp.where(
+            mask, jnp.exp(st - m[..., None]) / l_safe[..., None], 0.0
+        )
+        return None, jnp.sum(prob, axis=(1, 2))  # [B, kb]
+
+    _, blocks = jax.lax.scan(p2, None, jnp.arange(nblk))  # [nblk, B, kb]
+    obs = blocks.transpose(1, 0, 2).reshape(b, nblk * kb)[:, : mp * p]
+    return _pool_scores(obs, score_pooling)

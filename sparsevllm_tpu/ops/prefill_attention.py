@@ -269,7 +269,11 @@ def prefill_attention_pallas(
 ):
     """Dispatcher-facing API (matches ops.attention.prefill_attention).
 
-    Score-emitting calls (final SnapKV chunk) use the XLA reference path.
+    Score-emitting calls (final SnapKV chunk) run the main attention through
+    the flash kernel and the observation scores through the blockwise
+    two-pass op (ref.prefill_obs_scores_blockwise) — exact softmax scores
+    with O(W * block) memory at any context length. (The naive ref obs path
+    materializes [B, Nq, S, K]: 6.4 GiB at K=128K — unusable on chip.)
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -278,11 +282,17 @@ def prefill_attention_pallas(
             return jax.lax.dynamic_index_in_dim(c, layer_idx, 0,
                                                 keepdims=False)
         lsc = None if kv_scales is None else kv_scales[:, layer_idx]
-        return ref.prefill_attention_ref(
-            q, _layer(k_cache), _layer(v_cache), page_table, ctx_lens,
-            new_lens, sm_scale=sm_scale, obs_window=obs_window,
+        out, _ = prefill_attention_pallas(
+            q, k_cache, v_cache, layer_idx, page_table, ctx_lens, new_lens,
+            sm_scale=sm_scale, obs_window=0, kv_scales=kv_scales,
+            interpret=interpret,
+        )
+        obs = ref.prefill_obs_scores_blockwise(
+            q, _layer(k_cache), page_table, ctx_lens, new_lens,
+            sm_scale=sm_scale, obs_window=obs_window,
             score_pooling=score_pooling, kv_scales=lsc,
         )
+        return out, obs
     s = q.shape[1]
     # block_s MUST stay large: every S-block re-streams the whole context
     # from HBM, so halving block_s doubles prefill DMA. Start from a
@@ -290,7 +300,10 @@ def prefill_attention_pallas(
     # divides-s reduction loop does not degenerate (a non-divisor start
     # like 80 collapses to block_s=2 -> 40x DMA amplification, measured
     # 550 ms/layer vs ~14 ms at block_s=64).
-    block_s = min(s, 128)
+    # 256-query tiles need ~30-35 MiB scoped VMEM — the package init raises
+    # the budget to 64 MiB (v5e has 128 MiB physical; XLA's default 16 MiB
+    # would cap block_s at 128/64 and double-to-quadruple prefill DMA).
+    block_s = min(s, 256)
     while s % block_s:
         block_s //= 2
     out = _prefill_pallas(

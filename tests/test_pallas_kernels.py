@@ -244,3 +244,67 @@ def test_decode_mask_with_compacted_table_matches_ref(caches):
         select_mask=jnp.asarray(mask),
     )
     np.testing.assert_allclose(out_p, out_r, atol=2e-5)
+
+
+def test_obs_scores_blockwise_matches_ref(caches):
+    """Blockwise two-pass obs scores == naive ref obs path (which
+    materializes [B, Nq, S, K] and cannot run at 128K)."""
+    kc, vc = caches
+    rng = np.random.default_rng(11)
+    B, S, Nq, MP = 2, 16, 4, 6
+    q = jnp.asarray(rng.normal(size=(B, S, Nq, 128)), jnp.float32)
+    table = jnp.asarray(rng.integers(1, kc.shape[1], size=(B, MP)), jnp.int32)
+    ctx = jnp.asarray([30, 13], jnp.int32)
+    new = jnp.asarray([16, 9], jnp.int32)
+    for pool in (0, 3):
+        _, obs_r = ref.prefill_attention_ref(
+            q, kc[0], vc[0], table, ctx, new, sm_scale=0.088, obs_window=6,
+            score_pooling=pool,
+        )
+        obs_b = ref.prefill_obs_scores_blockwise(
+            q, kc[0], table, ctx, new, sm_scale=0.088, obs_window=6,
+            score_pooling=pool, block_pages=2,
+        )
+        np.testing.assert_allclose(obs_b, obs_r, atol=2e-5)
+    # obs window larger than the prompt (short-prompt validity masking)
+    ctx2 = jnp.asarray([4, 3], jnp.int32)
+    new2 = jnp.asarray([4, 3], jnp.int32)
+    _, obs_r = ref.prefill_attention_ref(
+        q, kc[0], vc[0], table, ctx2, new2, sm_scale=0.088, obs_window=8,
+    )
+    obs_b = ref.prefill_obs_scores_blockwise(
+        q, kc[0], table, ctx2, new2, sm_scale=0.088, obs_window=8,
+        block_pages=4,
+    )
+    np.testing.assert_allclose(obs_b, obs_r, atol=2e-5)
+
+
+def test_obs_scores_blockwise_int8(caches):
+    """Blockwise obs scores over a quantized (int8) cache."""
+    from sparsevllm_tpu.ops import quant as quant_ops
+
+    kc3, _ = caches
+    kc = kc3[0]  # one layer: [pages, P, Nkv, Dh]
+    rng = np.random.default_rng(12)
+    B, S, Nq, MP, P = 1, 8, 4, 4, kc.shape[1]
+    Nkv, Dh = kc.shape[2], kc.shape[3]
+    q = jnp.asarray(rng.normal(size=(B, S, Nq, Dh)), jnp.float32)
+    table = jnp.asarray([[3, 7, 1, 5]], jnp.int32)
+    ctx = jnp.asarray([28], jnp.int32)
+    new = jnp.asarray([8], jnp.int32)
+    # quantize the fp cache (per-token symmetric, ops/quant.py)
+    flat = kc.reshape(-1, Nkv, Dh)
+    kq, ks = quant_ops.quantize_rows(flat)
+    kq = kq.reshape(kc.shape)
+    scales = jnp.stack([ks.reshape(kc.shape[:3]),
+                        ks.reshape(kc.shape[:3])])  # [2, pages, P, Nkv]
+    deq = quant_ops.dequantize_rows(
+        kq.reshape(-1, Nkv, Dh), ks).reshape(kc.shape)
+    _, obs_r = ref.prefill_attention_ref(
+        q, deq, deq, table, ctx, new, sm_scale=0.1, obs_window=4,
+    )
+    obs_b = ref.prefill_obs_scores_blockwise(
+        q, kq, table, ctx, new, sm_scale=0.1, obs_window=4,
+        kv_scales=scales, block_pages=2,
+    )
+    np.testing.assert_allclose(obs_b, obs_r, atol=2e-4)

@@ -1,0 +1,142 @@
+"""Streamed long-prefill (host KV archive) vs the resident path.
+
+The streamed path (engine/streamed_prefill.py) must produce the same
+compacted KV state and the same greedy generation as the standard
+snapkv resident path — it is an execution strategy, not a method change.
+"""
+
+import numpy as np
+import pytest
+
+from sparsevllm_tpu.engine.llm_engine import LLMEngine
+from sparsevllm_tpu.sampling_params import SamplingParams
+
+CTX = 700
+CHUNK = 256
+KEEP = 320
+
+
+def _engine(threshold):
+    return LLMEngine(
+        tiny_random=True,
+        dtype="float32",
+        page_size=8,
+        num_kv_pages=256,
+        max_model_len=1024,
+        chunk_prefill_size=CHUNK,
+        max_num_batched_tokens=1024,
+        max_decoding_seqs=2,
+        max_num_seqs_in_batch=2,
+        method="snapkv",
+        prefill_keep_tokens=KEEP,
+        snapkv_obs_window=32,
+        snapkv_kernel_size=5,
+        long_prefill_offload_threshold=threshold,
+        decode_context_bucket_base=64,
+        decode_steps_per_dispatch=4,
+    )
+
+
+def _generate(eng, prompt, steps):
+    (out,) = eng.generate(
+        prompt_token_ids=[prompt],
+        sampling_params=SamplingParams(
+            temperature=0.0, max_tokens=steps, ignore_eos=True
+        ),
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def prompt():
+    rng = np.random.default_rng(7)
+    return rng.integers(5, 500, size=CTX).tolist()
+
+
+def test_streamed_matches_resident(prompt):
+    res = _generate(_engine(threshold=0), list(prompt), steps=12)
+    eng_s = _engine(threshold=CHUNK)  # prompt > chunk -> streamed
+    st = _generate(eng_s, list(prompt), steps=12)
+    assert res.output_token_ids == st.output_token_ids
+    assert res.finish_reason == st.finish_reason
+
+
+def test_streamed_row_state(prompt):
+    eng = _engine(threshold=CHUNK)
+    eng.add_request(
+        prompt_token_ids=list(prompt),
+        sampling_params=SamplingParams(
+            temperature=0.0, max_tokens=4, ignore_eos=True
+        ),
+    )
+    # drive prefill to completion
+    while any(
+        not s.prefill_done for s in eng.scheduler.running
+    ) or eng.scheduler.waiting:
+        eng.step()
+    (seq,) = eng.scheduler.running
+    assert getattr(seq, "streamed_prefill", False)
+    row = eng.kv.seq_rows[seq.seq_id]
+    # +1: the first decode token's KV lands right after adoption
+    lens = eng.kv.row_lens[:, row]
+    assert np.all((lens == KEEP) | (lens == KEEP + 1)), lens
+    # archive must be dropped after adoption
+    assert seq.seq_id not in eng.executor.streamed._archives
+    while eng.scheduler.has_work:
+        eng.step()
+
+
+def test_streamed_admission_fits_small_pool(prompt):
+    """A streamed prompt admits into a pool that could never hold the whole
+    prompt resident — the offload tier's reason to exist."""
+    small_pages = (KEEP // 8) + 10  # << CTX/8 prompt pages
+    eng = LLMEngine(
+        tiny_random=True,
+        dtype="float32",
+        page_size=8,
+        num_kv_pages=small_pages,
+        max_model_len=1024,
+        chunk_prefill_size=CHUNK,
+        max_num_batched_tokens=1024,
+        max_decoding_seqs=1,
+        max_num_seqs_in_batch=1,
+        method="snapkv",
+        prefill_keep_tokens=KEEP,
+        snapkv_obs_window=32,
+        long_prefill_offload_threshold=CHUNK,
+        decode_context_bucket_base=64,
+        decode_steps_per_dispatch=4,
+        prompt_admission_failure_action="raise",
+    )
+    out = _generate(eng, list(prompt), steps=6)
+    assert len(out.output_token_ids) == 6
+
+
+def test_resident_admission_rejects_small_pool(prompt):
+    """Same pool without the offload tier must fail loudly at admission."""
+    small_pages = (KEEP // 8) + 10
+    eng = LLMEngine(
+        tiny_random=True,
+        dtype="float32",
+        page_size=8,
+        num_kv_pages=small_pages,
+        max_model_len=1024,
+        chunk_prefill_size=CHUNK,
+        max_num_batched_tokens=1024,
+        max_decoding_seqs=1,
+        max_num_seqs_in_batch=1,
+        method="snapkv",
+        prefill_keep_tokens=KEEP,
+        snapkv_obs_window=32,
+        long_prefill_offload_threshold=0,
+        decode_context_bucket_base=64,
+        decode_steps_per_dispatch=4,
+        prompt_admission_failure_action="raise",
+    )
+    eng.add_request(
+        prompt_token_ids=list(prompt),
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=4),
+    )
+    with pytest.raises(RuntimeError, match="cannot be admitted"):
+        while eng.scheduler.has_work:
+            eng.step()
