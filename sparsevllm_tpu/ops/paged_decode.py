@@ -93,11 +93,14 @@ def _decode_kernel(
     # skip pages entirely past the context
     @pl.when(logical_page * page_size < ctx)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)  # [Nq, Dh]
+        # bf16 MXU operands (f32 accumulate via preferred_element_type);
+        # f32 inputs (CPU parity tests) keep exact f32 math.
+        mm_dtype = q_ref.dtype
+        q = q_ref[0]  # [Nq, Dh]
         nkv = k_ref.shape[3]
 
         def _dequant_page(ref, sc_ref, zz_ref):
-            """Whole-page fused dequant -> [P*Nkv, Dh] f32 rows
+            """Whole-page fused dequant -> [P*Nkv, Dh] mm-dtype rows
             (row = offset*Nkv + h). int8: minor-singleton scale broadcast
             (Mosaic supports this; it rejects both flat-fold reshapes —
             and with scales in the megastep scan carry an OUTSIDE flat
@@ -113,11 +116,13 @@ def _decode_kernel(
                     page_size * nkv, half)
                 dhi = (((pk >> 4) & 15).astype(jnp.float32) * sc
                        + zz).reshape(page_size * nkv, half)
-                return jnp.concatenate([dlo, dhi], axis=1)
-            x3 = ref[0, 0].astype(jnp.float32)  # [P, Nkv, Dh]
+                return jnp.concatenate([dlo, dhi], axis=1).astype(mm_dtype)
+            x3 = ref[0, 0]  # [P, Nkv, Dh]
             if sc_ref is not None:
-                x3 = x3 * sc_ref[0, 0, 0][:, :, None]
-            return x3.reshape(page_size * nkv, -1)
+                x3 = (
+                    x3.astype(jnp.float32) * sc_ref[0, 0, 0][:, :, None]
+                )
+            return x3.reshape(page_size * nkv, -1).astype(mm_dtype)
 
         # ONE [Nq, P*Nkv] MXU matmul over the token-major page with a
         # head-match mask (see module docstring) — wasted cross-head FLOPs
@@ -146,7 +151,7 @@ def _decode_kernel(
         p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
         v = _dequant_page(v_ref, vs_ref, vz_ref)
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(mm_dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Nq, Dh] (cross-head lanes are zero in p)
         acc_ref[:] = acc_ref[:] * alpha + pv

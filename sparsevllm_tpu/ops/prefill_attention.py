@@ -43,17 +43,17 @@ NEG_INF = -1e30
 def _prefill_kernel(
     # scalar prefetch
     lidx_ref,  # [1]
-    table_ref,  # [B, MP]
+    table_ref,  # [B, MP_pad]
     ctx_ref,  # [B] total context incl. this chunk
     new_ref,  # [B] valid new tokens in this chunk
-    # blocks
+    # blocks: q, then KP k-page refs, KP v-page refs, optional scale planes
     q_ref,  # [1, Nkv, BS, G, Dh]
-    k_ref,  # [1, 1, P, Nkv, Dh] (kv dtype or int8; full token-major page)
-    v_ref,  # [1, 1, P, Nkv, Dh]
-    ks_ref,  # [1, 1, 1, P, Nkv] f32 per-token K scales (int8 cache) or None
-    vs_ref,  # [1, 1, 1, P, Nkv] f32 per-token V scales or None
-    kz_ref,  # [1, 1, 1, P, Nkv] f32 K zeros (int4 only, or None)
-    vz_ref,  # [1, 1, 1, P, Nkv] f32 V zeros (int4 only, or None)
+    k_refs,  # KP x [1, 1, P, Nkv, Dh] (kv dtype or int8; token-major pages)
+    v_refs,
+    ks_refs,  # KP x [1, 1, 1, P, Nkv] f32 K scales (int8/int4) or None
+    vs_refs,
+    kz_refs,  # KP x ... K zeros (int4 only) or None
+    vz_refs,
     out_ref,  # [1, Nkv, BS, G, Dh]
     # scratch (rows stacked head-major: row = h*BS*G + qi*G + gi)
     acc_ref,  # [Nkv*BS*G, Dh] f32
@@ -66,10 +66,20 @@ def _prefill_kernel(
     groups: int,
     nkv: int,
 ):
+    """Multi-page superblock flash prefill.
+
+    Each grid step processes KP pages against one query block: the
+    online-softmax state update (m/l/acc, ~20 MB of VMEM tile traffic per
+    step) amortizes over KP*P tokens instead of P — the kernel is
+    VMEM-traffic-bound, not DMA-bound (measured: per-page grid ran at
+    <5% of the HBM roofline). Fully-past superblocks skip the causal
+    iota/compare masking entirely (the bulk of a long-context prefill).
+    """
     b = pl.program_id(0)
     s = pl.program_id(1)
     k_i = pl.program_id(2)
     num_k = pl.num_programs(2)
+    kp = len(k_refs)
 
     @pl.when(k_i == 0)
     def _init():
@@ -81,64 +91,83 @@ def _prefill_kernel(
     new = new_ref[b]
     base = ctx - new + s * block_s  # abs position of this block's first query
     rows_h = block_s * groups  # rows per kv head
+    sb_tokens = kp * page_size
 
-    # block-level predicates: any valid query? any causally visible key?
+    # block-level predicates
     q_block_valid = s * block_s < new
-    kpos_min = k_i * page_size
+    kpos_min = k_i * sb_tokens
     qpos_max = base + block_s - 1
     visible = jnp.logical_and(kpos_min <= qpos_max, kpos_min < ctx)
+    # every token of the superblock is causally visible to every valid query
+    # AND inside the context: no element masking needed
+    fully_past = jnp.logical_and(
+        kpos_min + sb_tokens - 1 < base, kpos_min + sb_tokens <= ctx
+    )
 
-    @pl.when(jnp.logical_and(q_block_valid, visible))
-    def _compute():
-        def _head_slice(ref, sc_ref, zz_ref, hh):
-            """One head's dequantized [P, Dh] tile (static index)."""
-            if zz_ref is not None:  # int4 split-half packed [P, Dh/2]
-                pk = ref[0, 0, :, hh, :].astype(jnp.int32)
-                sc = sc_ref[0, 0, 0, :, hh : hh + 1]  # [P, 1]
-                zz = zz_ref[0, 0, 0, :, hh : hh + 1]
-                dlo = (pk & 15).astype(jnp.float32) * sc + zz
-                dhi = ((pk >> 4) & 15).astype(jnp.float32) * sc + zz
-                return jnp.concatenate([dlo, dhi], axis=1)
-            x = ref[0, 0, :, hh, :].astype(jnp.float32)  # [P, Dh]
-            if sc_ref is not None:
-                # token-major scales are per KEY ROW — sublane broadcast
-                x = x * sc_ref[0, 0, 0, :, hh : hh + 1]  # [P, 1]
-            return x
+    mm_dtype = q_ref.dtype
 
+    def _head_slice(ref, sc_ref, zz_ref, hh):
+        """One page's dequantized [P, Dh] tile for head hh (static index)."""
+        if zz_ref is not None:  # int4 split-half packed [P, Dh/2]
+            pk = ref[0, 0, :, hh, :].astype(jnp.int32)
+            sc = sc_ref[0, 0, 0, :, hh : hh + 1]  # [P, 1]
+            zz = zz_ref[0, 0, 0, :, hh : hh + 1]
+            dlo = (pk & 15).astype(jnp.float32) * sc + zz
+            dhi = ((pk >> 4) & 15).astype(jnp.float32) * sc + zz
+            return jnp.concatenate([dlo, dhi], axis=1).astype(mm_dtype)
+        x = ref[0, 0, :, hh, :]  # [P, Dh]
+        if sc_ref is not None:
+            x = (
+                x.astype(jnp.float32) * sc_ref[0, 0, 0, :, hh : hh + 1]
+            )
+        return x.astype(mm_dtype)
+
+    def _cat(refs, sc_refs, zz_refs, hh):
+        """KP pages' [P, Dh] tiles stacked -> [KP*P, Dh] (sublane concat)."""
+        tiles = [
+            _head_slice(refs[j], None if sc_refs is None else sc_refs[j],
+                        None if zz_refs is None else zz_refs[j], hh)
+            for j in range(kp)
+        ]
+        return tiles[0] if kp == 1 else jnp.concatenate(tiles, axis=0)
+
+    def _compute(masked: bool):
         # scores per head, stacked along rows (static head loop; each slice
-        # is a static index — no dynamic sublane slicing).
+        # is a static index — no dynamic sublane slicing)
         sts = []
         for hh in range(nkv):
-            q_h = q_ref[0, hh].astype(jnp.float32).reshape(rows_h, -1)
-            k_h = _head_slice(k_ref, ks_ref, kz_ref, hh)
+            q_h = q_ref[0, hh].reshape(rows_h, -1)
+            k_h = _cat(k_refs, ks_refs, kz_refs, hh)  # [KP*P, Dh]
             sts.append(jax.lax.dot_general(
                 q_h, k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ))
-        st = jnp.concatenate(sts, axis=0) * sm_scale  # [Nkv*BSG, P]
+        st = jnp.concatenate(sts, axis=0) * sm_scale  # [Nkv*BSG, KP*P]
 
-        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
-        qi = (row % rows_h) // groups  # query index within block
-        qpos = base + qi
-        kpos = k_i * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, st.shape, 1
-        )
-        valid = (kpos <= qpos) & (kpos < ctx) & (s * block_s + qi < new)
-        st = jnp.where(valid, st, NEG_INF)
+        if masked:
+            row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+            qi = (row % rows_h) // groups  # query index within block
+            qpos = base + qi
+            kpos = kpos_min + jax.lax.broadcasted_iota(
+                jnp.int32, st.shape, 1
+            )
+            valid = (kpos <= qpos) & (kpos < ctx) & (s * block_s + qi < new)
+            st = jnp.where(valid, st, NEG_INF)
 
         m_prev = m_ref[:, :1]
         l_prev = l_ref[:, :1]
         m_cur = jnp.max(st, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.where(valid, jnp.exp(st - m_new), 0.0)
+        p = jnp.exp(st - m_new)
+        if masked:
+            p = jnp.where(valid, p, 0.0)
         pvs = []
+        p_mm = p.astype(mm_dtype)  # bf16 probs: standard flash practice
         for hh in range(nkv):
-            # dequantize V rows before p@V; denominator l is the raw exp
-            # sum either way: exactly p @ dequant(v).
-            v_h = _head_slice(v_ref, vs_ref, vz_ref, hh)
+            v_h = _cat(v_refs, vs_refs, vz_refs, hh)
             pvs.append(jax.lax.dot_general(
-                p[hh * rows_h : (hh + 1) * rows_h], v_h,
+                p_mm[hh * rows_h : (hh + 1) * rows_h], v_h,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ))
@@ -148,6 +177,16 @@ def _prefill_kernel(
             l_prev * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape
         )
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(jnp.logical_and(q_block_valid, fully_past))
+    def _fast():
+        _compute(masked=False)
+
+    @pl.when(jnp.logical_and(
+        q_block_valid, jnp.logical_and(visible, jnp.logical_not(fully_past))
+    ))
+    def _boundary():
+        _compute(masked=True)
 
     @pl.when(k_i == num_k - 1)
     def _finish():
@@ -161,33 +200,39 @@ def _prefill_kernel(
         out_ref[0] = out.reshape(out_ref.shape[1:]).astype(out_ref.dtype)
 
 
-def _prefill_kernel_noquant(
-    lidx_ref, table_ref, ctx_ref, new_ref, q_ref, k_ref, v_ref, out_ref,
-    acc_ref, m_ref, l_ref, **kw,
-):
-    _prefill_kernel(
-        lidx_ref, table_ref, ctx_ref, new_ref, q_ref, k_ref, v_ref,
-        None, None, None, None, out_ref, acc_ref, m_ref, l_ref, **kw,
-    )
+def _bind_kernel(kp: int, quantized: bool, quant4: bool, **kw):
+    """Positional-ref binder: [q, KP*k, KP*v, (KP*ks, KP*vs[, KP*kz,
+    KP*vz])], out, 3 scratch refs."""
 
+    def kern(lidx_ref, table_ref, ctx_ref, new_ref, q_ref, *rest):
+        rest = list(rest)
+        k_refs = [rest.pop(0) for _ in range(kp)]
+        v_refs = [rest.pop(0) for _ in range(kp)]
+        ks_refs = vs_refs = kz_refs = vz_refs = None
+        if quantized:
+            ks_refs = [rest.pop(0) for _ in range(kp)]
+            vs_refs = [rest.pop(0) for _ in range(kp)]
+        if quant4:
+            kz_refs = [rest.pop(0) for _ in range(kp)]
+            vz_refs = [rest.pop(0) for _ in range(kp)]
+        out_ref, acc_ref, m_ref, l_ref = rest
+        _prefill_kernel(
+            lidx_ref, table_ref, ctx_ref, new_ref, q_ref, k_refs, v_refs,
+            ks_refs, vs_refs, kz_refs, vz_refs, out_ref, acc_ref, m_ref,
+            l_ref, **kw,
+        )
 
-def _prefill_kernel_int8(
-    lidx_ref, table_ref, ctx_ref, new_ref, q_ref, k_ref, v_ref, ks_ref,
-    vs_ref, out_ref, acc_ref, m_ref, l_ref, **kw,
-):
-    _prefill_kernel(
-        lidx_ref, table_ref, ctx_ref, new_ref, q_ref, k_ref, v_ref,
-        ks_ref, vs_ref, None, None, out_ref, acc_ref, m_ref, l_ref, **kw,
-    )
+    return kern
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "block_s", "interpret")
+    jax.jit,
+    static_argnames=("sm_scale", "block_s", "block_pages", "interpret"),
 )
 def _prefill_pallas(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, new_lens,
     kv_scales=None,
-    *, sm_scale, block_s, interpret=False,
+    *, sm_scale, block_s, block_pages=4, interpret=False,
 ):
     b, s, nq, dh = q.shape
     l, pages, p, nkv, cdh = k_cache.shape  # cdh = Dh or Dh/2 (int4 packed)
@@ -195,14 +240,21 @@ def _prefill_pallas(
     g = nq // nkv
     quantized = kv_scales is not None
     quant4 = quantized and kv_scales.shape[0] == 4
+    kp = min(block_pages, mp)
+    mp_pad = -(-mp // kp) * kp
+    if mp_pad != mp:
+        # padded entries -> trash page 0; the kernel masks kpos >= ctx
+        page_table = jnp.pad(page_table, ((0, 0), (0, mp_pad - mp)))
 
     lidx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
     # [B, Nkv, S, G, Dh]: GQA group as a full (block == array) trailing dim
     # satisfies Mosaic's (8, 128) tile rule for any G (see paged_decode.py).
     q5 = q.reshape(b, s, nkv, g, dh).transpose(0, 2, 1, 3, 4)
 
-    def kv_imap(bb, si, ki, lidx_ref, table_ref, *_):
-        return (lidx_ref[0], table_ref[bb, ki], 0, 0, 0)
+    def kv_imap(j):
+        def imap(bb, si, ki, lidx_ref, table_ref, *_):
+            return (lidx_ref[0], table_ref[bb, ki * kp + j], 0, 0, 0)
+        return imap
 
     def q_imap(bb, si, ki, *_):
         return (bb, 0, si, 0, 0)
@@ -210,25 +262,30 @@ def _prefill_pallas(
     in_specs = [
         pl.BlockSpec((1, nkv, block_s, g, dh), q_imap,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, p, nkv, cdh), kv_imap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, p, nkv, cdh), kv_imap, memory_space=pltpu.VMEM),
     ]
-    args = [q5, k_cache, v_cache]
+    args = [q5]
+    for cache in (k_cache, v_cache):
+        for j in range(kp):
+            in_specs.append(pl.BlockSpec((1, 1, p, nkv, cdh), kv_imap(j),
+                                         memory_space=pltpu.VMEM))
+            args.append(cache)
     if quantized:
-        def plane_imap(plane):
+        def plane_imap(plane, j):
             def imap(bb, si, ki, lidx_ref, table_ref, *_):
-                return (plane, lidx_ref[0], table_ref[bb, ki], 0, 0)
+                return (plane, lidx_ref[0], table_ref[bb, ki * kp + j],
+                        0, 0)
             return imap
 
         for plane in ([0, 1, 2, 3] if quant4 else [0, 1]):
-            in_specs.append(pl.BlockSpec((1, 1, 1, p, nkv),
-                                         plane_imap(plane),
-                                         memory_space=pltpu.VMEM))
-            args.append(kv_scales)
+            for j in range(kp):
+                in_specs.append(pl.BlockSpec((1, 1, 1, p, nkv),
+                                             plane_imap(plane, j),
+                                             memory_space=pltpu.VMEM))
+                args.append(kv_scales)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(b, s // block_s, mp),
+        grid=(b, s // block_s, mp_pad // kp),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, nkv, block_s, g, dh), q_imap, memory_space=pltpu.VMEM
@@ -239,19 +296,21 @@ def _prefill_pallas(
             pltpu.VMEM((nkv * block_s * g, 128), jnp.float32),
         ],
     )
-    kw = dict(sm_scale=sm_scale, page_size=p, block_s=block_s, groups=g,
-              nkv=nkv)
-    if quant4:
-        kernel = functools.partial(_prefill_kernel, **kw)
-    elif quantized:
-        kernel = functools.partial(_prefill_kernel_int8, **kw)
-    else:
-        kernel = functools.partial(_prefill_kernel_noquant, **kw)
+    kernel = _bind_kernel(
+        kp, quantized, quant4, sm_scale=sm_scale, page_size=p,
+        block_s=block_s, groups=g, nkv=nkv,
+    )
     out5 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q5.shape, q.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            # batch/S-block iterations are independent (scratch re-inits at
+            # ki==0); superblocks are a sequential reduction
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * s * nq * mp * p * dh,
             bytes_accessed=b * nkv * mp * p * dh * 2 * k_cache.dtype.itemsize
