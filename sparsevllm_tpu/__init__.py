@@ -34,6 +34,12 @@ def _enable_compilation_cache() -> None:
     compiles in 60-120 s through the TPU tunnel; warm-cache loads are
     <100 ms). Set SPARSEVLLM_TPU_CACHE_DIR to relocate, or empty to
     disable."""
+    if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # CPU-only runs (tests, parity scripts): the axon stack AOT-compiles
+        # CPU executables with the server's machine features — cached
+        # entries loaded on a different host risk SIGILL. TPU executables
+        # have no such mismatch.
+        return
     path = _os.environ.get(
         "SPARSEVLLM_TPU_CACHE_DIR",
         _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"),

@@ -184,11 +184,17 @@ class Config:
     # --- deltakv knobs (config.py:699-757) ----------------------------------
     deltakv_checkpoint_path: str | None = None
     deltakv_cluster_ratio: float = 0.1
-    deltakv_latent_bits: int = 4
-    deltakv_kivi_bits: int = 4
+    deltakv_latent_bits: int = 4  # 4 | 2 (packed latent residuals)
+    # full-layer + raw-region KV quantization under deltakv: 0 = follow
+    # kv_cache_dtype, 4 -> int4 pool, 8 -> int8 pool (reference KIVI
+    # full-layer cache, deltakv_less_memory.py:205-241)
+    deltakv_kivi_bits: int = 0
     deltakv_latent_dim: int = 0  # 0 = from checkpoint / auto (io_dim // 4)
     deltakv_compressor_arch: str = "linear"  # linear | mlp_gelu | mlp_swiglu
     deltakv_max_compressed_tokens: int = 32768  # latent capacity per row
+    # fold the raw decode tail into latents every N tokens (0 = never;
+    # reference tail re-compression — without it the tail grows raw forever)
+    deltakv_recompress_interval: int = 1024
     kivi_group_size: int = 32
     kivi_residual_tokens: int = 32
 
@@ -305,10 +311,43 @@ class Config:
                     f"page_size ({self.page_size})"
                 )
         if prof.name == registry.DELTAKV:
-            if self.deltakv_latent_bits not in (2, 4, 16):
-                raise ValueError("deltakv_latent_bits must be 2, 4, or 16")
-            if self.deltakv_kivi_bits not in (2, 4, 16):
-                raise ValueError("deltakv_kivi_bits must be 2, 4, or 16")
+            if self.deltakv_latent_bits not in (2, 4):
+                raise ValueError(
+                    "deltakv_latent_bits must be 2 or 4 (packed latents)"
+                )
+            if self.deltakv_kivi_bits not in (0, 4, 8):
+                raise ValueError(
+                    "deltakv_kivi_bits must be 0 (follow kv_cache_dtype), "
+                    "4 (int4 KIVI pool), or 8 (int8 pool)"
+                )
+            if self.deltakv_kivi_bits:
+                # KIVI full-layer cache: the paged pool (full layers AND the
+                # sparse layers' raw sink/recent/tail regions) stores
+                # quantized, dequant fused in the kernels (reference
+                # deltakv_less_memory.py:205-241 full-layer KIVI blocks)
+                want = "int4" if self.deltakv_kivi_bits == 4 else "int8"
+                if self.kv_cache_dtype not in ("auto", want):
+                    raise ValueError(
+                        f"deltakv_kivi_bits={self.deltakv_kivi_bits} "
+                        f"conflicts with kv_cache_dtype="
+                        f"{self.kv_cache_dtype!r}"
+                    )
+                self.kv_cache_dtype = want
+            if self.deltakv_recompress_interval:
+                stride = max(int(round(1.0 / self.deltakv_cluster_ratio)), 1)
+                if self.page_size % stride:
+                    raise ValueError(
+                        f"deltakv tail re-compression needs page_size "
+                        f"({self.page_size}) divisible by the cluster "
+                        f"stride ({stride}) so spliced spans stay "
+                        f"cluster-aligned; adjust deltakv_cluster_ratio or "
+                        f"set deltakv_recompress_interval=0"
+                    )
+                if self.deltakv_recompress_interval % self.page_size:
+                    raise ValueError(
+                        "deltakv_recompress_interval must be a multiple of "
+                        "page_size (compressed spans splice whole pages)"
+                    )
             if self.tensor_parallel_size != 1:
                 raise ValueError(
                     "deltakv supports tensor_parallel_size=1 only "

@@ -125,6 +125,7 @@ class ModelExecutor:
             ),
             dk_stride=max(int(round(1.0 / config.deltakv_cluster_ratio)), 1),
             dk_arch=config.deltakv_compressor_arch,
+            dk_latent_bits=config.deltakv_latent_bits,
         )
         self.query_cache = None
         self.steer_vec = None
@@ -207,8 +208,12 @@ class ModelExecutor:
                     len(sparse_layers), io_dim, latent_dim,
                     config.deltakv_compressor_arch, config.seed,
                 )
-            if latent_dim % 2:
-                raise ValueError("deltakv latent_dim must be even (int4)")
+            per_byte = 8 // config.deltakv_latent_bits
+            if latent_dim % per_byte:
+                raise ValueError(
+                    f"deltakv latent_dim must be a multiple of {per_byte} "
+                    f"for {config.deltakv_latent_bits}-bit packed latents"
+                )
             # arch is static (rt.dk_arch); jitted fns take arrays only
             self.dk_comp = {
                 "down": self.dk_comp["down"], "up": self.dk_comp["up"],
@@ -219,6 +224,7 @@ class ModelExecutor:
                 len(sparse_layers), max_rows, cmax,
                 -(-cmax // stride), spec.num_kv_heads, spec.head_dim,
                 latent_dim, dtype,
+                latent_bits=config.deltakv_latent_bits,
             )
         if mesh is not None:
             from ..parallel.mesh import shard_executor_state
@@ -658,8 +664,16 @@ class ModelExecutor:
         stride = rt.dk_stride
         sparse_layers = jnp.asarray(self._dk_sparse_layers, jnp.int32)
 
-        def compress(kc, vc, dk, dk_comp, tables, rows, counts):
-            positions = base + jnp.arange(cb, dtype=jnp.int32)  # [Cb]
+        def compress(kc, vc, dk, dk_comp, tables, rows, counts,
+                     dest_offset, kv_scales):
+            # table coords: the compressible region always starts at the
+            # page-aligned sink boundary (prefill-end splices move the tail
+            # down); ABSOLUTE positions shift by the already-compressed
+            # count (= dest_offset) for decode-tail re-compression.
+            positions = (
+                base + dest_offset[:, None]
+                + jnp.arange(cb, dtype=jnp.int32)[None, :]
+            )  # [B, Cb]
 
             def body(dk, si):
                 li = sparse_layers[si]
@@ -668,18 +682,30 @@ class ModelExecutor:
                 )[rows, :mp]
                 kcl = jax.lax.dynamic_index_in_dim(kc, li, 0, False)
                 vcl = jax.lax.dynamic_index_in_dim(vc, li, 0, False)
-                kg = ref_ops.gather_pages(kcl, table_l)  # [B,Nkv,K,Dh]
-                vg = ref_ops.gather_pages(vcl, table_l)
+                if kv_scales is not None:
+                    lsc = jax.lax.dynamic_index_in_dim(kv_scales, li, 1,
+                                                       False)
+                    if lsc.shape[0] == 4:
+                        kg = ref_ops.gather_dequant_u4(
+                            kcl, lsc[0], lsc[2], table_l)
+                        vg = ref_ops.gather_dequant_u4(
+                            vcl, lsc[1], lsc[3], table_l)
+                    else:
+                        kg = ref_ops.gather_dequant(kcl, lsc[0], table_l)
+                        vg = ref_ops.gather_dequant(vcl, lsc[1], table_l)
+                else:
+                    kg = ref_ops.gather_pages(kcl, table_l)  # [B,Nkv,K,Dh]
+                    vg = ref_ops.gather_pages(vcl, table_l)
                 k_raw = kg.transpose(0, 2, 1, 3)[:, base:base + cb]
                 v_raw = vg.transpose(0, 2, 1, 3)[:, base:base + cb]
                 # stored K is post-RoPE; De-RoPE exactly before compressing
                 # (reference stores pre-RoPE K, deltakv_base.py:681)
-                pos_b = jnp.broadcast_to(positions[None, :], k_raw.shape[:2])
-                k_raw = dk_ops.derope(k_raw, pos_b, cos, sin)
+                k_raw = dk_ops.derope(k_raw, positions, cos, sin)
                 comp_layer = comp_ops.layer_slice(dk_comp, si)
                 dk = dk_ops.compress_layer(
                     dk, si, comp_layer, rt.dk_arch, k_raw, v_raw, rows,
-                    counts, stride=stride,
+                    counts, stride=stride, latent_bits=rt.dk_latent_bits,
+                    dest_offset=dest_offset,
                 )
                 return dk, None
 
@@ -703,12 +729,22 @@ class ModelExecutor:
         mp = self.config.context_bucket_pages(
             max(-(-max_ctx // self.config.page_size), 1)
         )
+        dest = plan.get("dest_offset")
+        if dest is None:
+            dest = np.zeros(b, np.int32)
         fn = self._get_dk_compress_fn(b, cb, mp)
         with profiler.record("dk_compress"):
             self.dk_state = fn(
                 self.k_cache, self.v_cache, self.dk_state, self.dk_comp,
                 self.tables, self._dev(plan["rows"]), self._dev(counts),
+                self._dev(dest), self.kv_scales,
             )
+
+    def recompress_decode(self, plan: dict) -> None:
+        """Decode-tail re-compression (reference: the LessMemory runtime
+        re-compresses the growing raw tail; here the plan carries each
+        sequence's current compressed count as the latent dest offset)."""
+        self.compress_prefill(plan)
 
     # ------------------------------------------------------- rkv/skipkv evict
 

@@ -409,6 +409,15 @@ class LLMEngine:
             if plan is not None:
                 self.executor.rkv_evict(plan)
                 self.kv.commit_compaction(plan["seqs"], plan)
+        # deltakv periodic tail re-compression (raw decode tail -> latents)
+        if hasattr(self.kv, "plan_decode_recompression"):
+            alive = [s for s in seqs if not s.is_finished]
+            plan = (
+                self.kv.plan_decode_recompression(alive) if alive else None
+            )
+            if plan is not None:
+                self.executor.recompress_decode(plan)
+                self.kv.commit_recompression(plan)
         return [(s, list(s.last_step_tokens)) for s in seqs]
 
     def _finalize(self, finished: list[Sequence]) -> None:

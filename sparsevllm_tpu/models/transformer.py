@@ -82,6 +82,7 @@ class StepRuntime:
     dk_comp_base: int = 0  # absolute position of compressed token 0
     dk_stride: int = 1
     dk_arch: str = "linear"
+    dk_latent_bits: int = 4  # 4 (int4 packed latents) | 2 (int2)
     # SkipKV activation steering: per-layer vector added to the decode
     # hidden state, alpha-scaled (reference activation_controller.py:55-232).
     steer_alpha: float = 0.0
@@ -438,7 +439,29 @@ def decode_forward(
             kfull = table_l.shape[1] * page_size
             comp_counts = plan["comp_counts"]  # [B]
 
+            def _patched_lsc():
+                """This layer's scale planes with the CURRENT token's
+                scales patched in (the big scales array is batch-written
+                only after the layer scan; see scatter_scales_batch)."""
+                dest = xs["_dest"]
+                pg = jnp.where(dest >= 0, dest // page_size, -1)
+                off = dest % page_size
+                lsc = jax.lax.dynamic_index_in_dim(kv_scales, li, 1, False)
+                for _i, _v in enumerate(step_scales):
+                    lsc = lsc.at[_i, pg, off].set(_v, mode="drop")
+                return lsc
+
             def full_attn(q):
+                if rt.kv_quant:
+                    # KIVI full layers (reference full_layer_kivi decode):
+                    # dense + score emission over the quantized pool
+                    return ref_ops.decode_attention_ref(
+                        q,
+                        jax.lax.dynamic_index_in_dim(kc, li, 0, False),
+                        jax.lax.dynamic_index_in_dim(vc, li, 0, False),
+                        table_l, ctx, sm_scale=sm_scale, emit_scores=True,
+                        kv_scales=_patched_lsc(),
+                    )
                 out, scores = attn_ops.decode_attention(
                     q, kc, vc, li, table_l, ctx,
                     sm_scale=sm_scale, emit_scores=True, impl=rt.impl,
@@ -449,8 +472,19 @@ def decode_forward(
                 kcl = jax.lax.dynamic_index_in_dim(kc, li, 0, False)
                 vcl = jax.lax.dynamic_index_in_dim(vc, li, 0, False)
                 tbl = table_l[:, :mpr_sparse]
-                raw_k = ref_ops.gather_pages(kcl, tbl)  # [B,Nkv,Kr,Dh]
-                raw_v = ref_ops.gather_pages(vcl, tbl)
+                if rt.kv_quant:
+                    lsc = _patched_lsc()
+                    if rt.kv_quant_bits == 4:
+                        raw_k = ref_ops.gather_dequant_u4(
+                            kcl, lsc[0], lsc[2], tbl)
+                        raw_v = ref_ops.gather_dequant_u4(
+                            vcl, lsc[1], lsc[3], tbl)
+                    else:
+                        raw_k = ref_ops.gather_dequant(kcl, lsc[0], tbl)
+                        raw_v = ref_ops.gather_dequant(vcl, lsc[1], tbl)
+                else:
+                    raw_k = ref_ops.gather_pages(kcl, tbl)  # [B,Nkv,Kr,Dh]
+                    raw_v = ref_ops.gather_pages(vcl, tbl)
                 raw_k = raw_k.transpose(0, 2, 1, 3)  # [B,Kr,Nkv,Dh]
                 raw_v = raw_v.transpose(0, 2, 1, 3)
                 kr = raw_k.shape[1]
@@ -464,7 +498,7 @@ def decode_forward(
                     jnp.full((b,), rt.dk_comp_base, jnp.int32),
                     cos, sin,
                     stride=rt.dk_stride, nkv=spec.num_kv_heads,
-                    dh=spec.head_dim,
+                    dh=spec.head_dim, latent_bits=rt.dk_latent_bits,
                 )
                 out = dk_ops.sparse_decode_attention(
                     q, raw_k, raw_v, raw_valid, k_hat, v_hat, hv,

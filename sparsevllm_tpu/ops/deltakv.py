@@ -44,10 +44,13 @@ def derope(k: jax.Array, positions: jax.Array, cos: jax.Array,
 
 
 def init_state(num_sparse: int, rows: int, cmax: int, ncmax: int,
-               nkv: int, dh: int, latent_dim: int, dtype) -> dict:
+               nkv: int, dh: int, latent_dim: int, dtype,
+               latent_bits: int = 4) -> dict:
+    per_byte = 8 // latent_bits  # int4 -> 2 values/byte, int2 -> 4
     return {
-        "latents": jnp.zeros((num_sparse, rows, cmax, latent_dim // 2),
-                             jnp.uint8),
+        "latents": jnp.zeros(
+            (num_sparse, rows, cmax, latent_dim // per_byte), jnp.uint8
+        ),
         "lat_scale": jnp.ones((num_sparse, rows, cmax), jnp.float32),
         "lat_zero": jnp.zeros((num_sparse, rows, cmax), jnp.float32),
         "centers": jnp.zeros((num_sparse, rows, ncmax, nkv, 2 * dh), dtype),
@@ -65,8 +68,12 @@ def compress_layer(
     counts: jax.Array,  # [B] valid tokens (<= C)
     *,
     stride: int,
+    latent_bits: int = 4,
+    dest_offset: jax.Array | None = None,  # [B] write position (tail
+    #   re-compression appends at the current compressed count; must be a
+    #   multiple of ``stride`` so cluster boundaries stay aligned)
 ) -> dict:
-    """Compress one sparse layer's prefill region into latents + centers."""
+    """Compress one sparse layer's region into latents + centers."""
     b, c, nkv, dh = k_raw.shape
     kv = jnp.concatenate([k_raw, v_raw], axis=-1)  # [B, C, Nkv, 2Dh]
     nc = (c + stride - 1) // stride
@@ -79,31 +86,34 @@ def compress_layer(
         comp_layer["down"], arch, residual
     )  # [B, C, latent]
     ld = latent.shape[-1]
-    packed, scale, zero = quant.pack_int4_groups(latent, group=ld)
+    if latent_bits == 2:
+        packed, scale, zero = quant.pack_int2_groups(latent, group=ld)
+    else:
+        packed, scale, zero = quant.pack_int4_groups(latent, group=ld)
     # one group per token: squeeze the group dim
     scale = scale[..., 0]
     zero = zero[..., 0]
 
     valid = jnp.arange(c)[None, :] < counts[:, None]  # [B, C]
+    if dest_offset is None:
+        dest_offset = jnp.zeros((b,), jnp.int32)
     cmax = dk["latents"].shape[2]
-    pad_c = cmax - c
-    def padc(x, fill=0):
-        cfg = [(0, 0)] * x.ndim
-        cfg[1] = (0, pad_c)
-        return jnp.pad(x, cfg, constant_values=fill)
-
-    latents = dk["latents"].at[sl, rows].set(
-        padc(jnp.where(valid[..., None], packed, 0))
-    )
-    lat_scale = dk["lat_scale"].at[sl, rows].set(
-        padc(jnp.where(valid, scale, 1.0), 1.0)
-    )
-    lat_zero = dk["lat_zero"].at[sl, rows].set(padc(jnp.where(valid, zero, 0.0)))
+    # scatter at (row, dest_offset + j); invalid lanes write past cmax
+    # and drop
+    cidx = dest_offset[:, None] + jnp.arange(c)[None, :]  # [B, C]
+    cidx = jnp.where(valid, cidx, cmax)
+    ridx = jnp.broadcast_to(rows[:, None], (b, c))
+    latents = dk["latents"].at[sl, ridx, cidx].set(packed, mode="drop")
+    lat_scale = dk["lat_scale"].at[sl, ridx, cidx].set(scale, mode="drop")
+    lat_zero = dk["lat_zero"].at[sl, ridx, cidx].set(zero, mode="drop")
     ncmax = dk["centers"].shape[2]
-    centers_p = jnp.pad(
-        centers, [(0, 0), (0, ncmax - nc), (0, 0), (0, 0)]
-    ).astype(dk["centers"].dtype)
-    centers_arr = dk["centers"].at[sl, rows].set(centers_p)
+    nidx = dest_offset[:, None] // stride + jnp.arange(nc)[None, :]
+    center_valid = center_pos[None, :] < counts[:, None]
+    nidx = jnp.where(center_valid, nidx, ncmax)
+    rnidx = jnp.broadcast_to(rows[:, None], (b, nc))
+    centers_arr = dk["centers"].at[sl, rnidx, nidx].set(
+        centers.astype(dk["centers"].dtype), mode="drop"
+    )
     return {
         "latents": latents, "lat_scale": lat_scale,
         "lat_zero": lat_zero, "centers": centers_arr,
@@ -124,6 +134,7 @@ def reconstruct(
     stride: int,
     nkv: int,
     dh: int,
+    latent_bits: int = 4,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Rebuild K̂ (re-RoPE'd), V̂ for the selected compressed tokens.
 
@@ -137,13 +148,19 @@ def reconstruct(
     sc_sl = jax.lax.dynamic_index_in_dim(dk["lat_scale"], sl, 0, False)
     zr_sl = jax.lax.dynamic_index_in_dim(dk["lat_zero"], sl, 0, False)
     ce_sl = jax.lax.dynamic_index_in_dim(dk["centers"], sl, 0, False)
-    packed = lat_sl[rows[:, None], idx]  # [B, T, latent//2]
+    packed = lat_sl[rows[:, None], idx]  # [B, T, latent//per_byte]
     scale = sc_sl[rows[:, None], idx]  # [B, T]
     zero = zr_sl[rows[:, None], idx]
-    ld = packed.shape[-1] * 2
-    latent = quant.unpack_int4_groups(
-        packed, scale[..., None], zero[..., None], group=ld
-    )  # [B, T, latent]
+    if latent_bits == 2:
+        ld = packed.shape[-1] * 4
+        latent = quant.unpack_int2_groups(
+            packed, scale[..., None], zero[..., None], group=ld
+        )  # [B, T, latent]
+    else:
+        ld = packed.shape[-1] * 2
+        latent = quant.unpack_int4_groups(
+            packed, scale[..., None], zero[..., None], group=ld
+        )  # [B, T, latent]
     residual = comp_ops.reconstruct_up(
         comp_layer["up"], arch, latent
     )  # [B, T, io]

@@ -213,3 +213,48 @@ def dequantize_rows_u4(packed: jax.Array, scale: jax.Array,
     return q * scale[..., None].astype(jnp.float32) + (
         zero[..., None].astype(jnp.float32)
     )
+
+
+# ---------------------------------------------------------------------------
+# INT2 grouped pack/unpack (reference quant.py INT2 grouped path) — the
+# DeltaKV latent pool's most aggressive setting (deltakv_latent_bits=2).
+# 4 values per byte, asymmetric per-group.
+# ---------------------------------------------------------------------------
+
+
+def pack_int2_groups(
+    x: jax.Array, group: int = 32
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """x [..., D] -> (packed uint8 [..., D//4], scale [..., D//group],
+    zero [..., D//group]) asymmetric per-group (KIVI INT2)."""
+    *lead, d = x.shape
+    g = x.reshape(*lead, d // group, group).astype(jnp.float32)
+    lo = jnp.min(g, axis=-1)
+    hi = jnp.max(g, axis=-1)
+    scale = jnp.where(hi > lo, (hi - lo) / 3.0, 1.0)
+    zero = lo
+    q = jnp.rint((g - zero[..., None]) / scale[..., None])
+    q = jnp.clip(q, 0, 3).astype(jnp.uint8).reshape(*lead, d)
+    packed = (
+        q[..., 0::4]
+        | (q[..., 1::4] << 2)
+        | (q[..., 2::4] << 4)
+        | (q[..., 3::4] << 6)
+    ).astype(jnp.uint8)
+    return packed, scale, zero
+
+
+def unpack_int2_groups(
+    packed: jax.Array, scale: jax.Array, zero: jax.Array, group: int = 32
+) -> jax.Array:
+    """Inverse of pack_int2_groups -> fp32 [..., D]."""
+    p0 = (packed & 0x3).astype(jnp.float32)
+    p1 = ((packed >> 2) & 0x3).astype(jnp.float32)
+    p2 = ((packed >> 4) & 0x3).astype(jnp.float32)
+    p3 = ((packed >> 6) & 0x3).astype(jnp.float32)
+    *lead, dq = packed.shape
+    d = dq * 4
+    q = jnp.stack([p0, p1, p2, p3], axis=-1).reshape(*lead, d)
+    g = q.reshape(*lead, d // group, group)
+    out = g * scale[..., None] + zero[..., None]
+    return out.reshape(*lead, d)

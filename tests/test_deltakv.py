@@ -247,3 +247,112 @@ def test_compressor_training_learns_and_deploys(tmp_path, hf_model):
                                        ignore_eos=True),
     )
     assert len(outs[0].output_token_ids) == 6
+
+
+def test_int2_pack_roundtrip():
+    from sparsevllm_tpu.ops import quant
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(6, 64)), jnp.float32)
+    packed, scale, zero = quant.pack_int2_groups(x, group=32)
+    assert packed.shape == (6, 16)
+    back = quant.unpack_int2_groups(packed, scale, zero, group=32)
+    # 2-bit lattice: error bounded by scale/2 per group
+    err = np.abs(np.asarray(back - x))
+    bound = np.asarray(scale).repeat(32, -1) * 0.51
+    assert np.all(err <= bound)
+    # exact on a 4-level lattice
+    lv = jnp.asarray(rng.choice([-1.5, -0.5, 0.5, 1.5], size=(4, 32)))
+    p2, s2, z2 = quant.pack_int2_groups(lv, group=32)
+    np.testing.assert_allclose(
+        quant.unpack_int2_groups(p2, s2, z2, group=32), lv, atol=1e-6
+    )
+
+
+def test_deltakv_tail_recompression_lossless(tmp_path, hf_model):
+    """Decode-tail re-compression under the lossless config must not
+    change generation, and must actually fold the tail into latents."""
+    cfg, model = hf_model
+    common = dict(
+        sparse_method="deltakv",
+        full_attention_layers=(0,),
+        deltakv_checkpoint_path=_identity_ckpt(tmp_path),
+        deltakv_cluster_ratio=1.0,
+        deltakv_max_compressed_tokens=256,
+        decode_keep_tokens=256,
+        sink_keep_tokens=8, recent_keep_tokens=16,
+        **BASE,
+    )
+    prompt = np.random.default_rng(9).integers(3, 500, 120).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=48, ignore_eos=True)
+
+    ref_eng = LLM(deltakv_recompress_interval=0, **common)
+    (ref_out,) = ref_eng.generate(prompt_token_ids=[prompt],
+                                  sampling_params=sp)
+
+    eng = LLM(deltakv_recompress_interval=16, **common)
+    sid = eng.add_request(prompt_token_ids=list(prompt), sampling_params=sp)
+    seq = eng._seqs[sid]
+    comp_after_prefill = None
+    max_comp = 0
+    while eng.scheduler.has_work:
+        eng.step()
+        c = eng.kv.comp_counts.get(sid)
+        if c is not None:
+            if comp_after_prefill is None:
+                comp_after_prefill = c
+            max_comp = max(max_comp, c)
+    assert max_comp > comp_after_prefill, (
+        "tail re-compression never triggered"
+    )
+    assert seq.completion_token_ids == ref_out.output_token_ids
+
+
+def test_deltakv_kivi_pool_e2e(tmp_path, hf_model):
+    """deltakv_kivi_bits=8: full layers AND raw sparse regions live in a
+    quantized pool (reference KIVI full-layer cache); pipeline runs E2E
+    and stays HF-consistent at int8 fidelity."""
+    cfg, model = hf_model
+    engine = LLM(
+        sparse_method="deltakv",
+        full_attention_layers=(0,),
+        deltakv_checkpoint_path=_identity_ckpt(tmp_path),
+        deltakv_cluster_ratio=1.0,
+        deltakv_max_compressed_tokens=256,
+        deltakv_kivi_bits=8,
+        decode_keep_tokens=256,
+        sink_keep_tokens=8, recent_keep_tokens=16,
+        **BASE,
+    )
+    assert engine.config.kv_cache_dtype == "int8"
+    prompt = np.random.default_rng(11).integers(3, 500, 120).tolist()
+    (out,) = engine.generate(
+        prompt_token_ids=[prompt],
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=8,
+                                       ignore_eos=True),
+    )
+    assert len(out.output_token_ids) == 8
+    # int8 KV on a float32 model: argmax should track HF closely
+    assert_hf_consistent(model, prompt, out.output_token_ids[:4], tol=0.25)
+
+
+def test_deltakv_int2_latents_runs(tmp_path, hf_model):
+    cfg, _ = hf_model
+    engine = LLM(
+        sparse_method="deltakv",
+        full_attention_layers=(0,),
+        deltakv_checkpoint_path=_identity_ckpt(tmp_path),
+        deltakv_cluster_ratio=1.0,
+        deltakv_max_compressed_tokens=256,
+        deltakv_latent_bits=2,
+        decode_keep_tokens=64,
+        sink_keep_tokens=8, recent_keep_tokens=16,
+        **BASE,
+    )
+    prompt = np.random.default_rng(12).integers(3, 500, 150).tolist()
+    (out,) = engine.generate(
+        prompt_token_ids=[prompt],
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=6,
+                                       ignore_eos=True),
+    )
+    assert len(out.output_token_ids) == 6
