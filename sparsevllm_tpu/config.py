@@ -200,7 +200,7 @@ class Config:
 
     # --- misc ---------------------------------------------------------------
     enable_prefix_cache: bool = False
-    prefix_cache_block_size: int = 64
+    prefix_cache_block_size: int = 0  # 0 = page_size (page-granular blocks)
     attention_impl: str = "auto"  # auto | pallas | ref
     enable_profiler: bool = False
     seed: int = 0
@@ -278,6 +278,45 @@ class Config:
                      "data_parallel_size"):
             if getattr(self, name) < 1:
                 raise ValueError(f"{name} must be >= 1")
+        # EP rides the mesh 'model' axis (experts shard alongside TP,
+        # parallel/mesh.py moe_* rules — the reference's separate EP group
+        # with replicated KV collapses under GSPMD). The knob therefore
+        # must agree with TP; an independent EP degree is unimplemented.
+        if self.expert_parallel_size not in (1, self.tensor_parallel_size):
+            raise NotImplementedError(
+                f"expert_parallel_size ({self.expert_parallel_size}) must "
+                f"be 1 or equal tensor_parallel_size "
+                f"({self.tensor_parallel_size}): experts shard over the "
+                f"same mesh axis as TP"
+            )
+        # KIVI fidelity knobs: this engine quantizes per (token, kv-head)
+        # row (group = head_dim) with the current token held exactly via
+        # deferred-scale merge. Channel-grouped quantization and an fp
+        # residual window are unimplemented — reject silently-ignored
+        # settings (fail-fast contract, reference runtime_params.py:44-75).
+        if self.kivi_group_size not in (0, 32):
+            raise NotImplementedError(
+                "kivi_group_size: only the per-row default is implemented "
+                "(set 0 or leave default; channel grouping is a staged "
+                "feature)"
+            )
+        if self.kv_cache_dtype in ("int8", "int4") and \
+                self.kivi_residual_tokens not in (0, 32):
+            raise NotImplementedError(
+                "kivi_residual_tokens: an fp residual window is "
+                "unimplemented (the current token is already held exactly "
+                "via deferred-scale merge); set 0 or leave default"
+            )
+        if self.prefix_cache_block_size == 0:
+            self.prefix_cache_block_size = self.page_size
+        if self.prefix_cache_block_size != self.page_size:
+            raise ValueError(
+                f"prefix_cache_block_size "
+                f"({self.prefix_cache_block_size}) must equal page_size "
+                f"({self.page_size}): prefix blocks are page-granular "
+                f"(block identity = hash chain of token pages, "
+                f"engine/prefix_cache.py)"
+            )
 
         # sparse-budget sanity (reference config.py token-budget checks).
         if prof.name in (registry.STREAMINGLLM, registry.SNAPKV,
@@ -333,21 +372,13 @@ class Config:
                         f"{self.kv_cache_dtype!r}"
                     )
                 self.kv_cache_dtype = want
-            if self.deltakv_recompress_interval:
-                stride = max(int(round(1.0 / self.deltakv_cluster_ratio)), 1)
-                if self.page_size % stride:
-                    raise ValueError(
-                        f"deltakv tail re-compression needs page_size "
-                        f"({self.page_size}) divisible by the cluster "
-                        f"stride ({stride}) so spliced spans stay "
-                        f"cluster-aligned; adjust deltakv_cluster_ratio or "
-                        f"set deltakv_recompress_interval=0"
-                    )
-                if self.deltakv_recompress_interval % self.page_size:
-                    raise ValueError(
-                        "deltakv_recompress_interval must be a multiple of "
-                        "page_size (compressed spans splice whole pages)"
-                    )
+            if self.deltakv_recompress_interval < 0:
+                raise ValueError(
+                    "deltakv_recompress_interval must be >= 0 (0 = off)"
+                )
+            # re-compressed spans are lcm(page_size, stride)-aligned (whole
+            # pages splice; cluster boundaries stay stride-aligned) — no
+            # config restriction needed, the manager rounds down.
             if self.tensor_parallel_size != 1:
                 raise ValueError(
                     "deltakv supports tensor_parallel_size=1 only "

@@ -49,9 +49,13 @@ class DeltaKVManager(KVCacheManager):
     # ------------------------------------------------------------ compression
 
     def compressible_tokens(self, seq: Sequence) -> int:
-        """Page-aligned middle region length for this prompt."""
+        """Middle-region length, lcm(page, stride)-aligned: pages splice
+        whole, and a later tail re-compression resumes on a cluster
+        boundary (dest_offset % stride == 0)."""
+        align = int(np.lcm(self.P, self.stride))
         end_page = (seq.num_prompt_tokens - self.recent_tokens) // self.P
-        return max((end_page - self.sink_pages) * self.P, 0)
+        raw = max((end_page - self.sink_pages) * self.P, 0)
+        return (raw // align) * align
 
     def admission_cost_pages(self, seq: Sequence) -> int:
         # dense prefill peak (whole prompt resident on every layer)
@@ -120,11 +124,12 @@ class DeltaKVManager(KVCacheManager):
         tail previously grew raw forever, unreachable 512K). A sequence
         re-compresses once its raw tail beyond the recent window reaches
         ``deltakv_recompress_interval`` tokens; the compressed span is
-        page-aligned (splice) and stride stays cluster-aligned because
-        page_size % stride == 0 (validated in Config)."""
+        lcm(page_size, stride)-aligned: whole pages splice out AND cluster
+        boundaries stay stride-aligned."""
         interval = self.config.deltakv_recompress_interval
         if not interval:
             return None
+        align = int(np.lcm(self.P, self.stride))
         todo, counts, dest = [], [], []
         sl0 = self.sparse_layers[0]
         for s in seqs:
@@ -132,12 +137,12 @@ class DeltaKVManager(KVCacheManager):
                 continue  # prompt never compressed (short); tail stays raw
             row = self.seq_rows[s.seq_id]
             tail = int(self.row_lens[sl0, row]) - self.comp_base
-            n = ((tail - self.recent_tokens) // self.P) * self.P
+            n = ((tail - self.recent_tokens) // align) * align
             if n < interval:
                 continue
             have = self.comp_counts[s.seq_id]
             n = min(n, self.cmax - have)
-            n = (n // self.P) * self.P
+            n = (n // align) * align
             if n <= 0:
                 continue
             todo.append(s)

@@ -139,3 +139,37 @@ def test_budget_sanity():
         _cfg(hbm_utilization=0.0)
     with pytest.raises(ValueError):
         _cfg(max_model_len=0)
+
+
+def test_former_dead_knobs_consumed_or_rejected():
+    """VERDICT r1: accepted-but-ignored knobs violate the fail-fast
+    contract. Every knob here must either change behavior or raise."""
+    import pytest
+
+    from sparsevllm_tpu.config import Config
+
+    base = dict(max_model_len=1024, page_size=64)
+    # expert_parallel_size must agree with TP (experts shard on 'model')
+    with pytest.raises(NotImplementedError, match="expert_parallel_size"):
+        Config(expert_parallel_size=4, tensor_parallel_size=2, **base)
+    Config(expert_parallel_size=2, tensor_parallel_size=2, **base)
+    # kivi fidelity knobs reject unimplemented settings
+    with pytest.raises(NotImplementedError, match="kivi_group_size"):
+        Config(kivi_group_size=64, **base)
+    with pytest.raises(NotImplementedError, match="kivi_residual_tokens"):
+        Config(kv_cache_dtype="int8", kivi_residual_tokens=128, **base)
+    # prefix block size is page-granular
+    with pytest.raises(ValueError, match="prefix_cache_block_size"):
+        Config(prefix_cache_block_size=32, **base)
+    assert Config(**base).prefix_cache_block_size == 64
+    # deltakv latent/kivi bits are real now
+    dk = dict(method="deltakv", full_attn_layers=(0, 1), **base)
+    with pytest.raises(ValueError, match="deltakv_latent_bits"):
+        Config(deltakv_latent_bits=16, **dk)
+    assert Config(deltakv_kivi_bits=4, **dk).kv_cache_dtype == "int4"
+    with pytest.raises(ValueError, match="deltakv_kivi_bits"):
+        Config(deltakv_kivi_bits=4, kv_cache_dtype="int8", **dk)
+    with pytest.raises(ValueError, match="recompress_interval"):
+        Config(deltakv_recompress_interval=-1, **dk)
+    # long_prefill_offload_threshold routes to the streamed path
+    # (behavioral consumption covered by tests/test_streamed_prefill.py)
