@@ -102,11 +102,14 @@ def synthetic_task(task: str, n: int) -> list[dict]:
 
 def run_task(engine, task: str, samples: list[dict], max_ctx_tokens: int,
              art: Artifact) -> float:
+    """Submit every sample up front and drain via continuous batching —
+    one engine session per task (reference batched regression runners;
+    VERDICT r1: the sample-serial loop was unusable at 50x128K scale)."""
     from sparsevllm_tpu import SamplingParams
 
     template = TASK_PROMPT.get(task, DEFAULT_PROMPT)
-    total = 0.0
-    for idx, sample in enumerate(samples):
+    prompts = []
+    for sample in samples:
         prompt = template.format(
             context=sample.get("context", ""), input=sample.get("input", "")
         )
@@ -116,14 +119,17 @@ def run_task(engine, task: str, samples: list[dict], max_ctx_tokens: int,
             half = max_ctx_tokens // 2
             ids = ids[:half] + ids[-half:]
             prompt = engine.tokenizer.decode(ids)
-        outs = engine.generate(
-            prompts=[prompt],
-            sampling_params=SamplingParams(
-                temperature=0.0,
-                max_tokens=TASK_MAX_GEN.get(task, 64),
-            ),
-        )
-        pred = outs[0].text
+        prompts.append(prompt)
+    outs = engine.generate(
+        prompts=prompts,
+        sampling_params=SamplingParams(
+            temperature=0.0,
+            max_tokens=TASK_MAX_GEN.get(task, 64),
+        ),
+    )
+    total = 0.0
+    for idx, (sample, out) in enumerate(zip(samples, outs)):
+        pred = out.text
         sc = score_sample(task, pred, sample.get("answers", []),
                           sample.get("all_classes") or None)
         total += sc

@@ -61,44 +61,75 @@ def rouge_l_score(prediction: str, ground_truth: str) -> float:
 
 def classification_score(prediction: str, ground_truth: str,
                          all_classes: list[str] | None = None) -> float:
-    """LongBench classification: gold label present in the prediction, with
-    longer distractor labels that contain the gold excluded."""
+    """LongBench classification — formula identical to the reference
+    (long_bench/metrics.py classification_score) including its
+    case-sensitive membership and iterate-while-removing loop."""
     em_match_list = []
-    prediction = prediction.lstrip("\n").split("\n")[0]
-    for cls in all_classes or []:
-        if cls.lower() in prediction.lower():
-            em_match_list.append(cls)
-    for match in list(em_match_list):
-        if match != ground_truth and ground_truth.lower() in match.lower():
-            em_match_list.remove(match)
+    for class_name in all_classes or []:
+        if class_name in prediction:
+            em_match_list.append(class_name)
+    for match_term in em_match_list:
+        if match_term in ground_truth and match_term != ground_truth:
+            em_match_list.remove(match_term)
     if ground_truth in em_match_list:
         return 1.0 / len(em_match_list)
     return 0.0
 
 
 def retrieval_score(prediction: str, ground_truth: str) -> float:
-    """Passage-retrieval: the gold paragraph number appears in the answer."""
-    gold = re.findall(r"\d+", ground_truth)
-    if not gold:
+    """Passage retrieval — reference ratio semantics
+    (long_bench/metrics.py retrieval_score): the share of numbers in the
+    prediction equal to the gold paragraph id."""
+    matches = re.findall(r"Paragraph (\d+)", ground_truth)
+    if not matches:
         return float(normalize_answer(ground_truth)
                      in normalize_answer(prediction))
-    found = re.findall(r"\d+", prediction)
-    return float(gold[0] in found)
+    gold = matches[0]
+    numbers = re.findall(r"\d+", prediction)
+    if not numbers:
+        return 0.0
+    right = sum(1 for n in numbers if str(n) == str(gold))
+    return right / len(numbers)
+
+
+def count_score(prediction: str, ground_truth: str) -> float:
+    """passage_count — reference ratio semantics (count_score)."""
+    numbers = re.findall(r"\d+", prediction)
+    if not numbers:
+        return 0.0
+    right = sum(1 for n in numbers if str(n) == str(ground_truth))
+    return right / len(numbers)
+
+
+def _indel_ratio(a: str, b: str) -> float:
+    """Levenshtein 'indel' similarity = (len(a)+len(b) - dist)/(len(a)+
+    len(b)) with substitutions costing 2 — python-Levenshtein.ratio, the
+    backend of fuzzywuzzy's fuzz.ratio."""
+    la, lb = len(a), len(b)
+    if la + lb == 0:
+        return 1.0
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i]
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ca == b[j - 1] else 2
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + cost))
+        prev = cur
+    return (la + lb - prev[lb]) / (la + lb)
 
 
 def code_sim_score(prediction: str, ground_truth: str) -> float:
-    """Code completion (lcc/repobench): similarity of the first meaningful
-    line (reference uses fuzz.ratio; difflib ratio is the stdlib analogue)."""
-    import difflib
-
-    pred_lines = [
-        line for line in prediction.lstrip("\n").split("\n")
-        if line.strip() and not line.strip().startswith("#")
-    ]
-    pred = pred_lines[0] if pred_lines else ""
-    return difflib.SequenceMatcher(
-        None, pred.strip(), ground_truth.strip()
-    ).ratio()
+    """Code completion (lcc/repobench) — reference semantics
+    (long_bench/metrics.py code_sim_score): first line containing none of
+    backtick/#//, scored with fuzz.ratio (int-percent rounding)."""
+    all_lines = prediction.lstrip("\n").split("\n")
+    pred = ""
+    for line in all_lines:
+        if ("`" not in line) and ("#" not in line) and ("//" not in line):
+            pred = line
+            break
+    return int(round(100 * _indel_ratio(pred, ground_truth))) / 100
 
 
 def exact_match_score(prediction: str, ground_truth: str) -> float:
@@ -120,7 +151,7 @@ DATASET2METRIC = {
     "triviaqa": qa_f1_score,
     "samsum": rouge_l_score,
     "passage_retrieval_en": retrieval_score,
-    "passage_count": exact_match_score,
+    "passage_count": count_score,
     "lcc": code_sim_score,
     "repobench-p": code_sim_score,
 }

@@ -69,9 +69,15 @@ class _StubEngine:
         self.prompts = []
 
     def generate(self, prompts=None, sampling_params=None, **kw):
-        self.prompts.append(prompts[0])
-        return [types.SimpleNamespace(text=self.reply,
-                                      output_token_ids=[1, 2])]
+        # batched: ALL task samples arrive in one call (continuous
+        # batching); one output per prompt
+        self.prompts.extend(prompts)
+        self.batch_sizes = getattr(self, "batch_sizes", [])
+        self.batch_sizes.append(len(prompts))
+        return [
+            types.SimpleNamespace(text=self.reply, output_token_ids=[1, 2])
+            for _ in prompts
+        ]
 
     def prefix_cache_stats(self):
         return {"hit_tokens": 0}
@@ -99,6 +105,8 @@ def test_longbench_runner_synthetic(tmp_path, monkeypatch):
     # prediction "fact 0 alpha" matches sample 0 exactly, partial on 1
     assert art["aggregate"]["per_task"]["qasper"] > 0
     assert len(art["raw"]) == 2
+    # batched submission: both samples went through ONE generate call
+    assert eng.batch_sizes == [2]
 
 
 def test_longbench_missing_dataset_is_loud(tmp_path, monkeypatch):
@@ -135,3 +143,28 @@ def test_scbench_runner_synthetic(tmp_path, monkeypatch):
     assert art["status"]["state"] == "ok"
     assert len(art["raw"]) == 2  # 1 sample x 2 turns
     assert "prefix_reuse_ratio" in art["aggregate"]
+
+
+def test_metric_formulas_match_reference():
+    """Pinned outputs of the reference LongBench formulas
+    (/root/reference/benchmark/long_bench/metrics.py) — ratio-based
+    retrieval/count, case-sensitive classification, fuzz.ratio code_sim."""
+    from benchmark.metrics import (
+        classification_score, code_sim_score, count_score, retrieval_score,
+    )
+
+    assert retrieval_score(
+        "the answer is in paragraph 5 and also 3", "Paragraph 5"
+    ) == 0.5
+    assert retrieval_score("no numbers here", "Paragraph 7") == 0.0
+    assert abs(count_score("there are 3 or maybe 3 of them, not 4", "3")
+               - 2 / 3) < 1e-9
+    assert count_score("none", "2") == 0.0
+    # case-sensitive membership + iterate-while-removing semantics
+    assert classification_score("AB", "AB", ["A", "AB"]) == 1.0
+    assert classification_score("contains A only", "AB", ["A", "AB"]) == 0.0
+    # fuzz.ratio (indel distance, int-percent rounding)
+    assert code_sim_score(
+        "\n# comment\nreturn foo(x)\n", "return foo(y)"
+    ) == 0.92
+    assert code_sim_score("`code`\nx = 1", "x = 1") == 1.0
