@@ -56,11 +56,11 @@ def oracle_spec():
 
 def build_recall_case(rng, seq_len: int, depth: float):
     """One recall sequence: filler with an embedded (key -> value) pair;
-    query at the end. Returns (tokens [L], answer_positions, answer)."""
-    n_fill = seq_len - 12
+    query at the end. Returns (tokens [L], answer_start, answer)."""
+    n_fill = seq_len - 10
     toks = rng.integers(FILLER_LO, FILLER_HI, n_fill).tolist()
     key = rng.integers(PAIR_LO, PAIR_HI, 2).tolist()
-    val = rng.integers(PAIR_LO, PAIR_HI, 2).tolist()
+    val = [int(rng.integers(PAIR_LO, PAIR_HI))]
     needle = [KEY_MARK] + key + [VAL_MARK] + val
     pos = int(n_fill * depth)
     toks = toks[:pos] + needle + toks[pos:]
@@ -122,7 +122,14 @@ def train_oracle(spec, steps: int, seq_len: int, batch: int = 8,
     params = init_params(spec, seed=seed, dtype="float32",
                          distribution="normal")
     cos, sin = rope_table(spec.head_dim, seq_len + 8, spec.rope_theta, None)
-    opt = optax.adamw(lr, weight_decay=0.01)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps=min(200, steps // 5),
+        decay_steps=max(steps, 1),
+    )
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(sched, weight_decay=0.01),
+    )
     opt_state = opt.init(params)
     rng = np.random.default_rng(seed)
 
@@ -134,9 +141,9 @@ def train_oracle(spec, steps: int, seq_len: int, batch: int = 8,
                 rng, sl, rng.uniform(0.05, 0.95)
             )
             toks[i, : len(full)] = full
-            # answer tokens dominate the loss; light LM loss elsewhere
-            w[i, : len(full) - 1] = 0.02
-            w[i, ans_start - 1 : ans_start + 1] = 1.0
+            # the RECALL loss is the objective; filler tokens are random
+            # (irreducible) and would otherwise swamp it
+            w[i, ans_start] = 1.0  # single-token answer
         return jnp.asarray(toks), jnp.asarray(w)
 
     @jax.jit
@@ -146,21 +153,28 @@ def train_oracle(spec, steps: int, seq_len: int, batch: int = 8,
             logp = jax.nn.log_softmax(logits, axis=-1)
             tgt = toks[:, 1:]
             nll = -jnp.take_along_axis(logp, tgt[..., None], -1)[..., 0]
-            return jnp.sum(nll * w[:, 1:]) / jnp.maximum(
+            loss = jnp.sum(nll * w[:, 1:]) / jnp.maximum(
                 jnp.sum(w[:, 1:]), 1.0
             )
+            hit = jnp.sum(
+                (jnp.argmax(logits, -1) == tgt) * (w[:, 1:] > 0)
+            ) / jnp.maximum(jnp.sum(w[:, 1:] > 0), 1)
+            return loss, hit
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, acc), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
         updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), opt_state, loss, acc
 
     t0 = time.time()
     for i in range(steps):
         toks, w = make_batch(batch, seq_len)
-        params, opt_state, loss = step(params, opt_state, toks, w)
+        params, opt_state, loss, acc = step(params, opt_state, toks, w)
         if i % 100 == 0 or i == steps - 1:
-            print(f"  oracle step {i}: loss={float(loss):.4f} "
-                  f"({time.time()-t0:.0f}s)", file=sys.stderr)
+            print(f"  oracle step {i}: recall loss={float(loss):.4f} "
+                  f"acc={float(acc):.2f} ({time.time()-t0:.0f}s)",
+                  file=sys.stderr)
     return params
 
 
@@ -223,24 +237,59 @@ def eval_oracle(params, spec, method_kwargs: dict, cases, kv_dtype: str,
     prompts = [c[0] for c in cases]
     outs = engine.generate(
         prompt_token_ids=prompts,
-        sampling_params=SamplingParams(temperature=0.0, max_tokens=2,
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=1,
                                        ignore_eos=True),
     )
     hits = sum(
-        out.output_token_ids[:2] == list(ans)
+        out.output_token_ids[:1] == list(ans)
         for out, (_, _, ans) in zip(outs, cases)
     )
     engine.exit()
     return hits / len(cases)
 
 
-def run_part_a(args, art):
+def _save_params(path, params):
     import jax
 
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    np.savez(path, **{
+        jax.tree_util.keystr(k): np.asarray(v) for k, v in flat
+    })
+
+
+def _load_params(path, spec):
+    import jax.numpy as jnp
+
+    data = np.load(path)
+    layers = {}
+    out = {}
+    for key in data.files:
+        parts = [p for p in key.replace("]", "").split("[") if p]
+        parts = [p.strip("'") for p in parts]
+        if parts[0] == "layers":
+            layers[parts[1]] = jnp.asarray(data[key])
+        else:
+            out[parts[0]] = jnp.asarray(data[key])
+    out["layers"] = layers
+    return out
+
+
+def run_part_a(args, art):
+    import os
+
     spec = oracle_spec()
-    print(f"training recall oracle ({args.train_steps} steps, "
-          f"L={args.train_len})...", file=sys.stderr)
-    params = train_oracle(spec, args.train_steps, args.train_len)
+    cache = args.params_cache
+    if cache and os.path.exists(cache) and not args.retrain:
+        print(f"loading trained oracle from {cache}", file=sys.stderr)
+        params = _load_params(cache, spec)
+    else:
+        print(f"training recall oracle ({args.train_steps} steps, "
+              f"L={args.train_len})...", file=sys.stderr)
+        params = train_oracle(spec, args.train_steps, args.train_len)
+        if cache:
+            _save_params(cache, params)
+    if args.train_only:
+        return {"trained": True}
 
     # held-out cases at eval ctx; prompts END at the ANS marker
     rng = np.random.default_rng(123)
@@ -361,6 +410,11 @@ def main() -> None:
     ap.add_argument("--train-steps", type=int, default=1200)
     ap.add_argument("--samples", type=int, default=4)
     ap.add_argument("--kv-dtypes", default="bfloat16,int8,int4")
+    ap.add_argument("--params-cache", default="",
+                    help="save/load the trained oracle (train on TPU, "
+                         "eval anywhere)")
+    ap.add_argument("--train-only", action="store_true")
+    ap.add_argument("--retrain", action="store_true")
     args = ap.parse_args()
 
     art = Artifact("accuracy_ladder", vars(args))

@@ -346,9 +346,16 @@ class ModelExecutor:
         mp = min(
             _round_up_pow2(pages, lo=base), self.config.max_pages_per_seq
         )
+        if not self.config.decode_bucketed_jit:
+            # "eager": exact shapes, one compile per distinct step shape
+            # (the debug reference point for bucketed-vs-eager parity —
+            # reference compare_decode_graph_eager_logits.py)
+            bb, mp = b, pages
         return bb, sb, mp
 
     def _decode_buckets(self, b: int, max_ctx_pages: int):
+        if not self.config.decode_bucketed_jit:
+            return b, max(max_ctx_pages, 1)
         bb = self.config.batch_bucket(b)
         mp = self.config.context_bucket_pages(max(max_ctx_pages, 1))
         return bb, mp

@@ -41,13 +41,45 @@ _SSE_HEADERS = {
 
 
 class OpenAIServer:
-    def __init__(self, engine: LLMEngine, served_model: str = ""):
+    def __init__(self, engine: LLMEngine, served_model: str = "",
+                 request_log_dir: str = ""):
         self.engine = engine
         self.dispatcher = AsyncEngineDispatcher(engine)
         self.served_model = served_model or engine.config.model or "tiny-random"
         self.tokenizer = engine.tokenizer
+        self._request_log = None
+        if request_log_dir:
+            import os
+            import time as _time
+
+            os.makedirs(request_log_dir, exist_ok=True)
+            self._request_log = open(
+                os.path.join(
+                    request_log_dir,
+                    f"requests-{int(_time.time())}.jsonl",
+                ),
+                "a",
+            )
 
     # ------------------------------------------------------------- helpers
+
+    def _log_request(self, kind: str, request_id: str, prompt_tokens: int,
+                     output_tokens: int, finish: str | None) -> None:
+        """Per-request JSONL log (reference api_server request_log_dir)."""
+        if self._request_log is None:
+            return
+        import time as _time
+
+        self._request_log.write(json.dumps({
+            "ts": round(_time.time(), 3),
+            "kind": kind,
+            "id": request_id,
+            "model": self.served_model,
+            "prompt_tokens": prompt_tokens,
+            "output_tokens": output_tokens,
+            "finish_reason": finish,
+        }) + "\n")
+        self._request_log.flush()
 
     def _encode_prompt(self, prompt) -> list[int]:
         if isinstance(prompt, list):
@@ -190,6 +222,8 @@ class OpenAIServer:
             out["choices"][0]["logprobs"] = proto.completion_logprobs(
                 all_tokens, all_lps, all_top, self.tokenizer
             )
+        self._log_request("completion", req.request_id, len(prompt_ids),
+                          n_tokens, finish)
         return web.json_response(out)
 
     async def chat_completions(self, request: web.Request) -> web.StreamResponse:
@@ -242,6 +276,12 @@ class OpenAIServer:
                     finish = delta.finish_reason
         except RuntimeError as e:
             return _err(500, str(e))
+        reasoning, content = proto.parse_reasoning("".join(parts))
+        message = {"role": "assistant", "content": content}
+        if reasoning is not None:
+            message["reasoning_content"] = reasoning
+        self._log_request("chat", req.request_id, len(prompt_ids),
+                          n_tokens, finish)
         return web.json_response({
             "id": req.request_id,
             "object": "chat.completion",
@@ -249,7 +289,7 @@ class OpenAIServer:
             "model": self.served_model,
             "choices": [{
                 "index": 0,
-                "message": {"role": "assistant", "content": "".join(parts)},
+                "message": message,
                 "finish_reason": finish,
             }],
             "usage": proto.usage_dict(len(prompt_ids), n_tokens),
@@ -396,14 +436,16 @@ UNSUPPORTED_SERVING_METHOD_PREFIXES = ("deltakv",)
 # (reference api_server.py:78 rejects DeltaKV for serving)
 
 
-def create_app(engine: LLMEngine, served_model: str = "") -> web.Application:
+def create_app(engine: LLMEngine, served_model: str = "",
+               request_log_dir: str = "") -> web.Application:
     method = engine.config.method or ""
     if method.startswith(UNSUPPORTED_SERVING_METHOD_PREFIXES):
         raise ValueError(
             f"method {method!r} is not supported for serving "
             f"(reference api_server.py:78)"
         )
-    return OpenAIServer(engine, served_model).build_app()
+    return OpenAIServer(engine, served_model,
+                        request_log_dir=request_log_dir).build_app()
 
 
 def main() -> None:
@@ -413,6 +455,8 @@ def main() -> None:
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--served-model-name", default="")
+    ap.add_argument("--request-log-dir", default="",
+                    help="write per-request JSONL logs here")
     ap.add_argument("--engine-kwargs", default="{}",
                     help="JSON dict of engine/config kwargs")
     args = ap.parse_args()
@@ -425,7 +469,8 @@ def main() -> None:
         # whose cache-sized copies wedge the first prefill)
         kwargs.setdefault("max_model_len", 4096)
     engine = LLMEngine(model=args.model, **kwargs)
-    app = create_app(engine, args.served_model_name)
+    app = create_app(engine, args.served_model_name,
+                     request_log_dir=args.request_log_dir)
     logger.info("serving %s on %s:%d", args.model or "tiny-random",
                 args.host, args.port)
     web.run_app(app, host=args.host, port=args.port, print=None)

@@ -185,25 +185,51 @@ class ResponsesRequest:
         )
 
 
+def parse_reasoning(text: str) -> tuple[str | None, str]:
+    """Split a Qwen3-style ``<think>...</think>`` block into
+    (reasoning_content, content) — reference
+    entrypoints/openai/serving/response_parsing.py semantics: the block
+    must open the message; an unterminated block is all reasoning."""
+    s = text.lstrip()
+    if not s.startswith("<think>"):
+        return None, text
+    body = s[len("<think>"):]
+    end = body.find("</think>")
+    if end < 0:
+        return body.strip(), ""
+    return body[:end].strip(), body[end + len("</think>"):].lstrip("\n")
+
+
 def response_object(req_id: str, model: str, text: str,
                     status: str, created: int,
                     usage: dict | None = None) -> dict:
-    """OpenAI Responses API response object."""
+    """OpenAI Responses API response object (reasoning blocks become a
+    separate output item, reference serving/responses.py)."""
+    reasoning, content = parse_reasoning(text)
+    output = []
+    if reasoning is not None:
+        output.append({
+            "type": "reasoning",
+            "id": f"rs_{req_id}",
+            "summary": [],
+            "content": [{"type": "reasoning_text", "text": reasoning}],
+        })
+    output.append({
+        "type": "message",
+        "id": f"msg_{req_id}",
+        "role": "assistant",
+        "status": "completed" if status == "completed" else "in_progress",
+        "content": [{"type": "output_text", "text": content,
+                     "annotations": []}],
+    })
     return {
         "id": req_id,
         "object": "response",
         "created_at": created,
         "status": status,
         "model": model,
-        "output": [{
-            "type": "message",
-            "id": f"msg_{req_id}",
-            "role": "assistant",
-            "status": "completed" if status == "completed" else "in_progress",
-            "content": [{"type": "output_text", "text": text,
-                         "annotations": []}],
-        }],
-        "output_text": text,
+        "output": output,
+        "output_text": content,
         "usage": usage or {},
     }
 

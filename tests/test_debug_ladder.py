@@ -1,0 +1,93 @@
+"""Determinism / debug-ladder suite (VERDICT r1 gap #8).
+
+Re-expresses the reference's debug depth: eager-vs-bucketed logits
+comparison (scripts/debug/compare_decode_graph_eager_logits.py), bucket
+boundaries, batch-composition independence, and preemption under real
+memory pressure (scheduler.py slot diagnostics)."""
+
+import numpy as np
+import pytest
+
+from sparsevllm_tpu.engine.llm_engine import LLMEngine
+from sparsevllm_tpu.sampling_params import SamplingParams
+
+BASE = dict(
+    tiny_random=True,
+    dtype="float32",
+    page_size=8,
+    num_kv_pages=512,
+    max_model_len=512,
+    chunk_prefill_size=64,
+    max_num_batched_tokens=512,
+    max_decoding_seqs=8,
+    max_num_seqs_in_batch=8,
+    decode_context_bucket_base=64,
+    decode_steps_per_dispatch=4,
+)
+
+
+def _gen(eng, prompts, steps=12):
+    outs = eng.generate(
+        prompt_token_ids=[list(p) for p in prompts],
+        sampling_params=SamplingParams(
+            temperature=0.0, max_tokens=steps, ignore_eos=True
+        ),
+    )
+    return [o.output_token_ids for o in outs]
+
+
+@pytest.fixture(scope="module")
+def prompts():
+    rng = np.random.default_rng(21)
+    # lengths straddle chunk and page boundaries
+    return [rng.integers(3, 500, n).tolist() for n in (7, 63, 64, 65, 130)]
+
+
+def test_eager_matches_bucketed(prompts):
+    """Exact-shape (enforce_eager) and padded-bucket execution must agree
+    token-for-token — catches padded-lane contamination."""
+    bucketed = _gen(LLMEngine(**BASE), prompts)
+    eager = _gen(LLMEngine(enforce_eager=True, **BASE), prompts)
+    assert bucketed == eager
+
+
+def test_batch_composition_independence(prompts):
+    """A sequence's greedy output must not depend on what it is batched
+    with (padded lanes / shared step plans must not leak)."""
+    together = _gen(LLMEngine(**BASE), prompts)
+    alone = [
+        _gen(LLMEngine(**BASE), [p])[0] for p in prompts[:2]
+    ]
+    assert together[0] == alone[0]
+    assert together[1] == alone[1]
+
+
+def test_preemption_storm_all_finish():
+    """A pool sized for ~2 resident sequences under 6 requests must
+    preempt-and-replay without losing or corrupting any request."""
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(3, 500, 100).tolist() for _ in range(6)]
+    small = dict(BASE)
+    small.update(num_kv_pages=2 * 2 * (128 // 8) + 8, max_model_len=256)
+    eng = LLMEngine(**small)
+    outs = _gen(eng, prompts, steps=8)
+    assert all(len(t) == 8 for t in outs)
+    # compare against an unconstrained engine: same results
+    big = _gen(LLMEngine(**BASE), prompts, steps=8)
+    assert outs == big
+
+
+def test_decode_megastep_tail_discard():
+    """Sequences hitting max_tokens mid-megastep keep exactly max_tokens
+    (the k-step dispatch over-generates; postprocess must trim)."""
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(3, 500, 20).tolist() for _ in range(3)]
+    eng = LLMEngine(**BASE)
+    outs = eng.generate(
+        prompt_token_ids=prompts,
+        sampling_params=[
+            SamplingParams(temperature=0.0, max_tokens=m, ignore_eos=True)
+            for m in (3, 6, 11)
+        ],
+    )
+    assert [len(o.output_token_ids) for o in outs] == [3, 6, 11]

@@ -261,3 +261,71 @@ def test_stream_stop_holdback():
     # no intermediate delta ever contained any char of "STOP" or beyond
     for t, _, _ in parts[:-1]:
         assert "S" not in t or t.endswith("hello ")
+
+
+def test_parse_reasoning():
+    from sparsevllm_tpu.entrypoints.openai import protocol as proto
+
+    r, c = proto.parse_reasoning("<think>step 1\nstep 2</think>\nanswer")
+    assert r == "step 1\nstep 2" and c == "answer"
+    r, c = proto.parse_reasoning("plain answer")
+    assert r is None and c == "plain answer"
+    r, c = proto.parse_reasoning("<think>never closed")
+    assert r == "never closed" and c == ""
+    # responses object splits reasoning into its own output item
+    obj = proto.response_object("r1", "m", "<think>why</think>ok",
+                                "completed", 0)
+    assert obj["output"][0]["type"] == "reasoning"
+    assert obj["output"][0]["content"][0]["text"] == "why"
+    assert obj["output_text"] == "ok"
+
+
+def test_request_log_written(tmp_path, engine):
+    from sparsevllm_tpu.entrypoints.openai.api_server import OpenAIServer
+
+    server = OpenAIServer(engine, served_model="tiny",
+                          request_log_dir=str(tmp_path))
+    app = server.build_app()
+
+    async def go():
+        c = TestClient(TestServer(app))
+        await c.start_server()
+        resp = await c.post("/v1/completions", json={
+            "model": "tiny", "prompt": [1, 2, 3], "max_tokens": 4,
+        })
+        body = await resp.json()
+        await c.close()
+        return body
+
+    loop = asyncio.new_event_loop()
+    body = loop.run_until_complete(go())
+    server.dispatcher.shutdown()
+    loop.close()
+    logs = list(tmp_path.glob("requests-*.jsonl"))
+    assert len(logs) == 1
+    rec = json.loads(logs[0].read_text().splitlines()[0])
+    assert rec["kind"] == "completion"
+    assert rec["prompt_tokens"] == 3
+    assert rec["output_tokens"] >= 1
+
+
+def test_concurrent_stress_64(client):
+    """64 concurrent requests through the dispatcher (reference stress
+    block: 80 concurrent; scaled to the tiny engine)."""
+    c, loop = client
+
+    async def one(i):
+        resp = await c.post("/v1/completions", json={
+            "model": "tiny", "prompt": [1 + i % 7, 2, 3 + i % 5],
+            "max_tokens": 3,
+        })
+        assert resp.status == 200
+        out = await resp.json()
+        return out["usage"]["completion_tokens"]
+
+    async def go():
+        return await asyncio.gather(*[one(i) for i in range(64)])
+
+    results = loop.run_until_complete(go())
+    assert len(results) == 64
+    assert all(r >= 1 for r in results)
