@@ -57,9 +57,9 @@ def oracle_spec():
 def build_recall_case(rng, seq_len: int, depth: float):
     """One recall sequence: filler with an embedded (key -> value) pair;
     query at the end. Returns (tokens [L], answer_start, answer)."""
-    n_fill = seq_len - 10
+    n_fill = seq_len - 8
     toks = rng.integers(FILLER_LO, FILLER_HI, n_fill).tolist()
-    key = rng.integers(PAIR_LO, PAIR_HI, 2).tolist()
+    key = [int(rng.integers(PAIR_LO, PAIR_HI))]
     val = [int(rng.integers(PAIR_LO, PAIR_HI))]
     needle = [KEY_MARK] + key + [VAL_MARK] + val
     pos = int(n_fill * depth)
@@ -109,7 +109,7 @@ def _dense_forward(params, tokens, spec, cos, sin):
     return tfm.compute_logits(params, h, spec)  # [B, S, V]
 
 
-def train_oracle(spec, steps: int, seq_len: int, batch: int = 8,
+def train_oracle(spec, steps: int, seq_len: int, batch: int = 32,
                  seed: int = 0, lr: float = 3e-4):
     """Train the recall oracle; returns (params, final_answer_accuracy)."""
     import jax
@@ -404,7 +404,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--part", default="all", choices=("a", "b", "all"))
-    ap.add_argument("--ctx", type=int, default=1024)
+    ap.add_argument("--ctx", type=int, default=512)
     ap.add_argument("--ctx-b", type=int, default=4096)
     ap.add_argument("--train-len", type=int, default=512)
     ap.add_argument("--train-steps", type=int, default=1200)
