@@ -126,6 +126,7 @@ class ModelExecutor:
             dk_stride=max(int(round(1.0 / config.deltakv_cluster_ratio)), 1),
             dk_arch=config.deltakv_compressor_arch,
             dk_latent_bits=config.deltakv_latent_bits,
+            moe_dispatch="dense" if mesh is not None else "sorted",
         )
         self.query_cache = None
         self.steer_vec = None

@@ -248,7 +248,7 @@ class StreamedPrefillRunner:
             s = h.shape[0]
             h = h + attn_out.reshape(s, spec.q_dim) @ lp["wo"]
             x2 = tfm.rms_norm(h, lp["post_attn_norm"], spec.rms_norm_eps)
-            return h + tfm._ffn(x2, lp, spec)
+            return h + tfm._ffn(x2, lp, spec, "sorted")
         return self._jit("post", post)
 
     def _f_score_block(self):

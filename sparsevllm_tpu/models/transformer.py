@@ -86,6 +86,9 @@ class StepRuntime:
     # SkipKV activation steering: per-layer vector added to the decode
     # hidden state, alpha-scaled (reference activation_controller.py:55-232).
     steer_alpha: float = 0.0
+    # MoE dispatch: 'sorted' (ragged grouped GEMM, single-device) or
+    # 'dense' (dense-over-experts einsum whose E axis GSPMD-shards).
+    moe_dispatch: str = "dense"
 
 
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
@@ -158,8 +161,51 @@ def _moe(x, lp, spec: ModelSpec):
     return out.reshape(*lead, h)
 
 
-def _ffn(x, lp, spec: ModelSpec):
-    return _moe(x, lp, spec) if spec.is_moe else _mlp(x, lp)
+def _moe_sorted(x, lp, spec: ModelSpec):
+    """Sort-based MoE dispatch (reference triton_kernel/moe.py fused
+    grouped GEMM, 790 LoC): token-expert pairs are sorted by expert and
+    the three expert matmuls run as ``lax.ragged_dot`` grouped GEMMs —
+    FLOPs are T*topk*H*I instead of dense-over-experts' T*E*H*I (a 16x
+    cut at E=64/topk=4) with no capacity factor and no dropped tokens.
+
+    Single-device/replicated path: ragged group sizes do not shard over
+    the expert axis; the mesh path keeps the dense-over-experts einsum
+    whose E axis GSPMD-shards (see _moe)."""
+    *lead, h = x.shape
+    xt = x.reshape(-1, h)  # [T, H]
+    t = xt.shape[0]
+    k = spec.num_experts_per_tok
+    e = spec.num_experts
+    logits = xt @ lp["router"]  # [T, E]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    top_w, top_i = jax.lax.top_k(probs, k)
+    if spec.norm_topk_prob:
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+
+    e_idx = top_i.reshape(-1)  # [T*K]
+    t_idx = jnp.repeat(jnp.arange(t), k)  # [T*K]
+    order = jnp.argsort(e_idx)  # stable: ties keep token order
+    xs = xt[t_idx[order]]  # [T*K, H] sorted by expert
+    group_sizes = jnp.bincount(e_idx, length=e).astype(jnp.int32)
+
+    gate = jax.lax.ragged_dot(xs, lp["moe_w_gate"], group_sizes)
+    up = jax.lax.ragged_dot(xs, lp["moe_w_up"], group_sizes)
+    act = jax.nn.silu(gate) * up
+    out = jax.lax.ragged_dot(act, lp["moe_w_down"], group_sizes)  # [T*K, H]
+
+    w = top_w.reshape(-1)[order].astype(out.dtype)  # [T*K]
+    combined = jnp.zeros((t, h), out.dtype).at[t_idx[order]].add(
+        out * w[:, None]
+    )
+    return combined.reshape(*lead, h).astype(x.dtype)
+
+
+def _ffn(x, lp, spec: ModelSpec, moe_dispatch: str = "dense"):
+    if not spec.is_moe:
+        return _mlp(x, lp)
+    if moe_dispatch == "sorted":
+        return _moe_sorted(x, lp, spec)
+    return _moe(x, lp, spec)
 
 
 def _layer_xs(params, spec: ModelSpec, extra: dict | None = None):
@@ -291,7 +337,7 @@ def prefill_forward(
         attn_out = out.reshape(*x.shape[:-1], spec.q_dim) @ xs["wo"]
         h = h + attn_out
         x2 = rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
-        h = h + _ffn(x2, xs, spec)
+        h = h + _ffn(x2, xs, spec, rt.moe_dispatch)
         ys = obs if rt.emit_prefill_scores else None
         return (h, kc, vc, meta, scales), ys
 
@@ -618,7 +664,7 @@ def decode_forward(
         attn_out = out.reshape(b, spec.q_dim) @ xs["wo"]
         h = h + attn_out
         x2 = rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
-        h = h + _ffn(x2, xs, spec)
+        h = h + _ffn(x2, xs, spec, rt.moe_dispatch)
         return (h, kc, vc, sel, have_sel, meta, qcache, topk), step_scales
 
     (h, k_cache, v_cache, _, _, quest_meta,

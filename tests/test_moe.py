@@ -115,3 +115,34 @@ def test_moe_ep_sharded_mesh():
     # experts really sharded: 8 experts / model axis 4 = 2 per device
     shard = engine.executor.params["layers"]["moe_w_gate"].sharding
     assert "model" in str(shard.spec)
+
+
+def test_moe_sorted_matches_dense_dispatch():
+    """ragged-dot sorted dispatch == dense-over-experts einsum."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparsevllm_tpu.models import transformer as tfm
+    from sparsevllm_tpu.models.spec import ModelSpec
+
+    spec = ModelSpec(
+        model_type="qwen3_moe", num_layers=1, hidden_size=32,
+        num_q_heads=4, num_kv_heads=2, head_dim=8, intermediate_size=64,
+        vocab_size=128, rms_norm_eps=1e-6, rope_theta=1e4,
+        max_position_embeddings=512, num_experts=8, num_experts_per_tok=2,
+        moe_intermediate_size=16,
+    )
+    rng = np.random.default_rng(0)
+    lp = {
+        "router": jnp.asarray(rng.normal(size=(32, 8)), jnp.float32),
+        "moe_w_gate": jnp.asarray(rng.normal(size=(8, 32, 16)) * 0.1,
+                                  jnp.float32),
+        "moe_w_up": jnp.asarray(rng.normal(size=(8, 32, 16)) * 0.1,
+                                jnp.float32),
+        "moe_w_down": jnp.asarray(rng.normal(size=(8, 16, 32)) * 0.1,
+                                  jnp.float32),
+    }
+    x = jnp.asarray(rng.normal(size=(3, 5, 32)), jnp.float32)
+    dense = tfm._moe(x, lp, spec)
+    sorted_ = tfm._moe_sorted(x, lp, spec)
+    np.testing.assert_allclose(sorted_, dense, atol=1e-5)
