@@ -142,8 +142,13 @@ def train_oracle(spec, steps: int, seq_len: int, batch: int = 32,
             )
             toks[i, : len(full)] = full
             # the RECALL loss is the objective; filler tokens are random
-            # (irreducible) and would otherwise swamp it
-            w[i, ans_start] = 1.0  # single-token answer
+            # (irreducible) and would otherwise swamp it. ANS_MARK is also
+            # supervised so eval prompts can END AT THE KEY: the value
+            # token is then generated at decode step 2, AFTER prefill-end
+            # eviction/compaction — a 1-step answer would be sampled from
+            # the full-context prefill logits and measure nothing.
+            w[i, ans_start - 1] = 0.25  # predict ANS_MARK from the key
+            w[i, ans_start] = 1.0  # predict the value from ANS_MARK
         return jnp.asarray(toks), jnp.asarray(w)
 
     @jax.jit
@@ -226,7 +231,8 @@ def eval_oracle(params, spec, method_kwargs: dict, cases, kv_dtype: str,
         page_size=32,
         num_kv_pages=len(cases) * (ctx // 32 + 4) + 16,
         max_model_len=ctx + 64,
-        chunk_prefill_size=512,
+        chunk_prefill_size=max(ctx // 2, 64),  # chunked: window evictions
+        # fire BETWEEN chunks (streamingllm) before the query chunk runs
         max_num_batched_tokens=2048,
         max_decoding_seqs=len(cases),
         max_num_seqs_in_batch=len(cases),
@@ -237,15 +243,21 @@ def eval_oracle(params, spec, method_kwargs: dict, cases, kv_dtype: str,
     prompts = [c[0] for c in cases]
     outs = engine.generate(
         prompt_token_ids=prompts,
-        sampling_params=SamplingParams(temperature=0.0, max_tokens=1,
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=2,
                                        ignore_eos=True),
     )
-    hits = sum(
-        out.output_token_ids[:1] == list(ans)
-        for out, (_, _, ans) in zip(outs, cases)
-    )
+    # output[0] must be ANS_MARK (trained); output[1] is the recalled
+    # value, generated from the POST-eviction/compaction cache state
+    by_depth: dict[float, list[int]] = {}
+    hits = 0
+    for out, (_, depth, ans) in zip(outs, cases):
+        hit = out.output_token_ids[:2] == [ANS_MARK] + list(ans)
+        hits += hit
+        by_depth.setdefault(depth, []).append(int(hit))
     engine.exit()
-    return hits / len(cases)
+    return hits / len(cases), {
+        d: sum(v) / len(v) for d, v in sorted(by_depth.items())
+    }
 
 
 def _save_params(path, params):
@@ -297,7 +309,8 @@ def run_part_a(args, art):
     for depth in (0.1, 0.5, 0.9):
         for _ in range(args.samples):
             full, ans_start, val = build_recall_case(rng, args.ctx, depth)
-            cases.append((full[:ans_start], depth, val))
+            # prompt ends at the KEY (ANS_MARK + value are generated)
+            cases.append((full[:ans_start - 1], depth, val))
 
     # deltakv gets a compressor trained on the oracle's own KV
     dk_ckpt = None
@@ -328,13 +341,19 @@ def run_part_a(args, art):
         if name == "deltakv" and dk_ckpt is None:
             continue
         for kv_dtype in args.kv_dtypes.split(","):
-            acc = eval_oracle(params, spec, kw, cases, kv_dtype, args.ctx,
-                              dk_ckpt)
+            try:
+                acc, by_depth = eval_oracle(params, spec, kw, cases,
+                                            kv_dtype, args.ctx, dk_ckpt)
+            except (ValueError, NotImplementedError) as e:
+                print(f"  A {name}/{kv_dtype}: skipped ({e})",
+                      file=sys.stderr)
+                continue
             key = f"{name}/{kv_dtype}"
-            results[key] = acc
+            results[key] = {"accuracy": acc, "by_depth": by_depth}
             art.add_parsed({"part": "A", "method": name,
-                            "kv_dtype": kv_dtype, "accuracy": acc})
-            print(f"  A {key}: recall accuracy {acc:.2f}",
+                            "kv_dtype": kv_dtype, "accuracy": acc,
+                            "by_depth": by_depth})
+            print(f"  A {key}: recall {acc:.2f} by_depth={by_depth}",
                   file=sys.stderr)
     return results
 

@@ -49,6 +49,11 @@ def _round_up_pow2(x: int, lo: int = 1) -> int:
 
 
 class ModelExecutor:
+    # class-level defaults so subclasses with their own __init__
+    # (HybridExecutor) stay attribute-compatible
+    kv_manager = None
+    _streamed = None
+
     def __init__(
         self,
         config: Config,

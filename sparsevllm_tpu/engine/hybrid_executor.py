@@ -36,20 +36,10 @@ class HybridExecutor(ModelExecutor):
                 f"round; got {config.method!r} (reference pairs qwen3_5 "
                 f"with vanilla/deltakv)"
             )
-        if mesh is not None:
-            raise NotImplementedError(
-                "hybrid model TP/DP sharding is staged for a later round"
-            )
-        if config.enable_prefix_cache:
-            raise NotImplementedError(
-                "hybrid models need joint KV+recurrent-state prefix blocks "
-                "(reference PrefixCacheCoordinator) — staged for a later "
-                "round"
-            )
         self.config = config
         self.spec = spec
         self.params = params
-        self.mesh = None
+        self.mesh = mesh
         self.num_pages = num_pages
         self.max_rows = max_rows
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
@@ -84,6 +74,10 @@ class HybridExecutor(ModelExecutor):
             if config.attention_impl in ("ref", "pallas")
             else ("pallas" if jax.default_backend() == "tpu" else "ref")
         )
+        if mesh is not None:
+            from ..parallel.mesh import shard_hybrid_executor_state
+
+            shard_hybrid_executor_state(self)
         self._base_key = jax.random.PRNGKey(config.seed)
         self._step_counter = 0
         self._fn_cache: dict = {}
@@ -183,6 +177,26 @@ class HybridExecutor(ModelExecutor):
         logger.info("compiled hybrid decode megastep B=%d MP=%d k=%d",
                     bb, mp, k)
         return fn
+
+    # -------------------------------------------- recurrent-state snapshots
+
+    def snapshot_recurrent(self, row: int):
+        """Host copy of one row's conv tails + delta-rule matrices —
+        attached to joint prefix blocks at chunk boundaries (reference
+        PrefixCacheCoordinator MixedPrefixBlockPayload)."""
+        return (
+            np.asarray(self.conv_states[:, row]),
+            np.asarray(self.rec_states[:, row]),
+        )
+
+    def restore_recurrent(self, row: int, state) -> None:
+        conv, rec = state
+        self.conv_states = self.conv_states.at[:, row].set(
+            jnp.asarray(conv, self.conv_states.dtype)
+        )
+        self.rec_states = self.rec_states.at[:, row].set(
+            jnp.asarray(rec, self.rec_states.dtype)
+        )
 
     # ----------------------------------------------------------------- runs
 

@@ -101,6 +101,11 @@ class KVCacheManager:
         self.seq_rows: dict[int, int] = {}
 
         self._reclaim_cache: int | None = None
+        # hybrid joint prefix blocks (engine-installed):
+        # filter(blocks) -> usable prefix blocks; attached(seq, blocks)
+        # restores recurrent state after a hit
+        self.prefix_attach_filter = None
+        self.on_prefix_attached = None
 
         # pending device page-table updates (flushed by the executor).
         self._upd_l: list[np.ndarray] = []
@@ -388,6 +393,10 @@ class KVCacheManager:
         blocks = self.prefix_index.match_longest_prefix(seq.prompt_token_ids)
         max_blocks = (seq.num_prompt_tokens - 1) // self.P
         blocks = blocks[:max_blocks]
+        if self.prefix_attach_filter is not None:
+            # hybrid joint blocks: usable prefix must end on a block that
+            # carries a recurrent-state snapshot (engine sets the filter)
+            blocks = self.prefix_attach_filter(blocks)
         if not blocks:
             return 0
         self.prefix_index.acquire(blocks)
@@ -403,16 +412,20 @@ class KVCacheManager:
                 np.full(n, l), np.full(n, row), np.arange(n), pages[l]
             )
         self.row_lens[:, row] = n * self.P
+        if self.on_prefix_attached is not None:
+            self.on_prefix_attached(seq, blocks)
         return n * self.P
 
-    def commit_prefix(self, seq: Sequence) -> None:
+    def commit_prefix(self, seq: Sequence) -> list:
         """After prefill completes, publish the prompt's full pages into the
-        radix index (reference PrefixCacheMixin.on_forward_end commit)."""
+        radix index (reference PrefixCacheMixin.on_forward_end commit).
+        Returns the newly created blocks (hybrid engines attach recurrent
+        state snapshots to them)."""
         if self.prefix_index is None:
-            return
+            return []
         row = self.seq_rows.get(seq.seq_id)
         if row is None:
-            return
+            return []
         upto = (seq.num_prompt_tokens // self.P) * self.P
         table = self.page_tables[:, row]  # [L, MP]
 
@@ -426,6 +439,7 @@ class KVCacheManager:
         for node in created:
             for l in range(self.L):
                 self._page_refs[l, node.pages[l]] += 1
+        return created
 
     # ----------------------------------------------------- sparse hook points
 

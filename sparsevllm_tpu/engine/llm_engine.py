@@ -175,14 +175,23 @@ class LLMEngine:
         )
         self.executor.kv_manager = self.kv
         self.prefix_cache = None
+        self._hybrid_snapshots: dict[int, dict[int, object]] = {}
         if config.enable_prefix_cache:
             from .prefix_cache import RadixPrefixIndex, config_fingerprint
 
             self.kv.prefix_index = RadixPrefixIndex(
-                config.page_size, spec.num_layers,
+                config.page_size,
+                getattr(spec, "num_kv_layers", spec.num_layers),
                 config_fingerprint(config),
             )
             self.prefix_cache = self.kv.prefix_index
+            if spec.model_type == "qwen3_next":
+                # joint KV + recurrent-state prefix blocks (reference
+                # PrefixCacheCoordinator:42-641): a hit must end on a block
+                # carrying a state snapshot (taken at page-aligned chunk
+                # boundaries); attach restores conv/delta state rows
+                self.kv.prefix_attach_filter = self._hybrid_prefix_filter
+                self.kv.on_prefix_attached = self._hybrid_prefix_attached
         self.scheduler = Scheduler(config, self.kv, eos_ids)
         self.throughput = _ThroughputLogger(self)
         self._outputs: dict[int, RequestOutput] = {}
@@ -363,10 +372,25 @@ class LLMEngine:
             if plan is not None:
                 self.executor.compress_prefill(plan)
                 self.kv.commit_compression(plan)
+        # hybrid: snapshot recurrent state at page-aligned chunk
+        # boundaries — these become the joint-block state checkpoints
+        if self._hybrid_caching:
+            for i, s in enumerate(seqs):
+                done = s.num_prefilled_tokens + chunks[i]
+                if done % self.config.page_size == 0:
+                    row = self.kv.seq_rows[s.seq_id]
+                    self._hybrid_snapshots.setdefault(s.seq_id, {})[done] = \
+                        self.executor.snapshot_recurrent(row)
         # publish finished prompts' pages into the prefix cache
         if self.prefix_cache is not None:
             for _, s in finishing:
-                self.kv.commit_prefix(s)
+                created = self.kv.commit_prefix(s)
+                if self._hybrid_caching and created:
+                    snaps = self._hybrid_snapshots.get(s.seq_id, {})
+                    for node in created:
+                        end = self._block_depth(node) * self.config.page_size
+                        if end in snaps:
+                            node.state = snaps[end]
         # chunk-end eviction (streamingllm)
         self.kv.on_prefill_chunk_end(
             seqs, final=bool(finishing)
@@ -420,8 +444,39 @@ class LLMEngine:
                 self.kv.commit_recompression(plan)
         return [(s, list(s.last_step_tokens)) for s in seqs]
 
+    # ------------------------------------------- hybrid joint prefix blocks
+
+    @property
+    def _hybrid_caching(self) -> bool:
+        return (
+            self.prefix_cache is not None
+            and self.spec.model_type == "qwen3_next"
+        )
+
+    @staticmethod
+    def _block_depth(node) -> int:
+        d = 0
+        while node is not None:
+            d += 1
+            node = node.parent
+        return d
+
+    def _hybrid_prefix_filter(self, blocks: list) -> list:
+        """Usable hybrid prefix = longest chain ending on a block with a
+        recurrent-state snapshot."""
+        last = 0
+        for i, b in enumerate(blocks):
+            if b.state is not None:
+                last = i + 1
+        return blocks[:last]
+
+    def _hybrid_prefix_attached(self, seq, blocks: list) -> None:
+        row = self.kv.seq_rows[seq.seq_id]
+        self.executor.restore_recurrent(row, blocks[-1].state)
+
     def _finalize(self, finished: list[Sequence]) -> None:
         for seq in finished:
+            self._hybrid_snapshots.pop(seq.seq_id, None)
             self.kv.free_seq(seq)
             out = self._outputs.get(seq.seq_id)
             if out is not None:

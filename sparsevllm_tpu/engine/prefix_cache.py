@@ -58,6 +58,11 @@ class PrefixBlock:
     refcount: int = 0  # live sequence attachments
     last_used: float = field(default_factory=time.monotonic)
     node_id: int = field(default_factory=lambda: next(_node_counter))
+    # hybrid models: recurrent-state snapshot valid at this block's END
+    # (conv tails + delta-rule matrices, host numpy). None for pure-KV
+    # blocks and for blocks not on a chunk boundary (reference
+    # PrefixCacheCoordinator MixedPrefixBlockPayload:18-25).
+    state: object = None
 
     @property
     def evictable(self) -> bool:

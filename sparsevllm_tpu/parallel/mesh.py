@@ -175,6 +175,7 @@ _PREFILL_PLAN_RULES: dict[str, P] = {
     "row_ids": P(DATA),
     "ctx_lens": P(DATA),
     "new_lens": P(DATA),
+    "fresh": P(DATA),  # hybrid prefill: rows starting a fresh prompt
     "temps": P(DATA),
     "top_k": P(DATA),
     "top_p": P(DATA),
@@ -200,3 +201,72 @@ def put_plan(mesh: Mesh, plan: dict, phase: str) -> dict:
         spec = _fit(rules.get(k, P()), np.shape(v), mesh, f"plan.{k}")
         out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     return out
+
+
+# ------------------------------------------------------------------ hybrid
+# Per-layer dicts are UNSTACKED for the hybrid model (python-list layers,
+# models/qwen3_next.py), so these specs have no leading layer dim. GSPMD
+# propagates/reshards through the GDN chunked scan automatically; these
+# annotations place the big matmuls (in/out projections, MLP, shared
+# experts) on the classic Megatron column/row split.
+_HYBRID_LAYER_RULES: dict[str, P] = {
+    "wq": P(None, MODEL), "wk": P(None, MODEL), "wv": P(None, MODEL),
+    "wo": P(MODEL, None),
+    "w_gate": P(None, MODEL), "w_up": P(None, MODEL),
+    "w_down": P(MODEL, None),
+    "in_proj_qkvz": P(None, MODEL), "in_proj_ba": P(None, MODEL),
+    "out_proj": P(MODEL, None),
+    "conv_w": P(MODEL, None),  # [C, K]: conv channels shard with heads
+    "dt_bias": P(MODEL), "norm_w": P(MODEL),
+    "moe_w_gate": P(MODEL, None, None), "moe_w_up": P(MODEL, None, None),
+    "moe_w_down": P(MODEL, None, None),
+    "shared_w_gate": P(None, MODEL), "shared_w_up": P(None, MODEL),
+    "shared_w_down": P(MODEL, None), "shared_gate": P(),
+    "router": P(),
+}
+
+
+def shard_hybrid_executor_state(ex) -> None:
+    """Shardings for a HybridExecutor: layer-list params, KV pools for the
+    full-attention layers, and the recurrent conv/delta state rows."""
+    mesh = ex.mesh
+
+    def layer_sharding(lp: dict) -> dict:
+        return {
+            k: NamedSharding(
+                mesh, _fit(_HYBRID_LAYER_RULES.get(k, P()), v.shape, mesh,
+                           f"hybrid.{k}")
+            )
+            for k, v in lp.items()
+        }
+
+    shardings = {
+        k: (
+            [layer_sharding(lp) for lp in v] if k == "layers"
+            else NamedSharding(
+                mesh, _fit(_TOP_RULES.get(k, P()), v.shape, mesh, k)
+            )
+        )
+        for k, v in ex.params.items()
+    }
+    ex.params = jax.device_put(ex.params, shardings)
+    kvs = kv_sharding(mesh, ex.k_cache.shape)
+    ex.k_cache = jax.device_put(ex.k_cache, kvs)
+    ex.v_cache = jax.device_put(ex.v_cache, kvs)
+    ex.tables = jax.device_put(ex.tables, replicated(mesh))
+    # conv [Llin, R, K-1, C]: channels on model; rec [Llin, R, Hv, Dk, Dv]:
+    # value heads on model (row tables replicate over data — rows are not
+    # batch-aligned)
+    ex.conv_states = jax.device_put(
+        ex.conv_states,
+        NamedSharding(mesh, _fit(P(None, None, None, MODEL),
+                                 ex.conv_states.shape, mesh, "conv_states")),
+    )
+    ex.rec_states = jax.device_put(
+        ex.rec_states,
+        NamedSharding(mesh, _fit(P(None, None, MODEL, None, None),
+                                 ex.rec_states.shape, mesh, "rec_states")),
+    )
+    logger.info(
+        "sharded hybrid executor state over mesh %s", dict(mesh.shape)
+    )

@@ -121,3 +121,43 @@ def test_hybrid_kv_pools_cover_full_layers_only(hf_hybrid):
     engine = LLM(**BASE)
     assert engine.kv.L == 2  # 2 of 4 layers are full attention
     assert engine.executor.conv_states.shape[0] == 2  # 2 linear layers
+
+
+def test_hybrid_joint_prefix_cache():
+    """Joint KV + recurrent-state prefix blocks (reference
+    PrefixCacheCoordinator): a second request sharing a prefix must attach
+    cached blocks + restore conv/delta state, and generate exactly what an
+    uncached engine generates."""
+    import numpy as np
+
+    from sparsevllm_tpu import SamplingParams
+    from sparsevllm_tpu.engine.llm_engine import LLMEngine
+
+    kw = dict(
+        tiny_random=True, tiny_random_config=HYBRID_CFG,
+        dtype="float32", page_size=8, num_kv_pages=256, max_model_len=512,
+        chunk_prefill_size=64, max_num_batched_tokens=512,
+        max_decoding_seqs=4, max_num_seqs_in_batch=4,
+        decode_context_bucket_base=64, decode_steps_per_dispatch=2,
+    )
+    rng = np.random.default_rng(31)
+    prefix = rng.integers(3, 500, 128).tolist()  # 2 page-aligned chunks
+    p1 = prefix + rng.integers(3, 500, 30).tolist()
+    p2 = prefix + rng.integers(3, 500, 25).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+
+    cached = LLMEngine(enable_prefix_cache=True, **kw)
+    (o1,) = cached.generate(prompt_token_ids=[list(p1)],
+                            sampling_params=sp)
+    sid = cached.add_request(prompt_token_ids=list(p2), sampling_params=sp)
+    while cached.scheduler.has_work:
+        cached.step()
+    seq2 = cached._seqs[sid]
+    hits = cached.prefix_cache.stats()
+    assert hits.get("hit_tokens", 0) >= 128 or hits.get("hits", 0) >= 1, hits
+
+    plain = LLMEngine(**kw)
+    outs = plain.generate(prompt_token_ids=[list(p1), list(p2)],
+                          sampling_params=sp)
+    assert o1.output_token_ids == outs[0].output_token_ids
+    assert seq2.completion_token_ids == outs[1].output_token_ids
