@@ -12,12 +12,17 @@ accuracy a real capability measurement — the synthetic analogue of NIAH
 streamingllm must fail deep needles by construction, snapkv/omnikv/quest
 must keep them.
 
-Part B — **fidelity-to-dense** on a mid-size seeded random model: greedy
-token agreement and teacher-forced p99 |Δlogit| vs dense for each method
-x kv dtype. No semantic claim — it bounds mechanism error at scale.
+Methodology note: free-running token agreement on a RANDOM-weight model
+was evaluated and rejected as a metric — random logits have near-zero
+top-1 margins, so any sparsity (or even reduction-order change) flips the
+first token and the sequences diverge chaotically; the number measures
+nothing. The trained oracle is the meaningful instrument: its recall
+logits have real margins, dense accuracy saturates at 1.0, and method
+deltas are attributable. Mechanism-exactness at scale is covered by the
+kernel parity suites and the eager-vs-bucketed sweep instead.
 
     python -m benchmark.accuracy_ladder --out accuracy.json \
-        [--part a|b|all] [--ctx 1024] [--train-steps 1500]
+        [--ctx 512] [--train-steps 3000]
 
 Results land in ACCURACY.md at the repo root.
 """
@@ -358,73 +363,11 @@ def run_part_a(args, art):
     return results
 
 
-def run_part_b(args, art):
-    """Fidelity-to-dense on a mid-size seeded random model."""
-    from sparsevllm_tpu import SamplingParams
-    from sparsevllm_tpu.engine.llm_engine import LLMEngine
-    from sparsevllm_tpu.models.spec import ModelSpec
-    from sparsevllm_tpu.models.weights import init_params
-
-    spec = ModelSpec(
-        model_type="llama", num_layers=8, hidden_size=1024, num_q_heads=16,
-        num_kv_heads=8, head_dim=128, intermediate_size=2816,
-        vocab_size=32000, rms_norm_eps=1e-5, rope_theta=500000.0,
-        max_position_embeddings=16384, tie_word_embeddings=True,
-    )
-    params = init_params(spec, seed=7, dtype="float32",
-                         distribution="normal")
-    rng = np.random.default_rng(7)
-    ctx = args.ctx_b
-    prompts = [rng.integers(10, 30000, ctx).tolist() for _ in range(2)]
-
-    def run(kw, kv_dtype):
-        engine = LLMEngine(
-            spec=spec, params=params, dtype="float32",
-            kv_cache_dtype=kv_dtype, page_size=64,
-            num_kv_pages=len(prompts) * (ctx // 64 + 4) + 16,
-            max_model_len=ctx + 64, chunk_prefill_size=1024,
-            max_num_batched_tokens=4096,
-            max_decoding_seqs=2, max_num_seqs_in_batch=2,
-            decode_context_bucket_base=512,
-            decode_steps_per_dispatch=2, **kw,
-        )
-        outs = engine.generate(
-            prompt_token_ids=[list(p) for p in prompts],
-            sampling_params=SamplingParams(temperature=0.0, max_tokens=32,
-                                           ignore_eos=True),
-        )
-        engine.exit()
-        return [o.output_token_ids for o in outs]
-
-    dense = run({}, "auto")
-    results = {}
-    for name, kw in method_configs(ctx).items():
-        if name == "vanilla":
-            continue
-        if name == "deltakv":
-            continue  # needs a trained compressor; covered by part A
-        for kv_dtype in args.kv_dtypes.split(","):
-            toks = run(kw, kv_dtype)
-            agree = np.mean([
-                np.mean([a == b for a, b in zip(t, d)])
-                for t, d in zip(toks, dense)
-            ])
-            key = f"{name}/{kv_dtype}"
-            results[key] = float(agree)
-            art.add_parsed({"part": "B", "method": name,
-                            "kv_dtype": kv_dtype,
-                            "token_agreement_vs_dense": float(agree)})
-            print(f"  B {key}: token agreement {agree:.2f}",
-                  file=sys.stderr)
-    return results
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
-    ap.add_argument("--part", default="all", choices=("a", "b", "all"))
+    ap.add_argument("--part", default="a", choices=("a",))
     ap.add_argument("--ctx", type=int, default=512)
-    ap.add_argument("--ctx-b", type=int, default=4096)
     ap.add_argument("--train-len", type=int, default=512)
     ap.add_argument("--train-steps", type=int, default=1200)
     ap.add_argument("--samples", type=int, default=4)
@@ -440,10 +383,7 @@ def main() -> None:
     results = {}
     error = None
     try:
-        if args.part in ("a", "all"):
-            results["A"] = run_part_a(args, art)
-        if args.part in ("b", "all"):
-            results["B"] = run_part_b(args, art)
+        results["A"] = run_part_a(args, art)
     except Exception as e:  # noqa: BLE001
         error = repr(e)
         raise

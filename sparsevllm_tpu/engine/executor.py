@@ -369,12 +369,19 @@ class ModelExecutor:
     # ------------------------------------------------------------- step fns
 
     def _get_prefill_fn(self, bb: int, sb: int, mp: int, mode: str,
-                        nlp: int = -1):
-        key = ("prefill", bb, sb, mp, mode, nlp)
+                        nlp: int = -1, emit_obs: bool = True):
+        key = ("prefill", bb, sb, mp, mode, nlp, emit_obs)
         fn = self._fn_cache.get(key)
         if fn is not None:
             return fn
         spec, rt, rope = self.spec, self._rt, self.rope
+        if not emit_obs and rt.emit_prefill_scores:
+            # observation scores only matter on a sequence's FINAL chunk
+            # (SnapKV scores = last-W queries of the PROMPT); intermediate
+            # chunks skip the two-pass blockwise score sweep entirely
+            import dataclasses
+
+            rt = dataclasses.replace(rt, emit_prefill_scores=False)
 
         def step(params, kc, vc, meta, scales, tables, plan):
             page_table = tables[0][plan["row_ids"], :mp]
@@ -518,6 +525,7 @@ class ModelExecutor:
         dests: list[np.ndarray],  # per-seq layer-shared dest slots
         row_ids: np.ndarray,
         ctx_lens_tokens: np.ndarray,  # [B] resident tokens incl. this chunk
+        emit_obs: bool = True,
     ):
         """Returns (sampled_tokens [B] np, obs_scores device or None)."""
         b = len(seqs)
@@ -561,7 +569,7 @@ class ModelExecutor:
             host_plan["touched_pages"] = tp
         plan = self._put_plan(host_plan, "prefill")
         self._step_counter += 1
-        fn = self._get_prefill_fn(bb, sb, mp, mode, nlp)
+        fn = self._get_prefill_fn(bb, sb, mp, mode, nlp, emit_obs)
         with profiler.record("prefill_step"):
             (self.k_cache, self.v_cache, self.quest_meta, self.kv_scales,
              tokens, obs, lps) = fn(

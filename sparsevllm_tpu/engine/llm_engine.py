@@ -344,8 +344,12 @@ class LLMEngine:
         rows = self.kv.rows_of(seqs)
         ctx = self.kv.ctx_lens(seqs)[0]  # layer-shared during prefill
         self.executor.apply_table_updates(self.kv.drain_table_updates())
+        emit_obs = any(
+            s.num_prefilled_tokens + c >= s.num_prompt_tokens
+            for s, c in zip(seqs, chunks)
+        )
         tokens, obs = self.executor.run_prefill(
-            seqs, chunks, dests, rows, ctx
+            seqs, chunks, dests, rows, ctx, emit_obs=emit_obs
         )
 
         # prefill-end compaction (snapkv/pyramidkv)

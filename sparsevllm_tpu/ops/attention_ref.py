@@ -324,6 +324,9 @@ def prefill_obs_scores_blockwise(
     p = k_cache.shape[1]
     nkv = k_cache.shape[2]
     w = min(obs_window, s)
+    # MXU dtype: bf16 operands run at full rate (f32 operands are 4-8x
+    # slower); f32 inputs (CPU parity tests) keep exact f32 math
+    mm_dtype = q.dtype
 
     # last `w` valid queries of each sequence (+ validity for short prompts)
     wi = jnp.arange(w)[None, :]  # [1, W]
@@ -332,7 +335,7 @@ def prefill_obs_scores_blockwise(
     src_c = jnp.clip(src, 0, s - 1)
     q_obs = jnp.take_along_axis(
         q, src_c[:, :, None, None], axis=1
-    ).astype(jnp.float32)  # [B, W, Nq, Dh]
+    )  # [B, W, Nq, Dh]
     qpos = (ctx_lens - new_lens)[:, None] + src_c  # [B, W] absolute position
 
     mp = page_table.shape[1]
@@ -352,8 +355,8 @@ def prefill_obs_scores_blockwise(
         elif kv_scales is not None:
             keys = gather_dequant(k_cache, kv_scales[0], tb)
         else:
-            keys = gather_pages(k_cache, tb).astype(jnp.float32)
-        return keys  # [B, Nkv, bp*P, Dh] f32
+            keys = gather_pages(k_cache, tb)
+        return keys.astype(mm_dtype)  # [B, Nkv, bp*P, Dh]
 
     kb = block_pages * p
     kpos0 = jnp.arange(kb)[None, None, :]  # [1, 1, kb]
