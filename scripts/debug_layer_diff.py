@@ -43,7 +43,7 @@ for l in range(spec.num_layers):
     o = jnp.einsum("hqk,khd->qhd", p, vv).reshape(T, spec.q_dim)
     h = h + o @ lp["wo"]
     x2 = tfm.rms_norm(h, lp["post_attn_norm"], spec.rms_norm_eps)
-    h = h + tfm._mlp(x2, lp)
+    h = h + tfm._mlp(x2, lp, spec)
     print(f"layer {l} out diff", np.abs(np.asarray(h) - hs[l + 1]).max())
 hn = tfm.rms_norm(h, params["final_norm"], spec.rms_norm_eps)
 logits = np.asarray(tfm.compute_logits(params, hn, spec))

@@ -79,7 +79,7 @@ def collect_kv_residuals(
             o = o.reshape(1, s, spec.q_dim).astype(h.dtype)
             h2 = h + o @ lp["wo"]
             x2 = tfm.rms_norm(h2, lp["post_attn_norm"], spec.rms_norm_eps)
-            return h2 + tfm._mlp(x2, lp)
+            return h2 + tfm._mlp(x2, lp, spec)
 
         for li in range(spec.num_layers):
             h = body(h, li)

@@ -38,6 +38,20 @@ class HybridExecutor(ModelExecutor):
             )
         self.config = config
         self.spec = spec
+        self._fp8_shapes = None
+        if config.weight_quantization == "fp8":
+            from ..ops import fp8 as fp8_ops
+
+            params = dict(params)
+            qlayers, shapes = [], []
+            for lp in params["layers"]:
+                ql, sh = fp8_ops.quantize_param_tree(
+                    lp, fp8_ops.HYBRID_WEIGHT_NAMES
+                )
+                qlayers.append(ql)
+                shapes.append(sh)
+            params["layers"] = qlayers
+            self._fp8_shapes = tuple(shapes)
         self.params = params
         self.mesh = mesh
         self.num_pages = num_pages
@@ -119,7 +133,8 @@ class HybridExecutor(ModelExecutor):
             inner = dict(plan)
             inner["page_table"] = tables[0][rows, :mp]
             kc, vc, conv, rec, last_h = qn.prefill_forward(
-                params, kc, vc, conv, rec, inner, rope, spec=spec, impl=impl
+                params, kc, vc, conv, rec, inner, rope, spec=spec,
+                impl=impl, fp8_shapes=self._fp8_shapes,
             )
             logits = qn.compute_logits(params, last_h, spec)
             k = jax.random.fold_in(self._base_key, plan["step"])
@@ -158,6 +173,7 @@ class HybridExecutor(ModelExecutor):
                 kc, vc, conv, rec, h = qn.decode_forward(
                     params, kc, vc, conv, rec, tables, p, rope,
                     spec=spec, impl=impl, mp_bucket=mp,
+                    fp8_shapes=self._fp8_shapes,
                 )
                 logits = qn.compute_logits(params, h, spec)
                 tok2 = sampler_ops.sample(
@@ -201,7 +217,10 @@ class HybridExecutor(ModelExecutor):
     # ----------------------------------------------------------------- runs
 
     def run_prefill(self, seqs, chunk_sizes, dests, row_ids,
-                    ctx_lens_tokens):
+                    ctx_lens_tokens, emit_obs: bool = True):
+        # emit_obs accepted for engine-interface parity; hybrid models have
+        # no observation-score pass (sparse KV methods are KV-layer only).
+        del emit_obs
         b = len(seqs)
         s = max(chunk_sizes)
         max_ctx = int(ctx_lens_tokens.max())
