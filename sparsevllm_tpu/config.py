@@ -132,6 +132,11 @@ class Config:
     hbm_utilization: float = 0.9  # fraction of per-chip HBM usable
     hbm_bytes_per_chip: int | None = None  # None = query device
     kv_cache_dtype: str = "auto"  # auto | bfloat16 | int8 | int4 (KIVI)
+    # Weight storage: None = model dtype; "fp8" = block-scaled e4m3
+    # ((128,128) blocks + weight_scale_inv, the Qwen3.5 HF checkpoint
+    # format — reference quantization/fp8.py:58-129). Halves weight HBM
+    # residency/read traffic; matmuls still run bf16 on the MXU.
+    weight_quantization: str | None = None
 
     # --- parallel sizes (reference config.py:597-599) ---------------------
     tensor_parallel_size: int = 1
@@ -177,6 +182,13 @@ class Config:
     rkv_compression_interval: int = 128
     rkv_query_cache_size: int = 32
     rkv_redundancy_weight: float = 0.1
+    # pairwise-similarity redundancy (reference config.py:665-667):
+    # links below the threshold are ignored; each token's most recent
+    # `recent_similar_keep` similar future tokens are forgiven; the K x K
+    # similarity matmul is refused above `max_redundancy_tokens`.
+    rkv_similarity_threshold: float = 0.8
+    rkv_recent_similar_keep: int = 1
+    rkv_max_redundancy_tokens: int = 4096
     skipkv_delimiter_tokens: tuple[int, ...] = ()
     skipkv_steering_alpha: float = 0.0
     skipkv_steering_path: str | None = None  # .npy [L, H] or [H] vector
@@ -260,6 +272,11 @@ class Config:
             raise ValueError(f"unsupported dtype {self.dtype!r}")
         if self.kv_cache_dtype not in ("auto", "bfloat16", "float32", "int8", "int4"):
             raise ValueError(f"unsupported kv_cache_dtype {self.kv_cache_dtype!r}")
+        if self.weight_quantization not in (None, "fp8"):
+            raise ValueError(
+                f"unsupported weight_quantization "
+                f"{self.weight_quantization!r} (None or 'fp8')"
+            )
         if self.kv_cache_dtype in ("int8", "int4") and self.method == "quest":
             raise ValueError(
                 f"quest with {self.kv_cache_dtype} KV is unsupported: page "

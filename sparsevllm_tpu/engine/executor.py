@@ -65,6 +65,17 @@ class ModelExecutor:
     ):
         self.config = config
         self.spec = spec
+        if config.weight_quantization == "fp8":
+            from ..ops import fp8 as fp8_ops
+
+            params = dict(params)
+            params["layers"], _ = fp8_ops.quantize_param_tree(
+                params["layers"]
+            )
+            if "lm_head" in params:
+                w8, sinv = fp8_ops.quantize(params["lm_head"])
+                params["lm_head"] = w8
+                params["lm_head_sinv"] = sinv
         self.params = params
         self.mesh = mesh
         self.num_pages = num_pages
@@ -784,7 +795,18 @@ class ModelExecutor:
         p = self.config.page_size
         sink = self.config.num_sink_tokens
         w = self.config.rkv_redundancy_weight
+        sim_thr = self.config.rkv_similarity_threshold
+        sim_keep = self.config.rkv_recent_similar_keep
         kk = mp * p
+        if kk > self.config.rkv_max_redundancy_tokens:
+            raise RuntimeError(
+                "R-KV redundancy scoring is quadratic in candidate tokens. "
+                f"candidate_tokens={kk} exceeds "
+                f"rkv_max_redundancy_tokens="
+                f"{self.config.rkv_max_redundancy_tokens}. Reduce "
+                "decode_keep_tokens/rkv_compression_interval or raise the "
+                "explicit limit."
+            )
 
         def score(kc, kv_scales, qcache, tables, rows, ctx, n_q, sent_id):
             pos = jnp.arange(kk, dtype=jnp.int32)[None, :]
@@ -812,6 +834,8 @@ class ModelExecutor:
                 sc = rkv_ops.retention_scores(
                     ql, n_q, keys, ctx, sm_scale=sm_scale,
                     redundancy_weight=w,
+                    similarity_threshold=sim_thr,
+                    recent_similar_keep=sim_keep,
                 )
                 if ns > 0:
                     # sentence-mean pooling (SkipKV): whole generated
