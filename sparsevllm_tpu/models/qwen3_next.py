@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import attention as attn_ops
+from ..ops import fp8 as fp8_ops
 
 NEG_INF = -1e30
 
@@ -404,9 +405,12 @@ def prefill_forward(
     *,
     spec: HybridSpec,
     impl: str,
+    fp8_shapes: tuple | None = None,
 ):
     """One chunked-prefill step; linear-layer states resume from the row
-    tables so multi-chunk prompts recur correctly."""
+    tables so multi-chunk prompts recur correctly. ``fp8_shapes`` (one
+    {name: (I, O)} per layer) enables block-scaled fp8 weight storage
+    (ops/fp8.py — reference quantization/fp8.py:58-129)."""
     cos, sin = rope
     tokens = plan["token_ids"]
     positions = plan["positions"]
@@ -420,6 +424,8 @@ def prefill_forward(
 
     for li in range(spec.num_layers):
         lp = params["layers"][li]
+        if fp8_shapes is not None:
+            lp = fp8_ops.dequant_layer_dict(lp, fp8_shapes[li], h.dtype)
         res = h
         x = zc_rms_norm(h, lp["input_norm"], spec.rms_norm_eps)
         if spec.layer_types[li] == "full_attention":
@@ -474,6 +480,7 @@ def decode_forward(
     spec: HybridSpec,
     impl: str,
     mp_bucket: int,
+    fp8_shapes: tuple | None = None,
 ):
     cos, sin = rope
     tokens = plan["token_ids"]
@@ -485,6 +492,8 @@ def decode_forward(
 
     for li in range(spec.num_layers):
         lp = params["layers"][li]
+        if fp8_shapes is not None:
+            lp = fp8_ops.dequant_layer_dict(lp, fp8_shapes[li], h.dtype)
         res = h
         x = zc_rms_norm(h, lp["input_norm"], spec.rms_norm_eps)
         if spec.layer_types[li] == "full_attention":

@@ -34,6 +34,7 @@ from ..ops import quest as quest_ops
 from ..ops import rkv as rkv_ops
 from ..ops import deltakv as dk_ops
 from ..ops import attention_ref as ref_ops
+from ..ops import fp8 as fp8_ops
 from ..utils import compressor as comp_ops
 from .spec import ModelSpec
 
@@ -103,11 +104,18 @@ def _per_head_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return rms_norm(x, w, eps)
 
 
+def _w(lp, name, shape, dtype):
+    """Weight fetch; transparently dequantizes fp8 block-scaled storage
+    (ops/fp8.py — reference quantization/fp8.py:58-129)."""
+    return fp8_ops.maybe_dequant(lp, name, shape, dtype)
+
+
 def _qkv(x, lp, spec: ModelSpec):
     """x: [..., H] -> q [..., Nq, Dh], k/v [..., Nkv, Dh]."""
-    q = x @ lp["wq"]
-    k = x @ lp["wk"]
-    v = x @ lp["wv"]
+    h = spec.hidden_size
+    q = x @ _w(lp, "wq", (h, spec.q_dim), x.dtype)
+    k = x @ _w(lp, "wk", (h, spec.kv_dim), x.dtype)
+    v = x @ _w(lp, "wv", (h, spec.kv_dim), x.dtype)
     if spec.attn_bias:
         q = q + lp["bq"]
         k = k + lp["bk"]
@@ -121,10 +129,11 @@ def _qkv(x, lp, spec: ModelSpec):
     return q, k, v
 
 
-def _mlp(x, lp):
-    gate = x @ lp["w_gate"]
-    up = x @ lp["w_up"]
-    return (jax.nn.silu(gate) * up) @ lp["w_down"]
+def _mlp(x, lp, spec: ModelSpec):
+    h, f = spec.hidden_size, spec.intermediate_size
+    gate = x @ _w(lp, "w_gate", (h, f), x.dtype)
+    up = x @ _w(lp, "w_up", (h, f), x.dtype)
+    return (jax.nn.silu(gate) * up) @ _w(lp, "w_down", (f, h), x.dtype)
 
 
 def _moe(x, lp, spec: ModelSpec):
@@ -153,10 +162,17 @@ def _moe(x, lp, spec: ModelSpec):
         jnp.arange(xt.shape[0])[:, None], top_i
     ].set(top_w)
     # all experts on all tokens, weighted; E axis shards over 'model'
-    gate = jnp.einsum("th,ehi->tei", xt, lp["moe_w_gate"])
-    up = jnp.einsum("th,ehi->tei", xt, lp["moe_w_up"])
+    h_, f_ = spec.hidden_size, spec.moe_intermediate_size
+    gate = jnp.einsum(
+        "th,ehi->tei", xt, _w(lp, "moe_w_gate", (h_, f_), xt.dtype)
+    )
+    up = jnp.einsum(
+        "th,ehi->tei", xt, _w(lp, "moe_w_up", (h_, f_), xt.dtype)
+    )
     act = jax.nn.silu(gate) * up
-    out = jnp.einsum("tei,eih->teh", act, lp["moe_w_down"])
+    out = jnp.einsum(
+        "tei,eih->teh", act, _w(lp, "moe_w_down", (f_, h_), act.dtype)
+    )
     out = jnp.sum(out * w[..., None].astype(out.dtype), axis=1)  # [T, H]
     return out.reshape(*lead, h)
 
@@ -188,10 +204,17 @@ def _moe_sorted(x, lp, spec: ModelSpec):
     xs = xt[t_idx[order]]  # [T*K, H] sorted by expert
     group_sizes = jnp.bincount(e_idx, length=e).astype(jnp.int32)
 
-    gate = jax.lax.ragged_dot(xs, lp["moe_w_gate"], group_sizes)
-    up = jax.lax.ragged_dot(xs, lp["moe_w_up"], group_sizes)
+    h_, f_ = spec.hidden_size, spec.moe_intermediate_size
+    gate = jax.lax.ragged_dot(
+        xs, _w(lp, "moe_w_gate", (h_, f_), xs.dtype), group_sizes
+    )
+    up = jax.lax.ragged_dot(
+        xs, _w(lp, "moe_w_up", (h_, f_), xs.dtype), group_sizes
+    )
     act = jax.nn.silu(gate) * up
-    out = jax.lax.ragged_dot(act, lp["moe_w_down"], group_sizes)  # [T*K, H]
+    out = jax.lax.ragged_dot(
+        act, _w(lp, "moe_w_down", (f_, h_), act.dtype), group_sizes
+    )  # [T*K, H]
 
     w = top_w.reshape(-1)[order].astype(out.dtype)  # [T*K]
     combined = jnp.zeros((t, h), out.dtype).at[t_idx[order]].add(
@@ -202,7 +225,7 @@ def _moe_sorted(x, lp, spec: ModelSpec):
 
 def _ffn(x, lp, spec: ModelSpec, moe_dispatch: str = "dense"):
     if not spec.is_moe:
-        return _mlp(x, lp)
+        return _mlp(x, lp, spec)
     if moe_dispatch == "sorted":
         return _moe_sorted(x, lp, spec)
     return _moe(x, lp, spec)
@@ -334,7 +357,9 @@ def prefill_forward(
             kv_scales=scales,
             impl=rt.impl,
         )
-        attn_out = out.reshape(*x.shape[:-1], spec.q_dim) @ xs["wo"]
+        attn_out = out.reshape(*x.shape[:-1], spec.q_dim) @ _w(
+            xs, "wo", (spec.q_dim, spec.hidden_size), x.dtype
+        )
         h = h + attn_out
         x2 = rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
         h = h + _ffn(x2, xs, spec, rt.moe_dispatch)
@@ -661,7 +686,9 @@ def decode_forward(
             have_sel = have_sel | is_full
         else:
             out = attend(q, table_l, ctx)
-        attn_out = out.reshape(b, spec.q_dim) @ xs["wo"]
+        attn_out = out.reshape(b, spec.q_dim) @ _w(
+            xs, "wo", (spec.q_dim, spec.hidden_size), x.dtype
+        )
         h = h + attn_out
         x2 = rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
         h = h + _ffn(x2, xs, spec, rt.moe_dispatch)
@@ -691,5 +718,8 @@ def compute_logits(params, hidden: jax.Array, spec: ModelSpec) -> jax.Array:
     if spec.tie_word_embeddings:
         logits = hidden @ params["embed"].T.astype(hidden.dtype)
     else:
-        logits = hidden @ params["lm_head"]
+        logits = hidden @ _w(
+            params, "lm_head", (spec.hidden_size, spec.vocab_size),
+            hidden.dtype,
+        )
     return logits.astype(jnp.float32)

@@ -109,8 +109,27 @@ def params_from_tensors(spec: ModelSpec, get, dtype: str):
     return params
 
 
+def _is_fp8_checkpoint(model_path: str) -> bool:
+    """True for pre-quantized fp8 checkpoints (the Qwen3.5 ship format:
+    config.json quantization_config.quant_method == 'fp8', reference
+    config.py:326-388)."""
+    cfg_path = os.path.join(model_path, "config.json")
+    if not os.path.exists(cfg_path):
+        return False
+    with open(cfg_path) as f:
+        qc = json.load(f).get("quantization_config") or {}
+    return qc.get("quant_method") in ("fp8", "fbgemm_fp8")
+
+
 def load_hf_weights(spec: ModelSpec, model_path: str, dtype: str):
-    """Load from a local HF checkpoint directory (safetensors shards)."""
+    """Load from a local HF checkpoint directory (safetensors shards).
+
+    Pre-quantized fp8 checkpoints (float8_e4m3fn payload + per-(128,128)
+    block ``weight_scale_inv``) are dequantized tensor-by-tensor here; the
+    executor re-quantizes into the padded TPU fp8 layout when
+    ``weight_quantization='fp8'`` (which the engine forces for such
+    checkpoints), so fp8 storage survives end-to-end.
+    """
     from safetensors import safe_open
 
     files = sorted(glob.glob(os.path.join(model_path, "*.safetensors")))
@@ -118,11 +137,42 @@ def load_hf_weights(spec: ModelSpec, model_path: str, dtype: str):
         raise FileNotFoundError(
             f"no .safetensors shards under {model_path!r}"
         )
-    handles = [safe_open(f, framework="numpy") for f in files]
+    fp8_ckpt = _is_fp8_checkpoint(model_path)
+    # torch framework handles float8 dtypes natively; numpy has no fp8
+    handles = [
+        safe_open(f, framework="pt" if fp8_ckpt else "numpy") for f in files
+    ]
     index: dict[str, int] = {}
     for hi, h in enumerate(handles):
         for name in h.keys():
             index[name] = hi
+
+    if fp8_ckpt:
+        import torch
+
+        def get(name: str) -> np.ndarray:
+            if name not in index:
+                raise KeyError(
+                    f"tensor {name!r} not found in checkpoint shards"
+                )
+            t = handles[index[name]].get_tensor(name)
+            sname = name.replace(".weight", ".weight_scale_inv")
+            if t.dtype == torch.float8_e4m3fn and sname in index:
+                w = t.float()
+                sinv = handles[index[sname]].get_tensor(sname).float()
+                bo = -(-w.shape[0] // sinv.shape[0])
+                bi = -(-w.shape[1] // sinv.shape[1])
+                scale = sinv.repeat_interleave(bo, 0).repeat_interleave(
+                    bi, 1
+                )[: w.shape[0], : w.shape[1]]
+                return (w * scale).numpy()
+            return t.float().numpy()
+
+        logger.info(
+            "loading %d fp8-quantized shards from %s (dequant at load; "
+            "executor restores fp8 block storage)", len(files), model_path,
+        )
+        return params_from_tensors(spec, get, dtype)
 
     def get(name: str) -> np.ndarray:
         if name not in index:

@@ -60,6 +60,7 @@ _TOP_RULES: dict[str, P] = {
     "embed": P(),  # replicated (tied lm_head needs full vocab anyway)
     "final_norm": P(),
     "lm_head": P(None, MODEL),  # vocab-column sharded; logits gather by GSPMD
+    "lm_head_sinv": P(None, MODEL),  # fp8 block scales follow their payload
 }
 
 
@@ -106,10 +107,18 @@ def param_shardings(params, mesh: Mesh):
     out: dict = {}
     for k, v in params.items():
         if k == "layers":
+            # fp8 block-scale planes (`<name>_sinv`, ops/fp8.py) carry the
+            # same rank and axis meaning as their payload at 1/128 scale:
+            # shard them by the base weight's rule. _fit replicates them
+            # when the block count doesn't divide the mesh axis.
             out[k] = {
                 lk: NamedSharding(
-                    mesh, _fit(_LAYER_RULES.get(lk, P()), lv.shape, mesh,
-                               f"layers.{lk}")
+                    mesh, _fit(
+                        _LAYER_RULES.get(
+                            lk.removesuffix("_sinv") if lk.endswith("_sinv")
+                            else lk, P()
+                        ), lv.shape, mesh, f"layers.{lk}"
+                    )
                 )
                 for lk, lv in v.items()
             }
