@@ -59,20 +59,46 @@ def oracle_spec():
     )
 
 
-def build_recall_case(rng, seq_len: int, depth: float):
-    """One recall sequence: filler with an embedded (key -> value) pair;
-    query at the end. Returns (tokens [L], answer_start, answer)."""
-    n_fill = seq_len - 8
+def build_recall_case(rng, seq_len: int, depth: float, n_pairs: int = 8,
+                      n_queries: int = 1):
+    """Associative recall: ``n_pairs`` (key -> value) needles scattered
+    through filler; ``n_queries`` query blocks ``[Q key A val]`` at the
+    end. The FIRST queried pair is embedded at relative position
+    ``depth``. Multiple pairs defeat the majority-token shortcut a single
+    pair admits and force selection methods to find the RIGHT needle among
+    distractors; multiple queries (training only) give 8x retrieval
+    supervision per sample and a few-shot query pattern that accelerates
+    induction-circuit formation. Returns (tokens [L], ans_starts, vals):
+    position i in ``ans_starts`` is where query i's value token sits."""
+    n_fill = seq_len - 4 * n_pairs - 4 * n_queries
     toks = rng.integers(FILLER_LO, FILLER_HI, n_fill).tolist()
-    key = [int(rng.integers(PAIR_LO, PAIR_HI))]
-    val = [int(rng.integers(PAIR_LO, PAIR_HI))]
-    needle = [KEY_MARK] + key + [VAL_MARK] + val
-    pos = int(n_fill * depth)
-    toks = toks[:pos] + needle + toks[pos:]
-    query = [QUERY_MARK] + key + [ANS_MARK]
-    full = toks + query + val  # teacher-forced answer for training
-    ans_start = len(toks) + len(query)
-    return full, ans_start, val
+    keys = rng.choice(
+        np.arange(PAIR_LO, PAIR_HI), size=n_pairs, replace=False
+    )
+    vals = rng.integers(PAIR_LO, PAIR_HI, n_pairs)
+    # the first-queried pair sits at `depth`; distractors anywhere
+    positions = [int(n_fill * depth)] + [
+        int(p) for p in rng.integers(0, n_fill, n_pairs - 1)
+    ]
+    order = np.argsort(positions)[::-1]  # insert back-to-front
+    for j in order:
+        # needle shares the query's (key, ANS_MARK) bigram so retrieval is
+        # a textbook 2-gram induction match — [K key A val] in context vs
+        # [Q key A ?] at the query. (With a VAL_MARK needle the circuit
+        # needs an extra composition hop and trains 10x slower.)
+        needle = [KEY_MARK, int(keys[j]), ANS_MARK, int(vals[j])]
+        toks = toks[: positions[j]] + needle + toks[positions[j]:]
+    targets = [0] + list(
+        rng.choice(np.arange(n_pairs), size=n_queries - 1, replace=False)
+    ) if n_queries > 1 else [0]
+    full = list(toks)
+    ans_starts, out_vals = [], []
+    for t in targets[:n_queries]:
+        full += [QUERY_MARK, int(keys[t]), ANS_MARK]
+        ans_starts.append(len(full))
+        full.append(int(vals[t]))
+        out_vals.append([int(vals[t])])
+    return full, ans_starts, out_vals
 
 
 def _dense_forward(params, tokens, spec, cos, sin):
@@ -106,7 +132,7 @@ def _dense_forward(params, tokens, spec, cos, sin):
         o = o.reshape(b, s, spec.q_dim)
         h = h + o @ lp["wo"]
         x2 = tfm.rms_norm(h, lp["post_attn_norm"], spec.rms_norm_eps)
-        return h + tfm._mlp(x2, lp), None
+        return h + tfm._mlp(x2, lp, spec), None
 
     import jax.lax as lax
     h, _ = lax.scan(body, h, jnp.arange(spec.num_layers))
@@ -142,8 +168,8 @@ def train_oracle(spec, steps: int, seq_len: int, batch: int = 32,
         toks = np.zeros((bs, sl + 7), np.int32)
         w = np.zeros((bs, sl + 7), np.float32)
         for i in range(bs):
-            full, ans_start, _ = build_recall_case(
-                rng, sl, rng.uniform(0.05, 0.95)
+            full, ans_starts, _ = build_recall_case(
+                rng, sl, rng.uniform(0.05, 0.95), n_queries=8
             )
             toks[i, : len(full)] = full
             # the RECALL loss is the objective; filler tokens are random
@@ -152,8 +178,9 @@ def train_oracle(spec, steps: int, seq_len: int, batch: int = 32,
             # token is then generated at decode step 2, AFTER prefill-end
             # eviction/compaction — a 1-step answer would be sampled from
             # the full-context prefill logits and measure nothing.
-            w[i, ans_start - 1] = 0.25  # predict ANS_MARK from the key
-            w[i, ans_start] = 1.0  # predict the value from ANS_MARK
+            for a in ans_starts:
+                w[i, a - 1] = 0.25  # predict ANS_MARK from the key
+                w[i, a] = 1.0  # predict the value from ANS_MARK
         return jnp.asarray(toks), jnp.asarray(w)
 
     @jax.jit
@@ -302,7 +329,8 @@ def run_part_a(args, art):
     else:
         print(f"training recall oracle ({args.train_steps} steps, "
               f"L={args.train_len})...", file=sys.stderr)
-        params = train_oracle(spec, args.train_steps, args.train_len)
+        params = train_oracle(spec, args.train_steps, args.train_len,
+                              lr=args.lr)
         if cache:
             _save_params(cache, params)
     if args.train_only:
@@ -313,9 +341,9 @@ def run_part_a(args, art):
     cases = []
     for depth in (0.1, 0.5, 0.9):
         for _ in range(args.samples):
-            full, ans_start, val = build_recall_case(rng, args.ctx, depth)
+            full, ans_starts, vals = build_recall_case(rng, args.ctx, depth)
             # prompt ends at the KEY (ANS_MARK + value are generated)
-            cases.append((full[:ans_start - 1], depth, val))
+            cases.append((full[: ans_starts[0] - 1], depth, vals[0]))
 
     # deltakv gets a compressor trained on the oracle's own KV
     dk_ckpt = None
@@ -370,6 +398,7 @@ def main() -> None:
     ap.add_argument("--ctx", type=int, default=512)
     ap.add_argument("--train-len", type=int, default=512)
     ap.add_argument("--train-steps", type=int, default=1200)
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--samples", type=int, default=4)
     ap.add_argument("--kv-dtypes", default="bfloat16,int8,int4")
     ap.add_argument("--params-cache", default="",
