@@ -49,24 +49,25 @@ NEG_INF = -1e30
 def _decode_kernel(
     # scalar prefetch
     lidx_ref,  # [1] layer index
-    table_ref,  # [B, MP] page table
+    table_ref,  # [B, MPr*R] page table (padded to a multiple of R)
     ctx_ref,  # [B] context lengths
-    ppos_ref,  # [B, MP] logical page index of each table entry (identity
-    #            for dense tables; Quest compacted tables permute pages)
+    ppos_ref,  # [B, MPr*R] logical page index of each table entry (identity
+    #            for dense tables; Quest compacted tables permute pages;
+    #            padding entries hold a huge sentinel -> masked out)
     # blocks
     q_ref,  # [1, Nq, Dh]
-    k_ref,  # [1, 1, P, Nkv, Dh] (kv dtype or int8; token-major)
-    v_ref,  # [1, 1, P, Nkv, Dh]
-    ks_ref,  # [1, 1, 1, P, Nkv] f32 K scales (or None)
-    vs_ref,  # [1, 1, 1, P, Nkv] f32 V scales (or None)
-    kz_ref,  # [1, 1, 1, P, Nkv] f32 K zeros (int4 only, or None)
-    vz_ref,  # [1, 1, 1, P, Nkv] f32 V zeros (int4 only, or None)
-    mask_ref,  # [1, 1, 1, P*Nkv] int8 select mask, pre-expanded (or None)
+    k_refs,  # R x [1, 1, P, Nkv, Dh] (kv dtype or int8; token-major)
+    v_refs,  # R x [1, 1, P, Nkv, Dh]
+    ks_refs,  # R x [1, 1, 1, P, Nkv] f32 K scales (or None)
+    vs_refs,  # R x [1, 1, 1, P, Nkv] f32 V scales (or None)
+    kz_refs,  # R x [1, 1, 1, P, Nkv] f32 K zeros (int4 only, or None)
+    vz_refs,  # R x [1, 1, 1, P, Nkv] f32 V zeros (int4 only, or None)
+    mask_ref,  # [1, R, 1, P*Nkv] int8 select mask, pre-expanded (or None)
     out_ref,  # [1, Nq, Dh]
     mo_ref,  # [1, Nq, 128] f32 final running max (or None)
     lo_ref,  # [1, Nq, 128] f32 final sumexp (or None)
-    raw_ref,  # [1, 1, Nq, P] f32 per-page raw token expsums (or None)
-    mraw_ref,  # [1, 1, Nq, 128] f32 running max AT this page (or None)
+    raw_ref,  # [1, R, Nq, P] f32 per-page raw token expsums (or None)
+    mraw_ref,  # [1, R, Nq, 128] f32 running max AT this step (or None)
     # scratch
     acc_ref,  # [Nq, Dh] f32
     m_ref,  # [Nq, 128] f32 (running max, lane-replicated)
@@ -77,9 +78,14 @@ def _decode_kernel(
     groups: int,
     has_mask: bool,
 ):
+    """One grid step processes R pages: R concurrent page DMAs fold into a
+    single [Nq, R*P*Nkv] MXU matmul + ONE online-softmax update (R-fold
+    fewer VPU bookkeeping rounds and deeper DMA queues than page-at-a-time
+    — the difference between ~50% and ~80+% of HBM peak at bs=8)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     num_chunks = pl.num_programs(1)
+    r = len(k_refs)
 
     @pl.when(i == 0)
     def _init():
@@ -88,16 +94,19 @@ def _decode_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
 
     ctx = ctx_ref[b]
-    logical_page = ppos_ref[b, i]
+    pages = [ppos_ref[b, i * r + j] for j in range(r)]
+    first_pos = pages[0] * page_size
+    for lp in pages[1:]:
+        first_pos = jnp.minimum(first_pos, lp * page_size)
 
-    # skip pages entirely past the context
-    @pl.when(logical_page * page_size < ctx)
+    # skip steps whose every page starts past the context
+    @pl.when(first_pos < ctx)
     def _compute():
         # bf16 MXU operands (f32 accumulate via preferred_element_type);
         # f32 inputs (CPU parity tests) keep exact f32 math.
         mm_dtype = q_ref.dtype
         q = q_ref[0]  # [Nq, Dh]
-        nkv = k_ref.shape[3]
+        nkv = k_refs[0].shape[3]
 
         def _dequant_page(ref, sc_ref, zz_ref):
             """Whole-page fused dequant -> [P*Nkv, Dh] mm-dtype rows
@@ -124,23 +133,33 @@ def _decode_kernel(
                 )
             return x3.reshape(page_size * nkv, -1).astype(mm_dtype)
 
-        # ONE [Nq, P*Nkv] MXU matmul over the token-major page with a
+        # ONE [Nq, R*P*Nkv] MXU matmul over the R token-major pages with a
         # head-match mask (see module docstring) — wasted cross-head FLOPs
         # are free, decode is HBM-bound.
-        k = _dequant_page(k_ref, ks_ref, kz_ref)  # row = offset*Nkv + h
+        k = jnp.concatenate(
+            [_dequant_page(kr, ks, kz) for kr, ks, kz
+             in zip(k_refs, ks_refs, kz_refs)], axis=0
+        )  # [R*P*Nkv, Dh], row = (j*P + offset)*Nkv + h
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale  # [Nq, P*Nkv]
+        ) * sm_scale  # [Nq, R*P*Nkv]
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        off = col // nkv
-        pos = logical_page * page_size + off
+        off = (col % (page_size * nkv)) // nkv
+        # per-column token position: page j's logical page (scalar) + off
+        pos = off
+        for j, lp in enumerate(pages):
+            in_j = col // (page_size * nkv) == j
+            pos = jnp.where(in_j, lp * page_size + off, pos)
         valid = (row // groups == col % nkv) & (pos < ctx)
         if has_mask:
-            # mask pre-expanded to [1, P*Nkv] outside the kernel
+            # mask pre-expanded to [R, P*Nkv] outside the kernel
             # (repeat_interleave by Nkv: free in XLA, awkward here).
-            valid = valid & (mask_ref[0, 0].astype(jnp.int32) != 0)
+            mcols = jnp.concatenate(
+                [mask_ref[0, j] for j in range(r)], axis=1
+            )  # [1, R*P*Nkv]
+            valid = valid & (mcols.astype(jnp.int32) != 0)
         s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_ref[:, :1]  # [Nq, 1]
@@ -149,7 +168,10 @@ def _decode_kernel(
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
-        v = _dequant_page(v_ref, vs_ref, vz_ref)
+        v = jnp.concatenate(
+            [_dequant_page(vr, vs, vz) for vr, vs, vz
+             in zip(v_refs, vs_refs, vz_refs)], axis=0
+        )  # [R*P*Nkv, Dh]
         pv = jax.lax.dot_general(
             p.astype(mm_dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -160,29 +182,33 @@ def _decode_kernel(
         )
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         if raw_ref is not None:
-            # per-page raw token expsums under THIS page's running max;
-            # outside pass rescales by exp(m_page - m_final)/l_final and
-            # sums over q heads (score emission without a second K sweep).
-            # fold [Nq, P*Nkv] -> [Nq, P] with a 0/1 matmul (Mosaic cannot
-            # reshape lanes into sublanes).
+            # per-page raw token expsums under THIS STEP's running max
+            # (exact: the outside pass rescales by exp(m_step - m_final)
+            # / l_final and sums over q heads — score emission without a
+            # second K sweep). fold [Nq, P*Nkv] -> [Nq, P] with a 0/1
+            # matmul (Mosaic cannot reshape lanes into sublanes).
             er = jax.lax.broadcasted_iota(
                 jnp.int32, (page_size * nkv, page_size), 0)
             ec = jax.lax.broadcasted_iota(
                 jnp.int32, (page_size * nkv, page_size), 1)
             fold = (er // nkv == ec).astype(jnp.float32)
-            raw_ref[0, 0] = jax.lax.dot_general(
-                p, fold, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            mraw_ref[0, 0] = jnp.broadcast_to(m_new, mraw_ref.shape[2:])
+            for j in range(r):
+                pj = p[:, j * page_size * nkv:(j + 1) * page_size * nkv]
+                raw_ref[0, j] = jax.lax.dot_general(
+                    pj, fold, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                mraw_ref[0, j] = jnp.broadcast_to(
+                    m_new, mraw_ref.shape[2:]
+                )
 
-    @pl.when(logical_page * page_size >= ctx)
+    @pl.when(first_pos >= ctx)
     def _skip_scores():
-        # pages past the context emit nothing (the outside rescale treats
-        # NEG_INF page-max as zero contribution)
+        # steps entirely past the context emit nothing (the outside
+        # rescale treats NEG_INF page-max as zero contribution)
         if raw_ref is not None:
-            raw_ref[0, 0] = jnp.zeros_like(raw_ref[0, 0])
-            mraw_ref[0, 0] = jnp.full_like(mraw_ref[0, 0], NEG_INF)
+            raw_ref[0] = jnp.zeros_like(raw_ref[0])
+            mraw_ref[0] = jnp.full_like(mraw_ref[0], NEG_INF)
 
     @pl.when(i == num_chunks - 1)
     def _finish():
@@ -195,18 +221,22 @@ def _decode_kernel(
 
 
 def _make_kernel(has_mask: bool, quantized: bool, stats: bool,
-                 raw: bool, quant4: bool = False, **kw):
+                 raw: bool, quant4: bool = False, r: int = 1, **kw):
     """Bind the optional-ref layout: blocks arrive positionally in in_specs
-    order [q, k, v, (ks, vs[, kz, vz]), (mask)], then outputs
+    order [q, R x (k, v, (ks, vs[, kz, vz])), (mask)], then outputs
     [out, (m, l), (raw, mraw)], then 3 scratch refs."""
 
-    def kern(lidx_ref, table_ref, ctx_ref, ppos_ref, q_ref, k_ref, v_ref,
-             *rest):
+    def kern(lidx_ref, table_ref, ctx_ref, ppos_ref, q_ref, *rest):
         rest = list(rest)
-        ks_ref = rest.pop(0) if quantized else None
-        vs_ref = rest.pop(0) if quantized else None
-        kz_ref = rest.pop(0) if quant4 else None
-        vz_ref = rest.pop(0) if quant4 else None
+        k_refs, v_refs = [], []
+        ks_refs, vs_refs, kz_refs, vz_refs = [], [], [], []
+        for _ in range(r):
+            k_refs.append(rest.pop(0))
+            v_refs.append(rest.pop(0))
+            ks_refs.append(rest.pop(0) if quantized else None)
+            vs_refs.append(rest.pop(0) if quantized else None)
+            kz_refs.append(rest.pop(0) if quant4 else None)
+            vz_refs.append(rest.pop(0) if quant4 else None)
         mask_ref = rest.pop(0) if has_mask else None
         out_ref = rest.pop(0)
         mo_ref = rest.pop(0) if stats else None
@@ -215,8 +245,8 @@ def _make_kernel(has_mask: bool, quantized: bool, stats: bool,
         mraw_ref = rest.pop(0) if raw else None
         acc_ref, m_ref, l_ref = rest
         _decode_kernel(
-            lidx_ref, table_ref, ctx_ref, ppos_ref, q_ref, k_ref, v_ref,
-            ks_ref, vs_ref, kz_ref, vz_ref, mask_ref, out_ref, mo_ref,
+            lidx_ref, table_ref, ctx_ref, ppos_ref, q_ref, k_refs, v_refs,
+            ks_refs, vs_refs, kz_refs, vz_refs, mask_ref, out_ref, mo_ref,
             lo_ref, raw_ref, mraw_ref, acc_ref, m_ref, l_ref,
             has_mask=has_mask, **kw,
         )
@@ -245,41 +275,63 @@ def _decode_pallas_impl(
             jnp.arange(mp, dtype=jnp.int32)[None, :], (b, mp)
         )
 
-    def kv_imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
-        return (lidx_ref[0], table_ref[bb, i], 0, 0, 0)
+    # R pages per grid step (see _decode_kernel): R concurrent page DMAs
+    # per step keep the HBM queues deep; the page table is padded to a
+    # multiple of R with a sentinel logical page (-> pos >= ctx, masked).
+    r = 4 if mp >= 4 else 1
+    mp_r = -(-mp // r)
+    mp_pad = mp_r * r
+    if mp_pad != mp:
+        page_table = jnp.pad(page_table, ((0, 0), (0, mp_pad - mp)))
+        page_pos = jnp.pad(
+            page_pos, ((0, 0), (0, mp_pad - mp)),
+            constant_values=(1 << 30) // p,
+        )
+
+    def kv_imap_j(j):
+        def imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
+            return (lidx_ref[0], table_ref[bb, i * r + j], 0, 0, 0)
+        return imap
+
+    def plane_imap(plane, j):
+        # RAW [P, Nkv] scale blocks (full array dims — legal). No outside
+        # flat view: with scales in the megastep scan carry, XLA would
+        # re-materialize the [.., 1, P*Nkv] relayout per layer.
+        def imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
+            return (plane, lidx_ref[0], table_ref[bb, i * r + j], 0, 0)
+        return imap
 
     in_specs = [
         pl.BlockSpec((1, nq, dh), lambda bb, i, *_: (bb, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, p, nkv, cdh), kv_imap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, p, nkv, cdh), kv_imap, memory_space=pltpu.VMEM),
     ]
-    args = [q, k_cache, v_cache]
-    if quantized:
-        # RAW [P, Nkv] scale blocks (full array dims — legal). No outside
-        # flat view: with scales in the megastep scan carry, XLA would
-        # re-materialize the [.., 1, P*Nkv] relayout per layer.
-        def plane_imap(plane):
-            def imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
-                return (plane, lidx_ref[0], table_ref[bb, i], 0, 0)
-            return imap
-
-        planes = [0, 1, 2, 3] if quant4 else [0, 1]
+    args = [q]
+    planes = ([0, 1, 2, 3] if quant4 else [0, 1]) if quantized else []
+    for j in range(r):
+        in_specs.append(pl.BlockSpec((1, 1, p, nkv, cdh), kv_imap_j(j),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, 1, p, nkv, cdh), kv_imap_j(j),
+                                     memory_space=pltpu.VMEM))
+        args += [k_cache, v_cache]
         for plane in planes:
             in_specs.append(pl.BlockSpec((1, 1, 1, p, nkv),
-                                         plane_imap(plane),
+                                         plane_imap(plane, j),
                                          memory_space=pltpu.VMEM))
             args.append(kv_scales)
     if has_mask:
         # pre-expand the token mask to the P*Nkv key columns (token-major:
         # o*Nkv+h; repeat_interleave is free in XLA, awkward in Mosaic)
         in_specs.append(
-            pl.BlockSpec((1, 1, 1, p * nkv), lambda bb, i, *_: (bb, i, 0, 0),
+            pl.BlockSpec((1, r, 1, p * nkv), lambda bb, i, *_: (bb, i, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         mask_cols = jnp.repeat(
             select_mask.astype(jnp.int8).reshape(b, mp, 1, p), nkv, axis=3
         )
+        if mp_pad != mp:
+            mask_cols = jnp.pad(
+                mask_cols, ((0, 0), (0, mp_pad - mp), (0, 0), (0, 0))
+            )
         args.append(mask_cols)
 
     out_specs = pl.BlockSpec(
@@ -296,17 +348,18 @@ def _decode_pallas_impl(
         out_shape = [out_shape, stat_shape, stat_shape]
     if emit_raw:
         out_specs.append(pl.BlockSpec(
-            (1, 1, nq, p), lambda bb, i, *_: (bb, i, 0, 0),
+            (1, r, nq, p), lambda bb, i, *_: (bb, i, 0, 0),
             memory_space=pltpu.VMEM))
         out_specs.append(pl.BlockSpec(
-            (1, 1, nq, 128), lambda bb, i, *_: (bb, i, 0, 0),
+            (1, r, nq, 128), lambda bb, i, *_: (bb, i, 0, 0),
             memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((b, mp, nq, p), jnp.float32))
-        out_shape.append(jax.ShapeDtypeStruct((b, mp, nq, 128),
+        out_shape.append(jax.ShapeDtypeStruct((b, mp_pad, nq, p),
+                                              jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((b, mp_pad, nq, 128),
                                               jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(b, mp),
+        grid=(b, mp_r),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
@@ -316,7 +369,7 @@ def _decode_pallas_impl(
         ],
     )
     kernel = _make_kernel(
-        has_mask, quantized, return_stats, emit_raw, quant4=quant4,
+        has_mask, quantized, return_stats, emit_raw, quant4=quant4, r=r,
         sm_scale=sm_scale, page_size=p, groups=g,
     )
     res = pl.pallas_call(
@@ -332,6 +385,7 @@ def _decode_pallas_impl(
     )(lidx, page_table, ctx_lens, page_pos.astype(jnp.int32), *args)
     if emit_raw:
         out, m, l, raw, mraw = res
+        raw, mraw = raw[:, :mp], mraw[:, :mp]
         m1, l1 = m[:, :, 0], l[:, :, 0]  # [B, Nq]
         # late normalization: scores[b, t] = sum_r raw * exp(m_page - m_fin)
         # / l_fin, summed over q heads (exact softmax; skipped pages carry
