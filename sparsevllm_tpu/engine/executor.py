@@ -395,12 +395,12 @@ class ModelExecutor:
             rt = dataclasses.replace(rt, emit_prefill_scores=False)
 
         def step(params, kc, vc, meta, scales, tables, plan):
-            page_table = tables[0][plan["row_ids"], :mp]
-            inner = dict(plan)
-            inner["page_table"] = page_table
+            # per-layer tables + on-device dest derivation: layer page IDs
+            # diverge once deltakv splices / pyramidkv compacts free pages
+            # on a subset of layers (see prefill_forward docstring).
             kc, vc, last_h, obs, meta, scales = tfm.prefill_forward(
-                params, kc, vc, inner, rope, spec=spec, rt=rt,
-                quest_meta=meta, kv_scales=scales,
+                params, kc, vc, plan, rope, spec=spec, rt=rt,
+                quest_meta=meta, kv_scales=scales, tables=tables, mp=mp,
             )
             logits = tfm.compute_logits(params, last_h, spec)
             key = jax.random.fold_in(self._base_key, plan["step"])

@@ -131,6 +131,9 @@ class HybridExecutor(ModelExecutor):
                 mode="drop",
             )
             inner = dict(plan)
+            # hybrid KV layers never free pages per-layer (no deltakv/
+            # pyramid compaction here), so their free stacks stay in
+            # lockstep and the layer-0 table is valid for every KV layer.
             inner["page_table"] = tables[0][rows, :mp]
             kc, vc, conv, rec, last_h = qn.prefill_forward(
                 params, kc, vc, conv, rec, inner, rope, spec=spec,

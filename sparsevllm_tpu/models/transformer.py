@@ -315,18 +315,46 @@ def prefill_forward(
     rt: StepRuntime,
     quest_meta: jax.Array | None = None,
     kv_scales: jax.Array | None = None,  # [2, L, pages, P, Nkv] (kv_quant)
+    tables: jax.Array | None = None,  # [L, R, MPt] PER-LAYER page tables
+    mp: int = 0,  # table-page bucket (with ``tables``)
 ):
     """One chunked-prefill step. Returns (k_cache, v_cache, last_hidden [B,H],
-    obs_scores [L,B,K] or None, quest_meta or None, kv_scales or None)."""
+    obs_scores [L,B,K] or None, quest_meta or None, kv_scales or None).
+
+    With ``tables`` given, each layer stores/reads through ITS OWN table row
+    and the store slots are derived on-device (table_l[pos//P]*P + pos%P).
+    Per-layer page IDs diverge once any manager frees pages on a subset of
+    layers (deltakv splice, pyramidkv per-layer budgets); the old
+    layer-0-shared dest slots then scatter K/V into pages the manager never
+    assigned to that layer — measured as cross-sequence KV corruption on the
+    induction oracle (centers holding ANOTHER row's tokens). The fallback
+    path (plan["page_table"] + host dest_slot, layer-shared) remains for
+    callers whose layers stay in lockstep (hybrid executor, direct tests)."""
     cos, sin = rope
     tokens = plan["token_ids"]  # [B, S]
     positions = plan["positions"]
     h = params["embed"][tokens]  # [B, S, H]
     sm_scale = spec.head_dim ** -0.5
+    page_size = k_cache.shape[2]
 
     def body(carry, xs):
         h, kc, vc, meta, scales = carry
         li = xs["_layer_idx"]
+        if tables is not None:
+            table_l = jax.lax.dynamic_index_in_dim(
+                tables, li, 0, keepdims=False
+            )[plan["row_ids"], :mp]  # [B, MP]
+            pg = jnp.take_along_axis(
+                table_l, positions // page_size, axis=1
+            )  # [B, S]
+            dest = jnp.where(
+                plan["dest_slot"] >= 0,
+                pg * page_size + positions % page_size,
+                -1,
+            )
+        else:
+            table_l = plan["page_table"]
+            dest = plan["dest_slot"]
         x = rms_norm(h, xs["input_norm"], spec.rms_norm_eps)
         q, k, v = _qkv(x, xs, spec)
         q = apply_rope(q, positions, cos, sin)
@@ -334,23 +362,26 @@ def prefill_forward(
         if rt.kv_quant:
             if rt.kv_quant_bits == 4:
                 kc, vc, scales = quant_ops.store_kv_quant_layer_u4(
-                    kc, vc, scales, li, k, v, plan["dest_slot"]
+                    kc, vc, scales, li, k, v, dest
                 )
             else:
                 kc, vc, scales = quant_ops.store_kv_quant_layer(
-                    kc, vc, scales, li, k, v, plan["dest_slot"]
+                    kc, vc, scales, li, k, v, dest
                 )
         else:
             kc, vc = attn_ops.store_kv_layer(
-                kc, vc, li, k, v, plan["dest_slot"]
+                kc, vc, li, k, v, dest
             )
         if rt.quest:
+            # quest never frees per-layer (no compaction), so its stacks
+            # stay in lockstep and the layer-0 touched pages are valid for
+            # every layer.
             meta = quest_ops.update_page_meta(
                 meta, kc, li, plan["touched_pages"].reshape(-1)
             )
         out, obs = attn_ops.prefill_attention(
             q, kc, vc, li,
-            plan["page_table"], plan["ctx_lens"], plan["new_lens"],
+            table_l, plan["ctx_lens"], plan["new_lens"],
             sm_scale=sm_scale,
             obs_window=rt.obs_window if rt.emit_prefill_scores else 0,
             score_pooling=rt.score_pooling,
@@ -559,6 +590,10 @@ def decode_forward(
                 raw_k = raw_k.transpose(0, 2, 1, 3)  # [B,Kr,Nkv,Dh]
                 raw_v = raw_v.transpose(0, 2, 1, 3)
                 kr = raw_k.shape[1]
+                # NOTE: ctx here is the PER-LAYER resident length
+                # (alloc_decode returns row_lens-based ctx_start), i.e.
+                # for a spliced sparse row it already counts only raw
+                # tokens — do NOT subtract comp_counts again.
                 raw_valid = (
                     jnp.arange(kr, dtype=jnp.int32)[None, :] < ctx[:, None]
                 )

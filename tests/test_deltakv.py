@@ -158,6 +158,46 @@ def test_deltakv_lossless_equals_dense(tmp_path, hf_model):
     assert engine.kv.comp_counts == {}  # finished seqs cleaned up
 
 
+def test_deltakv_prefill_after_splice_page_reuse(tmp_path, hf_model):
+    """REGRESSION: per-layer page stacks diverge after a deltakv splice
+    (sparse layers free pages full layers keep). The prefill path used to
+    store EVERY layer at layer-0's slot ids, so a second sequence whose
+    sparse-layer pages were reused from the spliced set kept the FIRST
+    sequence's stale KV (measured: recall 0.08 vs 1.00 on the induction
+    oracle, centers holding another row's tokens). Force the interleave:
+    seq A compresses + splices first, then seq B's prefill must allocate
+    A's freed sparse-layer pages and still match HF."""
+    cfg, model = hf_model
+    engine = LLM(
+        sparse_method="deltakv",
+        full_attention_layers=(0,),
+        deltakv_checkpoint_path=_identity_ckpt(tmp_path),
+        deltakv_cluster_ratio=1.0,
+        deltakv_max_compressed_tokens=256,
+        decode_keep_tokens=256,
+        sink_keep_tokens=8, recent_keep_tokens=16,
+        **{**BASE, "num_kv_pages": 64},  # small pool -> reuse guaranteed
+    )
+    rng = np.random.default_rng(11)
+    prompt_a = rng.integers(3, cfg["vocab_size"], 120).tolist()
+    prompt_b = rng.integers(3, cfg["vocab_size"], 120).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=32, ignore_eos=True)
+    sid_a = engine.add_request(prompt_token_ids=prompt_a, sampling_params=sp)
+    # run until A has compressed (splice freed its sparse-layer pages)
+    for _ in range(200):
+        engine.step()
+        if engine.kv.comp_counts.get(sid_a, 0) > 0:
+            break
+    assert engine.kv.comp_counts.get(sid_a, 0) > 0
+    # B prefills now; its sparse-layer pages reuse A's freed ones
+    sid_b = engine.add_request(prompt_token_ids=prompt_b, sampling_params=sp)
+    b_seq = engine._seqs[sid_b]
+    while engine.scheduler.has_work:
+        engine.step()
+    # the victim is B: its sparse-layer KV must be its own
+    assert_hf_consistent(model, prompt_b, b_seq.completion_token_ids)
+
+
 def test_deltakv_compression_frees_pages(tmp_path, hf_model):
     cfg, _ = hf_model
     engine = LLM(
@@ -305,7 +345,12 @@ def test_deltakv_tail_recompression_lossless(tmp_path, hf_model):
     assert max_comp > comp_after_prefill, (
         "tail re-compression never triggered"
     )
-    assert seq.completion_token_ids == ref_out.output_token_ids
+    # Re-compression changes the raw/latent split, i.e. the SUMMATION
+    # ORDER of a mathematically identical attention set; on the random
+    # tiny model sub-0.01 logit gaps then flip argmax. Judge both runs
+    # against HF with the near-tie tolerance instead of each other.
+    assert_hf_consistent(model, prompt, ref_out.output_token_ids)
+    assert_hf_consistent(model, prompt, seq.completion_token_ids)
 
 
 def test_deltakv_kivi_pool_e2e(tmp_path, hf_model):
