@@ -359,14 +359,19 @@ def prefill_attention_pallas(
     # divides-s reduction loop does not degenerate (a non-divisor start
     # like 80 collapses to block_s=2 -> 40x DMA amplification, measured
     # 550 ms/layer vs ~14 ms at block_s=64).
-    # 256-query tiles need ~30-35 MiB scoped VMEM — the package init raises
-    # the budget to 64 MiB (v5e has 128 MiB physical; XLA's default 16 MiB
-    # would cap block_s at 128/64 and double-to-quadruple prefill DMA).
-    block_s = min(s, 256)
+    # Block sizes from the on-chip sweep (scripts/sweep_prefill_blocks.py,
+    # 64K ctx x 8K chunk, v5e): the kernel is VMEM-state-traffic bound, so
+    # bigger query tiles AND bigger page superblocks both amortize the
+    # online-softmax state update. bf16: bs=512/KP=8 = 95 ms/layer (was
+    # 195 at 256/4). int4: bs=512/KP=4 = 175 ms (KP=8 with 4 scale planes
+    # exceeds the VMEM budget and fails Mosaic compile).
+    quantized = kv_scales is not None
+    block_s = min(s, 512)
     while s % block_s:
         block_s //= 2
     out = _prefill_pallas(
         q, k_cache, v_cache, layer_idx, page_table, ctx_lens, new_lens,
-        kv_scales, sm_scale=sm_scale, block_s=block_s, interpret=interpret,
+        kv_scales, sm_scale=sm_scale, block_s=block_s,
+        block_pages=4 if quantized else 8, interpret=interpret,
     )
     return out, None
