@@ -43,7 +43,13 @@ from benchmark.artifacts import Artifact  # noqa: E402
 
 KEY_MARK, VAL_MARK, QUERY_MARK, ANS_MARK = 4, 5, 6, 7
 FILLER_LO, FILLER_HI = 10, 200
+# keys and values draw from DISJOINT ranges: a distractor pair whose value
+# equals the queried key would otherwise plant the bigram (key, x) in
+# context and create a perfect false induction match two positions later
+# (measured: dense recall 0.92 instead of 1.00 with a shared range).
 PAIR_LO, PAIR_HI = 200, 500
+KEY_LO, KEY_HI = 200, 350
+VAL_LO, VAL_HI = 350, 500
 
 
 def oracle_spec():
@@ -73,9 +79,9 @@ def build_recall_case(rng, seq_len: int, depth: float, n_pairs: int = 8,
     n_fill = seq_len - 4 * n_pairs - 4 * n_queries
     toks = rng.integers(FILLER_LO, FILLER_HI, n_fill).tolist()
     keys = rng.choice(
-        np.arange(PAIR_LO, PAIR_HI), size=n_pairs, replace=False
+        np.arange(KEY_LO, KEY_HI), size=n_pairs, replace=False
     )
-    vals = rng.integers(PAIR_LO, PAIR_HI, n_pairs)
+    vals = rng.integers(VAL_LO, VAL_HI, n_pairs)
     # the first-queried pair sits at `depth`; distractors anywhere
     positions = [int(n_fill * depth)] + [
         int(p) for p in rng.integers(0, n_fill, n_pairs - 1)
@@ -150,6 +156,7 @@ def train_oracle(spec, steps: int, seq_len: int, batch: int = 32,
     from sparsevllm_tpu.layers.rope import rope_table
     from sparsevllm_tpu.models.weights import init_params
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     params = init_params(spec, seed=seed, dtype="float32",
                          distribution="normal")
     cos, sin = rope_table(spec.head_dim, seq_len + 8, spec.rope_theta, None)
@@ -181,6 +188,11 @@ def train_oracle(spec, steps: int, seq_len: int, batch: int = 32,
             for a in ans_starts:
                 w[i, a - 1] = 0.25  # predict ANS_MARK from the key
                 w[i, a] = 1.0  # predict the value from ANS_MARK
+        # small full-LM auxiliary weight everywhere: the filler stream is
+        # irreducible, but LM-loss dynamics are what grow prev-token +
+        # induction heads (answer-only supervision learns "copy some
+        # in-context value" — loss ln(n_pairs) — and stalls there)
+        w += 0.05
         return jnp.asarray(toks), jnp.asarray(w)
 
     @jax.jit
@@ -193,9 +205,10 @@ def train_oracle(spec, steps: int, seq_len: int, batch: int = 32,
             loss = jnp.sum(nll * w[:, 1:]) / jnp.maximum(
                 jnp.sum(w[:, 1:]), 1.0
             )
+            vw = w[:, 1:] >= 1.0  # value slots only (the retrieval metric)
             hit = jnp.sum(
-                (jnp.argmax(logits, -1) == tgt) * (w[:, 1:] > 0)
-            ) / jnp.maximum(jnp.sum(w[:, 1:] > 0), 1)
+                (jnp.argmax(logits, -1) == tgt) * vw
+            ) / jnp.maximum(jnp.sum(vw), 1)
             return loss, hit
 
         (loss, acc), grads = jax.value_and_grad(
@@ -226,9 +239,15 @@ def method_configs(ctx: int):
         "snapkv": dict(sparse_method="snapkv", prefill_keep_tokens=keep,
                        snapkv_obs_window=32, sink_keep_tokens=32,
                        recent_keep_tokens=64),
+        # beta=2 keeps the decayed LAST-layer budget > the obs window on a
+        # 3-layer oracle; the reference default beta=20 assumes ~32-layer
+        # models and starves layer 2 to obs-window-only here, which fails
+        # recall outright (measured 0.00 — the oracle requires BOTH
+        # induction layers to retain the needle; see ACCURACY.md).
         "pyramidkv": dict(sparse_method="pyramidkv",
                           prefill_keep_tokens=keep, snapkv_obs_window=32,
-                          sink_keep_tokens=32, recent_keep_tokens=64),
+                          sink_keep_tokens=32, recent_keep_tokens=64,
+                          pyramidkv_beta=2),
         "omnikv": dict(sparse_method="omnikv", full_attn_layers=(0, 1),
                        decode_keep_tokens=keep, sink_keep_tokens=32,
                        recent_keep_tokens=64),
@@ -244,6 +263,7 @@ def method_configs(ctx: int):
                         decode_keep_tokens=keep, sink_keep_tokens=32,
                         recent_keep_tokens=64),
     }
+    base["deltakv_id"] = dict(base["deltakv"])  # 1x-latent machinery lane
     return base
 
 
@@ -321,18 +341,26 @@ def _load_params(path, spec):
 def run_part_a(args, art):
     import os
 
-    spec = oracle_spec()
-    cache = args.params_cache
-    if cache and os.path.exists(cache) and not args.retrain:
-        print(f"loading trained oracle from {cache}", file=sys.stderr)
-        params = _load_params(cache, spec)
+    if args.oracle == "constructed":
+        # exact-by-construction induction-head model: dense recall is 1.0
+        # with no SGD variance, so method deltas are fully attributable
+        from benchmark import induction_oracle
+
+        spec = induction_oracle.oracle_spec()
+        params = induction_oracle.build_params(0)
     else:
-        print(f"training recall oracle ({args.train_steps} steps, "
-              f"L={args.train_len})...", file=sys.stderr)
-        params = train_oracle(spec, args.train_steps, args.train_len,
-                              lr=args.lr)
-        if cache:
-            _save_params(cache, params)
+        spec = oracle_spec()
+        cache = args.params_cache
+        if cache and os.path.exists(cache) and not args.retrain:
+            print(f"loading trained oracle from {cache}", file=sys.stderr)
+            params = _load_params(cache, spec)
+        else:
+            print(f"training recall oracle ({args.train_steps} steps, "
+                  f"L={args.train_len})...", file=sys.stderr)
+            params = train_oracle(spec, args.train_steps, args.train_len,
+                                  lr=args.lr)
+            if cache:
+                _save_params(cache, params)
     if args.train_only:
         return {"trained": True}
 
@@ -345,8 +373,12 @@ def run_part_a(args, art):
             # prompt ends at the KEY (ANS_MARK + value are generated)
             cases.append((full[: ans_starts[0] - 1], depth, vals[0]))
 
-    # deltakv gets a compressor trained on the oracle's own KV
-    dk_ckpt = None
+    # deltakv gets compressors trained on the oracle's own KV. Two lanes:
+    # 4x compression (the deployed posture — a HARD stress here: the
+    # oracle's V rows are token one-hots, deliberately incompressible, see
+    # ACCURACY.md) and 1x "identity-capacity" (tests the cluster/latent/
+    # reconstruct MACHINERY with a compressor that can be near-lossless).
+    dk_ckpts: dict[str, str | None] = {"deltakv": None, "deltakv_id": None}
     try:
         from sparsevllm_tpu.deltakv import (
             collect_kv_residuals, train_compressors,
@@ -358,20 +390,26 @@ def run_part_a(args, art):
         ]
         sparse = [i for i in range(spec.num_layers) if i not in (0, 1)]
         res = collect_kv_residuals(params, spec, prompts, sparse, stride=4)
-        comp, losses = train_compressors(
-            res, 2 * spec.kv_dim // 4, "linear", steps=300, seed=0
-        )
-        dk_ckpt = "/tmp/acc_ladder_dk.npz"
-        comp_ops.save_checkpoint(dk_ckpt, comp, {"stride": 4})
-        print(f"  deltakv compressor: loss {losses[0]:.4f} -> "
-              f"{losses[-1]:.4f}", file=sys.stderr)
+        for name, latent, steps in (
+            ("deltakv", 2 * spec.kv_dim // 4, 300),
+            ("deltakv_id", 2 * spec.kv_dim, 600),
+        ):
+            comp, losses = train_compressors(
+                res, latent, "linear", steps=steps, seed=0
+            )
+            path = f"/tmp/acc_ladder_{name}.npz"
+            comp_ops.save_checkpoint(path, comp, {"stride": 4})
+            dk_ckpts[name] = path
+            print(f"  {name} compressor (latent {latent}): loss "
+                  f"{losses[0]:.4f} -> {losses[-1]:.4f}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"  deltakv compressor training failed: {e!r}",
               file=sys.stderr)
 
     results = {}
     for name, kw in method_configs(args.ctx).items():
-        if name == "deltakv" and dk_ckpt is None:
+        dk_ckpt = dk_ckpts.get(name) if name.startswith("deltakv") else None
+        if name.startswith("deltakv") and dk_ckpt is None:
             continue
         for kv_dtype in args.kv_dtypes.split(","):
             try:
@@ -398,7 +436,9 @@ def main() -> None:
     ap.add_argument("--ctx", type=int, default=512)
     ap.add_argument("--train-len", type=int, default=512)
     ap.add_argument("--train-steps", type=int, default=1200)
-    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--oracle", default="constructed",
+                    choices=("constructed", "trained"))
     ap.add_argument("--samples", type=int, default=4)
     ap.add_argument("--kv-dtypes", default="bfloat16,int8,int4")
     ap.add_argument("--params-cache", default="",
