@@ -32,8 +32,19 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
 import sys
 import time
+
+# Honor JAX_PLATFORMS=cpu: the deployment axon plugin registers itself
+# regardless of the env var (sitecustomize), so pin via jax.config too —
+# same mechanism as tests/conftest.py. The documented reproduce command
+# (ACCURACY.md) runs this grid on CPU; kernel exactness on real hardware
+# is covered separately by scripts/tpu_kernel_check.py.
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 

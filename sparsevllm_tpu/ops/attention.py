@@ -71,6 +71,7 @@ def prefill_attention(
     obs_window: int = 0,
     score_pooling: int = 0,
     kv_scales=None,  # [2, L, pages, P, Nkv] f32 (int8 cache) or None
+    k_ch_scales=None,  # [2, L, pages, P//G, Nkv, Dh] f32 (KIVI-2) or None
     impl: str = "ref",
 ):
     if impl == "pallas":
@@ -80,15 +81,17 @@ def prefill_attention(
             q, k_cache, v_cache, layer_idx, page_table, ctx_lens, new_lens,
             sm_scale=sm_scale, obs_window=obs_window,
             score_pooling=score_pooling, kv_scales=kv_scales,
+            k_ch_scales=k_ch_scales,
         )
     lsc = None if kv_scales is None else kv_scales[:, layer_idx]
+    lkc = None if k_ch_scales is None else k_ch_scales[:, layer_idx]
     return ref.prefill_attention_ref(
         q,
         _layer_slice(k_cache, layer_idx),
         _layer_slice(v_cache, layer_idx),
         page_table, ctx_lens, new_lens,
         sm_scale=sm_scale, obs_window=obs_window, score_pooling=score_pooling,
-        kv_scales=lsc,
+        kv_scales=lsc, k_ch_scales=lkc,
     )
 
 
@@ -105,6 +108,7 @@ def decode_attention(
     select_mask: jax.Array | None = None,
     page_pos: jax.Array | None = None,
     kv_scales=None,  # [2, L, pages, P, Nkv] f32 (int8 cache) or None
+    k_ch_scales=None,  # [2, L, pages, P//G, Nkv, Dh] f32 (KIVI-2) or None
     impl: str = "ref",
     return_stats: bool = False,
 ):
@@ -115,16 +119,18 @@ def decode_attention(
             q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
             sm_scale=sm_scale, emit_scores=emit_scores,
             select_mask=select_mask, page_pos=page_pos, kv_scales=kv_scales,
-            return_stats=return_stats,
+            k_ch_scales=k_ch_scales, return_stats=return_stats,
         )
     lsc = None if kv_scales is None else kv_scales[:, layer_idx]
+    lkc = None if k_ch_scales is None else k_ch_scales[:, layer_idx]
     return ref.decode_attention_ref(
         q,
         _layer_slice(k_cache, layer_idx),
         _layer_slice(v_cache, layer_idx),
         page_table, ctx_lens,
         sm_scale=sm_scale, emit_scores=emit_scores, select_mask=select_mask,
-        page_pos=page_pos, kv_scales=lsc, return_stats=return_stats,
+        page_pos=page_pos, kv_scales=lsc, k_ch_scales=lkc,
+        return_stats=return_stats,
     )
 
 
@@ -154,4 +160,45 @@ def merge_token_attention(
     e = jnp.exp(s_c - m_f)
     num = (a * l_h)[..., None] * out_h.astype(jnp.float32) + e[..., None] * vf
     den = a * l_h + e
+    return (num / den[..., None]).astype(out_h.dtype)
+
+
+def merge_tail_attention(
+    out_h, m_h, l_h,  # history attention (stats form) [B,Nq,Dh],[B,Nq],[B,Nq]
+    q,  # [B, Nq, Dh]
+    k_tail,  # [B, T, Nkv, Dh] raw tail keys (post-RoPE, tail slot order)
+    v_tail,  # [B, T, Nkv, Dh]
+    tail_len,  # [B] int32: tail slots < tail_len are valid
+    *,
+    sm_scale: float,
+):
+    """Exactly merge a raw KV tail into a stats-form attention result.
+
+    Generalizes merge_token_attention from one extra key to T of them —
+    the KIVI-2 decode path runs the kernel over the QUANTIZED full pages
+    only (ctx rounded down to a page boundary) and merges the raw bf16
+    tail page (the KIVI fp-residual window) plus the current token exactly:
+        m_f = max(m_h, max_j s_j); a = exp(m_h - m_f); p_j = exp(s_j - m_f)
+        out_f = (a*l_h*out_h + sum_j p_j v_j) / (a*l_h + sum_j p_j)
+    """
+    b, nq, dh = q.shape
+    t, nkv = k_tail.shape[1], k_tail.shape[2]
+    g = nq // nkv
+    qf = q.astype(jnp.float32).reshape(b, nkv, g, dh)
+    kf = k_tail.astype(jnp.float32)
+    vf = v_tail.astype(jnp.float32)
+    s = jnp.einsum("bkgd,btkd->bkgt", qf, kf) * sm_scale  # [B, Nkv, G, T]
+    valid = (jnp.arange(t)[None, :] < tail_len[:, None])[:, None, None, :]
+    s = jnp.where(valid, s, -1e30)
+    s = s.reshape(b, nq, t)
+    m_t = jnp.max(s, axis=-1)  # [B, Nq]
+    m_f = jnp.maximum(m_h, m_t)
+    a = jnp.exp(m_h - m_f)
+    p = jnp.exp(s - m_f[..., None]) * valid.reshape(b, 1, t)
+    pv = jnp.einsum(
+        "bkgt,btkd->bkgd", p.reshape(b, nkv, g, t), vf
+    ).reshape(b, nq, dh)
+    num = (a * l_h)[..., None] * out_h.astype(jnp.float32) + pv
+    den = a * l_h + jnp.sum(p, axis=-1)
+    den = jnp.where(den <= 0.0, 1.0, den)
     return (num / den[..., None]).astype(out_h.dtype)

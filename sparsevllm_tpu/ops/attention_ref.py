@@ -116,6 +116,63 @@ def gather_dequant_u4(
         jnp.float32)
 
 
+def gather_dequant_int2_k(
+    cache: jax.Array,  # [num_pages, P, Nkv, Dh//4] int8 quarter-packed
+    k_ch_scales: jax.Array,  # [2, num_pages, P//G, Nkv, Dh] f32 (scale, zero)
+    page_table: jax.Array,
+) -> jax.Array:
+    """Gather + dequantize a KIVI-2 KEY cache (per-CHANNEL token-group
+    scales; ops/quant.py quantize_page_k_int2): [B, Nkv, K, Dh] fp32."""
+    from . import quant as quant_ops
+
+    pk = cache[page_table]  # [B, MP, P, Nkv, Dh//4]
+    ngrp = k_ch_scales.shape[2]
+    group = cache.shape[1] // ngrp
+    ks = k_ch_scales[0][page_table]  # [B, MP, P//G, Nkv, Dh]
+    kz = k_ch_scales[1][page_table]
+    d = quant_ops.dequantize_page_k_int2(pk, ks, kz, group)
+    b, mp, p, nkv, dh = d.shape
+    return d.transpose(0, 3, 1, 2, 4).reshape(b, nkv, mp * p, dh)
+
+
+def gather_dequant_int2_v(
+    cache: jax.Array,  # [num_pages, P, Nkv, Dh//4] int8 quarter-packed
+    scales: jax.Array,  # [num_pages, P, Nkv] f32
+    zeros: jax.Array,
+    page_table: jax.Array,
+) -> jax.Array:
+    """Gather + dequantize a KIVI-2 VALUE cache (per-token scales):
+    [B, Nkv, K, Dh] fp32."""
+    from . import quant as quant_ops
+
+    pv = cache[page_table]
+    d = quant_ops.dequantize_page_v_int2(
+        pv, scales[page_table], zeros[page_table]
+    )
+    b, mp, p, nkv, dh = d.shape
+    return d.transpose(0, 3, 1, 2, 4).reshape(b, nkv, mp * p, dh)
+
+
+def _gather_kv(k_cache, v_cache, page_table, kv_scales, k_ch_scales):
+    """Shared gather + dequant dispatch: bf16 / int8 / int4 / int2."""
+    if k_ch_scales is not None:  # KIVI-2
+        keys = gather_dequant_int2_k(k_cache, k_ch_scales, page_table)
+        vals = gather_dequant_int2_v(v_cache, kv_scales[0], kv_scales[1],
+                                     page_table)
+    elif kv_scales is not None and kv_scales.shape[0] == 4:
+        keys = gather_dequant_u4(k_cache, kv_scales[0], kv_scales[2],
+                                 page_table)
+        vals = gather_dequant_u4(v_cache, kv_scales[1], kv_scales[3],
+                                 page_table)
+    elif kv_scales is not None:
+        keys = gather_dequant(k_cache, kv_scales[0], page_table)
+        vals = gather_dequant(v_cache, kv_scales[1], page_table)
+    else:
+        keys = gather_pages(k_cache, page_table)  # [B, Nkv, K, Dh]
+        vals = gather_pages(v_cache, page_table)
+    return keys, vals
+
+
 def _expand_gqa(x: jax.Array, num_q_heads: int) -> jax.Array:
     """[B, Nkv, S, Dh] -> [B, Nq, S, Dh] by repeating each kv head G times."""
     b, nkv, s, dh = x.shape
@@ -135,6 +192,7 @@ def prefill_attention_ref(
     obs_window: int = 0,
     score_pooling: int = 0,
     kv_scales: jax.Array | None = None,  # [2, pages, P, Nkv] int8 dequant
+    k_ch_scales: jax.Array | None = None,  # [2, pages, P//G, Nkv, Dh] KIVI-2
 ) -> tuple[jax.Array, jax.Array | None]:
     """Chunked-prefill causal attention over the paged cache.
 
@@ -147,17 +205,8 @@ def prefill_attention_ref(
     shaped [B, max_pages*P] in fp32.
     """
     b, s, nq, dh = q.shape
-    if kv_scales is not None and kv_scales.shape[0] == 4:
-        keys = gather_dequant_u4(k_cache, kv_scales[0], kv_scales[2],
-                                 page_table)
-        vals = gather_dequant_u4(v_cache, kv_scales[1], kv_scales[3],
-                                 page_table)
-    elif kv_scales is not None:
-        keys = gather_dequant(k_cache, kv_scales[0], page_table)
-        vals = gather_dequant(v_cache, kv_scales[1], page_table)
-    else:
-        keys = gather_pages(k_cache, page_table)  # [B, Nkv, K, Dh]
-        vals = gather_pages(v_cache, page_table)
+    keys, vals = _gather_kv(k_cache, v_cache, page_table, kv_scales,
+                            k_ch_scales)
     kk = keys.shape[2]
 
     keys = _expand_gqa(keys, nq)
@@ -216,6 +265,7 @@ def decode_attention_ref(
     select_mask: jax.Array | None = None,  # [B, max_pages*P] bool, extra mask
     page_pos: jax.Array | None = None,  # [B, max_pages] logical page index
     kv_scales: jax.Array | None = None,  # [2, pages, P, Nkv] int8 dequant
+    k_ch_scales: jax.Array | None = None,  # [2, pages, P//G, Nkv, Dh] KIVI-2
     return_stats: bool = False,
 ) -> tuple[jax.Array, jax.Array | None]:
     """Single-token decode attention over the paged cache.
@@ -233,17 +283,8 @@ def decode_attention_ref(
     """
     b, nq, dh = q.shape
     p = k_cache.shape[1]
-    if kv_scales is not None and kv_scales.shape[0] == 4:
-        keys = gather_dequant_u4(k_cache, kv_scales[0], kv_scales[2],
-                                 page_table)
-        vals = gather_dequant_u4(v_cache, kv_scales[1], kv_scales[3],
-                                 page_table)
-    elif kv_scales is not None:
-        keys = gather_dequant(k_cache, kv_scales[0], page_table)
-        vals = gather_dequant(v_cache, kv_scales[1], page_table)
-    else:
-        keys = gather_pages(k_cache, page_table)  # [B, Nkv, K, Dh]
-        vals = gather_pages(v_cache, page_table)
+    keys, vals = _gather_kv(k_cache, v_cache, page_table, kv_scales,
+                            k_ch_scales)
     kk = keys.shape[2]
     keys = _expand_gqa(keys, nq)
     vals = _expand_gqa(vals, nq)

@@ -58,10 +58,12 @@ def _decode_kernel(
     q_ref,  # [1, Nq, Dh]
     k_refs,  # R x [1, 1, P, Nkv, Dh] (kv dtype or int8; token-major)
     v_refs,  # R x [1, 1, P, Nkv, Dh]
-    ks_refs,  # R x [1, 1, 1, P, Nkv] f32 K scales (or None)
-    vs_refs,  # R x [1, 1, 1, P, Nkv] f32 V scales (or None)
+    ks_refs,  # R x [1, 1, 1, P, Nkv] f32 K scales (int2: V scales) (or None)
+    vs_refs,  # R x [1, 1, 1, P, Nkv] f32 V scales (int2: V zeros) (or None)
     kz_refs,  # R x [1, 1, 1, P, Nkv] f32 K zeros (int4 only, or None)
     vz_refs,  # R x [1, 1, 1, P, Nkv] f32 V zeros (int4 only, or None)
+    kch_s_refs,  # R x [1, 1, 1, P//G, Nkv, Dh] f32 KIVI-2 per-channel K
+    kch_z_refs,  # R x ... K channel zeros (int2 only, or None)
     mask_ref,  # [1, R, 1, P*Nkv] int8 select mask, pre-expanded (or None)
     out_ref,  # [1, Nq, Dh]
     mo_ref,  # [1, Nq, 128] f32 final running max (or None)
@@ -108,14 +110,39 @@ def _decode_kernel(
         q = q_ref[0]  # [Nq, Dh]
         nkv = k_refs[0].shape[3]
 
-        def _dequant_page(ref, sc_ref, zz_ref):
+        def _dequant_page(ref, sc_ref, zz_ref, ch_s_ref=None, ch_z_ref=None,
+                          v2=False):
             """Whole-page fused dequant -> [P*Nkv, Dh] mm-dtype rows
             (row = offset*Nkv + h). int8: minor-singleton scale broadcast
             (Mosaic supports this; it rejects both flat-fold reshapes —
             and with scales in the megastep scan carry an OUTSIDE flat
             view re-materialized a relayout per layer, ~57 ms/step).
             int4: split-half nibble unpack + scale/zero, halves
-            concatenated along lanes (ops/quant.py quantize_rows_u4)."""
+            concatenated along lanes (ops/quant.py quantize_rows_u4).
+            int2 (KIVI-2): quarter unpack along lanes; K applies
+            per-CHANNEL token-group scales ([P//G, Nkv, Dh] blocks), V
+            per-token scales (sc_ref/zz_ref planes reused as vs/vz)."""
+            if ch_s_ref is not None:  # KIVI-2 KEY page [P, Nkv, Dh/4]
+                pk = ref[0, 0].astype(jnp.int32)
+                qk = jnp.concatenate(
+                    [((pk >> (2 * j)) & 3).astype(jnp.float32)
+                     for j in range(4)], axis=-1)  # [P, Nkv, Dh]
+                sc = ch_s_ref[0, 0, 0]  # [P//G, Nkv, Dh]
+                zz = ch_z_ref[0, 0, 0]
+                ngrp = sc.shape[0]
+                dh_full = qk.shape[-1]
+                qg = qk.reshape(ngrp, page_size // ngrp, nkv, dh_full)
+                d = qg * sc[:, None] + zz[:, None]
+                return d.reshape(page_size * nkv, dh_full).astype(mm_dtype)
+            if v2:  # KIVI-2 VALUE page (per-token scales, quarter-packed)
+                pv = ref[0, 0].astype(jnp.int32)
+                qv = jnp.concatenate(
+                    [((pv >> (2 * j)) & 3).astype(jnp.float32)
+                     for j in range(4)], axis=-1)  # [P, Nkv, Dh]
+                sc = sc_ref[0, 0, 0][:, :, None]  # vs plane
+                zz = zz_ref[0, 0, 0][:, :, None]  # vz plane
+                d = qv * sc + zz
+                return d.reshape(page_size * nkv, -1).astype(mm_dtype)
             if zz_ref is not None:  # int4 packed [P, Nkv, Dh/2]
                 pk = ref[0, 0].astype(jnp.int32)
                 sc = sc_ref[0, 0, 0][:, :, None]
@@ -136,9 +163,15 @@ def _decode_kernel(
         # ONE [Nq, R*P*Nkv] MXU matmul over the R token-major pages with a
         # head-match mask (see module docstring) — wasted cross-head FLOPs
         # are free, decode is HBM-bound.
+        # KIVI-2 convention: ks_refs/vs_refs carry the V (scale, zero)
+        # planes; K channel params ride in kch_s/kch_z_refs.
+        quant2 = kch_s_refs[0] is not None
         k = jnp.concatenate(
-            [_dequant_page(kr, ks, kz) for kr, ks, kz
-             in zip(k_refs, ks_refs, kz_refs)], axis=0
+            [_dequant_page(kr, None, None, chs, chz)
+             if quant2 else _dequant_page(kr, ks, kz)
+             for kr, ks, kz, chs, chz
+             in zip(k_refs, ks_refs, kz_refs, kch_s_refs, kch_z_refs)],
+            axis=0,
         )  # [R*P*Nkv, Dh], row = (j*P + offset)*Nkv + h
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -169,6 +202,9 @@ def _decode_kernel(
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
         v = jnp.concatenate(
+            [_dequant_page(vr, ks, vs, v2=True)
+             for vr, ks, vs in zip(v_refs, ks_refs, vs_refs)]
+            if quant2 else
             [_dequant_page(vr, vs, vz) for vr, vs, vz
              in zip(v_refs, vs_refs, vz_refs)], axis=0
         )  # [R*P*Nkv, Dh]
@@ -221,15 +257,18 @@ def _decode_kernel(
 
 
 def _make_kernel(has_mask: bool, quantized: bool, stats: bool,
-                 raw: bool, quant4: bool = False, r: int = 1, **kw):
+                 raw: bool, quant4: bool = False, quant2: bool = False,
+                 r: int = 1, **kw):
     """Bind the optional-ref layout: blocks arrive positionally in in_specs
-    order [q, R x (k, v, (ks, vs[, kz, vz])), (mask)], then outputs
-    [out, (m, l), (raw, mraw)], then 3 scratch refs."""
+    order [q, R x (k, v, (ks, vs[, kz, vz][, kch_s, kch_z])), (mask)], then
+    outputs [out, (m, l), (raw, mraw)], then 3 scratch refs. In KIVI-2 mode
+    (quant2) the (ks, vs) slots carry the V (scale, zero) planes."""
 
     def kern(lidx_ref, table_ref, ctx_ref, ppos_ref, q_ref, *rest):
         rest = list(rest)
         k_refs, v_refs = [], []
         ks_refs, vs_refs, kz_refs, vz_refs = [], [], [], []
+        kch_s_refs, kch_z_refs = [], []
         for _ in range(r):
             k_refs.append(rest.pop(0))
             v_refs.append(rest.pop(0))
@@ -237,6 +276,8 @@ def _make_kernel(has_mask: bool, quantized: bool, stats: bool,
             vs_refs.append(rest.pop(0) if quantized else None)
             kz_refs.append(rest.pop(0) if quant4 else None)
             vz_refs.append(rest.pop(0) if quant4 else None)
+            kch_s_refs.append(rest.pop(0) if quant2 else None)
+            kch_z_refs.append(rest.pop(0) if quant2 else None)
         mask_ref = rest.pop(0) if has_mask else None
         out_ref = rest.pop(0)
         mo_ref = rest.pop(0) if stats else None
@@ -246,9 +287,9 @@ def _make_kernel(has_mask: bool, quantized: bool, stats: bool,
         acc_ref, m_ref, l_ref = rest
         _decode_kernel(
             lidx_ref, table_ref, ctx_ref, ppos_ref, q_ref, k_refs, v_refs,
-            ks_refs, vs_refs, kz_refs, vz_refs, mask_ref, out_ref, mo_ref,
-            lo_ref, raw_ref, mraw_ref, acc_ref, m_ref, l_ref,
-            has_mask=has_mask, **kw,
+            ks_refs, vs_refs, kz_refs, vz_refs, kch_s_refs, kch_z_refs,
+            mask_ref, out_ref, mo_ref, lo_ref, raw_ref, mraw_ref, acc_ref,
+            m_ref, l_ref, has_mask=has_mask, **kw,
         )
 
     return kern
@@ -256,18 +297,19 @@ def _make_kernel(has_mask: bool, quantized: bool, stats: bool,
 
 def _decode_pallas_impl(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
-    page_pos=None, kv_scales=None, *, sm_scale, interpret=False,
-    return_stats=False, emit_raw=False,
+    page_pos=None, kv_scales=None, k_ch_scales=None, *, sm_scale,
+    interpret=False, return_stats=False, emit_raw=False,
 ):
     if emit_raw:
         return_stats = True
     b, nq, dh = q.shape
-    l, pages, p, nkv, cdh = k_cache.shape  # cdh = Dh (int8/bf16) or Dh/2
+    l, pages, p, nkv, cdh = k_cache.shape  # cdh = Dh | Dh/2 (i4) | Dh/4 (i2)
     mp = page_table.shape[1]
     g = nq // nkv
     has_mask = select_mask is not None
     quantized = kv_scales is not None
-    quant4 = quantized and kv_scales.shape[0] == 4
+    quant2 = k_ch_scales is not None
+    quant4 = quantized and not quant2 and kv_scales.shape[0] == 4
 
     lidx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
     if page_pos is None:
@@ -307,6 +349,15 @@ def _decode_pallas_impl(
     ]
     args = [q]
     planes = ([0, 1, 2, 3] if quant4 else [0, 1]) if quantized else []
+    if quant2:
+        ngrp = k_ch_scales.shape[3]
+
+        def ch_plane_imap(plane, j):
+            def imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
+                return (plane, lidx_ref[0], table_ref[bb, i * r + j],
+                        0, 0, 0)
+            return imap
+
     for j in range(r):
         in_specs.append(pl.BlockSpec((1, 1, p, nkv, cdh), kv_imap_j(j),
                                      memory_space=pltpu.VMEM))
@@ -318,6 +369,12 @@ def _decode_pallas_impl(
                                          plane_imap(plane, j),
                                          memory_space=pltpu.VMEM))
             args.append(kv_scales)
+        if quant2:
+            for plane in (0, 1):
+                in_specs.append(pl.BlockSpec((1, 1, 1, ngrp, nkv, dh),
+                                             ch_plane_imap(plane, j),
+                                             memory_space=pltpu.VMEM))
+                args.append(k_ch_scales)
     if has_mask:
         # pre-expand the token mask to the P*Nkv key columns (token-major:
         # o*Nkv+h; repeat_interleave is free in XLA, awkward in Mosaic)
@@ -369,8 +426,8 @@ def _decode_pallas_impl(
         ],
     )
     kernel = _make_kernel(
-        has_mask, quantized, return_stats, emit_raw, quant4=quant4, r=r,
-        sm_scale=sm_scale, page_size=p, groups=g,
+        has_mask, quantized, return_stats, emit_raw, quant4=quant4,
+        quant2=quant2, r=r, sm_scale=sm_scale, page_size=p, groups=g,
     )
     res = pl.pallas_call(
         kernel,
@@ -408,13 +465,13 @@ def _decode_pallas_impl(
 )
 def _decode_pallas_nomask(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, page_pos=None,
-    kv_scales=None, *, sm_scale, interpret=False, return_stats=False,
-    emit_raw=False,
+    kv_scales=None, k_ch_scales=None, *, sm_scale, interpret=False,
+    return_stats=False, emit_raw=False,
 ):
     return _decode_pallas_impl(
         q, k_cache, v_cache, layer_idx, page_table, ctx_lens, None,
-        page_pos, kv_scales, sm_scale=sm_scale, interpret=interpret,
-        return_stats=return_stats, emit_raw=emit_raw,
+        page_pos, kv_scales, k_ch_scales, sm_scale=sm_scale,
+        interpret=interpret, return_stats=return_stats, emit_raw=emit_raw,
     )
 
 
@@ -423,20 +480,20 @@ def _decode_pallas_nomask(
 )
 def _decode_pallas_mask(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
-    page_pos=None, kv_scales=None, *, sm_scale, interpret=False,
-    return_stats=False,
+    page_pos=None, kv_scales=None, k_ch_scales=None, *, sm_scale,
+    interpret=False, return_stats=False,
 ):
     return _decode_pallas_impl(
         q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
-        page_pos, kv_scales, sm_scale=sm_scale, interpret=interpret,
-        return_stats=return_stats,
+        page_pos, kv_scales, k_ch_scales, sm_scale=sm_scale,
+        interpret=interpret, return_stats=return_stats,
     )
 
 
 def decode_attention_pallas(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
     *, sm_scale, emit_scores=False, select_mask=None, page_pos=None,
-    kv_scales=None, interpret=None, return_stats=False,
+    kv_scales=None, k_ch_scales=None, interpret=None, return_stats=False,
 ):
     """Dispatcher-facing API (matches ops.attention.decode_attention).
 
@@ -450,6 +507,12 @@ def decode_attention_pallas(
         interpret = jax.default_backend() != "tpu"
     if emit_scores:
         assert not return_stats
+        if k_ch_scales is not None:
+            raise NotImplementedError(
+                "KIVI-2 caches do not serve observation layers "
+                "(int2 is scoped to vanilla/streamingllm/omnikv "
+                "non-obs reads)"
+            )
         if kv_scales is None and select_mask is None and page_pos is None:
             # single-sweep score emission: per-page raw expsums + late
             # normalization (obs layers; replaces the ref-path gather)
@@ -477,13 +540,14 @@ def decode_attention_pallas(
         # permuted table + mask + logical page positions together
         res = _decode_pallas_mask(
             q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
-            select_mask, page_pos, kv_scales, sm_scale=sm_scale,
-            interpret=interpret, return_stats=return_stats,
+            select_mask, page_pos, kv_scales, k_ch_scales,
+            sm_scale=sm_scale, interpret=interpret,
+            return_stats=return_stats,
         )
     else:
         res = _decode_pallas_nomask(
             q, k_cache, v_cache, layer_idx, page_table, ctx_lens, page_pos,
-            kv_scales, sm_scale=sm_scale, interpret=interpret,
+            kv_scales, k_ch_scales, sm_scale=sm_scale, interpret=interpret,
             return_stats=return_stats,
         )
     if return_stats:

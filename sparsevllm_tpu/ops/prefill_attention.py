@@ -50,10 +50,12 @@ def _prefill_kernel(
     q_ref,  # [1, Nkv, BS, G, Dh]
     k_refs,  # KP x [1, 1, P, Nkv, Dh] (kv dtype or int8; token-major pages)
     v_refs,
-    ks_refs,  # KP x [1, 1, 1, P, Nkv] f32 K scales (int8/int4) or None
-    vs_refs,
+    ks_refs,  # KP x [1, 1, 1, P, Nkv] f32 K scales (int2: V scales) or None
+    vs_refs,  # KP x ... V scales (int2: V zeros) or None
     kz_refs,  # KP x ... K zeros (int4 only) or None
     vz_refs,
+    kch_s_refs,  # KP x [1, 1, 1, P//Gq, Nkv, Dh] KIVI-2 K channel scales
+    kch_z_refs,  # KP x ... KIVI-2 K channel zeros (int2 only) or None
     out_ref,  # [1, Nkv, BS, G, Dh]
     # scratch (rows stacked head-major: row = h*BS*G + qi*G + gi)
     acc_ref,  # [Nkv*BS*G, Dh] f32
@@ -106,8 +108,28 @@ def _prefill_kernel(
 
     mm_dtype = q_ref.dtype
 
-    def _head_slice(ref, sc_ref, zz_ref, hh):
+    def _head_slice(ref, sc_ref, zz_ref, hh, ch_s_ref=None, ch_z_ref=None,
+                    v2=False):
         """One page's dequantized [P, Dh] tile for head hh (static index)."""
+        if ch_s_ref is not None:  # KIVI-2 KEY page [P, Nkv, Dh/4]
+            pk = ref[0, 0, :, hh, :].astype(jnp.int32)
+            qk = jnp.concatenate(
+                [((pk >> (2 * j)) & 3).astype(jnp.float32)
+                 for j in range(4)], axis=-1)  # [P, Dh]
+            sc = ch_s_ref[0, 0, 0, :, hh, :]  # [P//Gq, Dh]
+            zz = ch_z_ref[0, 0, 0, :, hh, :]
+            ngrp, dh_full = sc.shape
+            qg = qk.reshape(ngrp, page_size // ngrp, dh_full)
+            d = qg * sc[:, None] + zz[:, None]
+            return d.reshape(page_size, dh_full).astype(mm_dtype)
+        if v2:  # KIVI-2 VALUE page (per-token scales, quarter-packed)
+            pv = ref[0, 0, :, hh, :].astype(jnp.int32)
+            qv = jnp.concatenate(
+                [((pv >> (2 * j)) & 3).astype(jnp.float32)
+                 for j in range(4)], axis=-1)  # [P, Dh]
+            sc = sc_ref[0, 0, 0, :, hh : hh + 1]  # vs plane [P, 1]
+            zz = zz_ref[0, 0, 0, :, hh : hh + 1]  # vz plane
+            return (qv * sc + zz).astype(mm_dtype)
         if zz_ref is not None:  # int4 split-half packed [P, Dh/2]
             pk = ref[0, 0, :, hh, :].astype(jnp.int32)
             sc = sc_ref[0, 0, 0, :, hh : hh + 1]  # [P, 1]
@@ -122,11 +144,14 @@ def _prefill_kernel(
             )
         return x.astype(mm_dtype)
 
-    def _cat(refs, sc_refs, zz_refs, hh):
+    def _cat(refs, sc_refs, zz_refs, hh, ch_s_refs=None, ch_z_refs=None,
+             v2=False):
         """KP pages' [P, Dh] tiles stacked -> [KP*P, Dh] (sublane concat)."""
         tiles = [
             _head_slice(refs[j], None if sc_refs is None else sc_refs[j],
-                        None if zz_refs is None else zz_refs[j], hh)
+                        None if zz_refs is None else zz_refs[j], hh,
+                        None if ch_s_refs is None else ch_s_refs[j],
+                        None if ch_z_refs is None else ch_z_refs[j], v2)
             for j in range(kp)
         ]
         return tiles[0] if kp == 1 else jnp.concatenate(tiles, axis=0)
@@ -134,10 +159,14 @@ def _prefill_kernel(
     def _compute(masked: bool):
         # scores per head, stacked along rows (static head loop; each slice
         # is a static index — no dynamic sublane slicing)
+        quant2 = kch_s_refs is not None
         sts = []
         for hh in range(nkv):
             q_h = q_ref[0, hh].reshape(rows_h, -1)
-            k_h = _cat(k_refs, ks_refs, kz_refs, hh)  # [KP*P, Dh]
+            if quant2:
+                k_h = _cat(k_refs, None, None, hh, kch_s_refs, kch_z_refs)
+            else:
+                k_h = _cat(k_refs, ks_refs, kz_refs, hh)  # [KP*P, Dh]
             sts.append(jax.lax.dot_general(
                 q_h, k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -165,7 +194,11 @@ def _prefill_kernel(
         pvs = []
         p_mm = p.astype(mm_dtype)  # bf16 probs: standard flash practice
         for hh in range(nkv):
-            v_h = _cat(v_refs, vs_refs, vz_refs, hh)
+            if quant2:
+                # KIVI-2: the (ks, vs) slots carry the V (scale, zero) planes
+                v_h = _cat(v_refs, ks_refs, vs_refs, hh, v2=True)
+            else:
+                v_h = _cat(v_refs, vs_refs, vz_refs, hh)
             pvs.append(jax.lax.dot_general(
                 p_mm[hh * rows_h : (hh + 1) * rows_h], v_h,
                 (((1,), (0,)), ((), ())),
@@ -200,26 +233,32 @@ def _prefill_kernel(
         out_ref[0] = out.reshape(out_ref.shape[1:]).astype(out_ref.dtype)
 
 
-def _bind_kernel(kp: int, quantized: bool, quant4: bool, **kw):
+def _bind_kernel(kp: int, quantized: bool, quant4: bool,
+                 quant2: bool = False, **kw):
     """Positional-ref binder: [q, KP*k, KP*v, (KP*ks, KP*vs[, KP*kz,
-    KP*vz])], out, 3 scratch refs."""
+    KP*vz][, KP*kch_s, KP*kch_z])], out, 3 scratch refs. KIVI-2 (quant2):
+    the (ks, vs) slots carry the V (scale, zero) planes."""
 
     def kern(lidx_ref, table_ref, ctx_ref, new_ref, q_ref, *rest):
         rest = list(rest)
         k_refs = [rest.pop(0) for _ in range(kp)]
         v_refs = [rest.pop(0) for _ in range(kp)]
         ks_refs = vs_refs = kz_refs = vz_refs = None
+        kch_s_refs = kch_z_refs = None
         if quantized:
             ks_refs = [rest.pop(0) for _ in range(kp)]
             vs_refs = [rest.pop(0) for _ in range(kp)]
         if quant4:
             kz_refs = [rest.pop(0) for _ in range(kp)]
             vz_refs = [rest.pop(0) for _ in range(kp)]
+        if quant2:
+            kch_s_refs = [rest.pop(0) for _ in range(kp)]
+            kch_z_refs = [rest.pop(0) for _ in range(kp)]
         out_ref, acc_ref, m_ref, l_ref = rest
         _prefill_kernel(
             lidx_ref, table_ref, ctx_ref, new_ref, q_ref, k_refs, v_refs,
-            ks_refs, vs_refs, kz_refs, vz_refs, out_ref, acc_ref, m_ref,
-            l_ref, **kw,
+            ks_refs, vs_refs, kz_refs, vz_refs, kch_s_refs, kch_z_refs,
+            out_ref, acc_ref, m_ref, l_ref, **kw,
         )
 
     return kern
@@ -231,15 +270,16 @@ def _bind_kernel(kp: int, quantized: bool, quant4: bool, **kw):
 )
 def _prefill_pallas(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, new_lens,
-    kv_scales=None,
+    kv_scales=None, k_ch_scales=None,
     *, sm_scale, block_s, block_pages=4, interpret=False,
 ):
     b, s, nq, dh = q.shape
-    l, pages, p, nkv, cdh = k_cache.shape  # cdh = Dh or Dh/2 (int4 packed)
+    l, pages, p, nkv, cdh = k_cache.shape  # cdh = Dh | Dh/2 (i4) | Dh/4 (i2)
     mp = page_table.shape[1]
     g = nq // nkv
     quantized = kv_scales is not None
-    quant4 = quantized and kv_scales.shape[0] == 4
+    quant2 = k_ch_scales is not None
+    quant4 = quantized and not quant2 and kv_scales.shape[0] == 4
     kp = min(block_pages, mp)
     mp_pad = -(-mp // kp) * kp
     if mp_pad != mp:
@@ -282,6 +322,21 @@ def _prefill_pallas(
                                              plane_imap(plane, j),
                                              memory_space=pltpu.VMEM))
                 args.append(kv_scales)
+    if quant2:
+        ngrp = k_ch_scales.shape[3]
+
+        def ch_plane_imap(plane, j):
+            def imap(bb, si, ki, lidx_ref, table_ref, *_):
+                return (plane, lidx_ref[0], table_ref[bb, ki * kp + j],
+                        0, 0, 0)
+            return imap
+
+        for plane in (0, 1):
+            for j in range(kp):
+                in_specs.append(pl.BlockSpec((1, 1, 1, ngrp, nkv, dh),
+                                             ch_plane_imap(plane, j),
+                                             memory_space=pltpu.VMEM))
+                args.append(k_ch_scales)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -297,7 +352,7 @@ def _prefill_pallas(
         ],
     )
     kernel = _bind_kernel(
-        kp, quantized, quant4, sm_scale=sm_scale, page_size=p,
+        kp, quantized, quant4, quant2, sm_scale=sm_scale, page_size=p,
         block_s=block_s, groups=g, nkv=nkv,
     )
     out5 = pl.pallas_call(
@@ -324,7 +379,7 @@ def _prefill_pallas(
 def prefill_attention_pallas(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, new_lens,
     *, sm_scale, obs_window=0, score_pooling=0, kv_scales=None,
-    interpret=None,
+    k_ch_scales=None, interpret=None,
 ):
     """Dispatcher-facing API (matches ops.attention.prefill_attention).
 
@@ -337,6 +392,11 @@ def prefill_attention_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if obs_window > 0:
+        if k_ch_scales is not None:
+            raise NotImplementedError(
+                "KIVI-2 caches do not serve prefill observation scores "
+                "(int2 is scoped to methods without obs windows)"
+            )
         def _layer(c):
             return jax.lax.dynamic_index_in_dim(c, layer_idx, 0,
                                                 keepdims=False)
@@ -371,7 +431,7 @@ def prefill_attention_pallas(
         block_s //= 2
     out = _prefill_pallas(
         q, k_cache, v_cache, layer_idx, page_table, ctx_lens, new_lens,
-        kv_scales, sm_scale=sm_scale, block_s=block_s,
+        kv_scales, k_ch_scales, sm_scale=sm_scale, block_s=block_s,
         block_pages=4 if quantized else 8, interpret=interpret,
     )
     return out, None

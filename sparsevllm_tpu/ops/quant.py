@@ -258,3 +258,151 @@ def unpack_int2_groups(
     g = q.reshape(*lead, d // group, group)
     out = g * scale[..., None] + zero[..., None]
     return out.reshape(*lead, d)
+
+
+# ---------------------------------------------------------------------------
+# INT2 full-KV cache (KIVI-2; reference deltakv_less_memory.py INT2 full
+# layers + quant.py per-channel K path). The KIVI finding: at 2 bits the KEY
+# cache must be quantized PER CHANNEL (statistics along the token axis —
+# outlier channels get their own scale) while the VALUE cache stays
+# per token. Both payloads are SPLIT-QUARTER packed along lanes (Dh): byte j
+# of a row holds channels j, j+Dh/4, j+2Dh/4, j+3Dh/4 in bit fields
+# (0-1, 2-3, 4-5, 6-7) — quarters concatenate along lanes in-kernel, the
+# same Mosaic-legal trick as the INT4 split-half (interleaving is a lane
+# reshape Mosaic rejects).
+#
+# Quantization is PAGE-GRANULAR: K channel statistics need a full token
+# group, so pages are quantized when complete (prefill stores whole pages;
+# decode accumulates a raw bf16 tail page and flushes it per-channel at each
+# page boundary — the tail IS the KIVI fp-residual window, merged exactly
+# into the kernel's online softmax via its (m, l) stats outputs).
+#
+#   k/v payload  [P, Nkv, Dh//4] int8
+#   K scales     [P//G, Nkv, Dh] f32 x2 (scale, zero) — G = kivi_group_size
+#   V scales     [P, Nkv]        f32 x2 (scale, zero) — same planes as int4
+# ---------------------------------------------------------------------------
+
+
+def _pack_quarters_lanes(q: jax.Array) -> jax.Array:
+    """uint2 values [..., D] -> packed int8 [..., D//4], split-quarter along
+    the last axis: byte j holds channels (j, j+D/4, j+2D/4, j+3D/4)."""
+    d = q.shape[-1]
+    quarter = d // 4
+    return (
+        q[..., :quarter]
+        | (q[..., quarter : 2 * quarter] << 2)
+        | (q[..., 2 * quarter : 3 * quarter] << 4)
+        | (q[..., 3 * quarter :] << 6)
+    ).astype(jnp.int8)
+
+
+def _unpack_quarters_lanes(packed: jax.Array) -> jax.Array:
+    """Inverse of _pack_quarters_lanes -> float32 [..., D] (values 0..3)."""
+    pi = packed.astype(jnp.int32)
+    return jnp.concatenate(
+        [((pi >> (2 * j)) & 3).astype(jnp.float32) for j in range(4)],
+        axis=-1,
+    )
+
+
+def quantize_page_k_int2(
+    k_page: jax.Array,  # [..., P, Nkv, Dh] float
+    group: int,
+    valid_len=None,  # scalar or [...] count of valid leading tokens
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-CHANNEL asymmetric uint2 over token groups of ``group``.
+
+    Returns (payload int8 [..., P, Nkv, Dh//4], scale f32
+    [..., P//group, Nkv, Dh], zero). With ``valid_len``, statistics ignore
+    token rows >= valid_len (partial prefill tail pages); their quantized
+    payload is garbage and MUST be masked by the consumer (the kernels mask
+    pos >= ctx)."""
+    *lead, p, nkv, dh = k_page.shape
+    xf = k_page.astype(jnp.float32)
+    g = xf.reshape(*lead, p // group, group, nkv, dh)
+    if valid_len is not None:
+        tok = jnp.arange(p).reshape(p // group, group)
+        vl = jnp.asarray(valid_len)
+        mask = tok < vl.reshape(*vl.shape, 1, 1)  # [..., P//G, G]
+        mask = mask[..., None, None]
+        big = jnp.float32(3.4e38)
+        lo = jnp.min(jnp.where(mask, g, big), axis=-3)
+        hi = jnp.max(jnp.where(mask, g, -big), axis=-3)
+        none_valid = hi < lo
+        lo = jnp.where(none_valid, 0.0, lo)
+        hi = jnp.where(none_valid, 0.0, hi)
+    else:
+        lo = jnp.min(g, axis=-3)  # [..., P//G, Nkv, Dh]
+        hi = jnp.max(g, axis=-3)
+    scale = jnp.where(hi > lo, (hi - lo) / 3.0, 1.0)
+    zero = lo
+    q = jnp.rint((g - zero[..., None, :, :]) / scale[..., None, :, :])
+    q = jnp.clip(q, 0, 3).astype(jnp.int32).reshape(*lead, p, nkv, dh)
+    return _pack_quarters_lanes(q), scale, zero
+
+
+def dequantize_page_k_int2(
+    packed: jax.Array,  # [..., P, Nkv, Dh//4] int8
+    scale: jax.Array,  # [..., P//G, Nkv, Dh] f32
+    zero: jax.Array,
+    group: int,
+) -> jax.Array:
+    """Inverse of quantize_page_k_int2 -> f32 [..., P, Nkv, Dh]."""
+    q = _unpack_quarters_lanes(packed)  # [..., P, Nkv, Dh]
+    *lead, p, nkv, dh = q.shape
+    g = q.reshape(*lead, p // group, group, nkv, dh)
+    out = g * scale[..., None, :, :] + zero[..., None, :, :]
+    return out.reshape(*lead, p, nkv, dh)
+
+
+def quantize_page_v_int2(
+    v_page: jax.Array,  # [..., Nkv, Dh] float (any leading shape)
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-TOKEN asymmetric uint2 (values tolerate per-token scales; KIVI).
+
+    Returns (payload int8 [..., Nkv, Dh//4], scale f32 [..., Nkv], zero)."""
+    xf = v_page.astype(jnp.float32)
+    lo = jnp.min(xf, axis=-1)
+    hi = jnp.max(xf, axis=-1)
+    scale = jnp.where(hi > lo, (hi - lo) / 3.0, 1.0)
+    zero = lo
+    q = jnp.rint((xf - zero[..., None]) / scale[..., None])
+    q = jnp.clip(q, 0, 3).astype(jnp.int32)
+    return _pack_quarters_lanes(q), scale, zero
+
+
+def dequantize_page_v_int2(
+    packed: jax.Array, scale: jax.Array, zero: jax.Array
+) -> jax.Array:
+    """Inverse of quantize_page_v_int2 -> f32 [..., Nkv, Dh]."""
+    q = _unpack_quarters_lanes(packed)
+    return q * scale[..., None] + zero[..., None]
+
+
+def store_pages_int2(
+    k_cache: jax.Array,  # [L, pages, P, Nkv, Dh//4] int8
+    v_cache: jax.Array,
+    kv_scales: jax.Array,  # [2, L, pages, P, Nkv] f32 (vs, vz)
+    k_ch_scales: jax.Array,  # [2, L, pages, P//G, Nkv, Dh] f32 (ks, kz)
+    layer_idx,
+    k_new: jax.Array,  # [NPg, P, Nkv, Dh] whole (possibly partial) pages
+    v_new: jax.Array,
+    dest_page: jax.Array,  # [NPg] int32 physical page; <0 drops
+    valid_len: jax.Array,  # [NPg] valid tokens per page (partial tails)
+    group: int,
+):
+    """Quantize + scatter WHOLE pages (prefill chunks are page-aligned;
+    the final partial page quantizes over masked stats and is additionally
+    kept raw in the tail buffer for decode)."""
+    kq, ks, kz = quantize_page_k_int2(k_new, group, valid_len)
+    vq, vs, vz = quantize_page_v_int2(v_new)
+    lix = jnp.broadcast_to(jnp.asarray(layer_idx, dest_page.dtype),
+                           dest_page.shape)
+    pg = dest_page
+    k_cache = k_cache.at[lix, pg].set(kq, mode="drop")
+    v_cache = v_cache.at[lix, pg].set(vq, mode="drop")
+    kv_scales = kv_scales.at[0, lix, pg].set(vs, mode="drop")
+    kv_scales = kv_scales.at[1, lix, pg].set(vz, mode="drop")
+    k_ch_scales = k_ch_scales.at[0, lix, pg].set(ks, mode="drop")
+    k_ch_scales = k_ch_scales.at[1, lix, pg].set(kz, mode="drop")
+    return k_cache, v_cache, kv_scales, k_ch_scales
