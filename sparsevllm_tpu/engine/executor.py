@@ -546,6 +546,7 @@ class ModelExecutor:
 
         token_ids = np.zeros((bb, sb), np.int32)
         positions = np.zeros((bb, sb), np.int32)
+        slot_positions = np.zeros((bb, sb), np.int32)
         dest = np.full((bb, sb), -1, np.int32)
         new_lens = np.zeros(bb, np.int32)
         ctx = np.zeros(bb, np.int32)
@@ -553,6 +554,16 @@ class ModelExecutor:
             start = seq.num_prefilled_tokens
             token_ids[i, :c] = seq.prompt_token_ids[start : start + c]
             positions[i, :c] = np.arange(start, start + c)
+            # RESIDENT slot positions for this chunk: after a mid-prefill
+            # eviction (streamingllm window between chunks) the page table
+            # is compacted, so a token's LOGICAL position no longer equals
+            # its table-slot position — deriving store pages from logical
+            # positions scattered chunk KV into never-assigned pages
+            # (measured: recall 0.00 at depth 0.9 with a window that
+            # retains the needle). RoPE keeps the logical positions.
+            slot_positions[i, :c] = np.arange(
+                ctx_lens_tokens[i] - c, ctx_lens_tokens[i]
+            )
             dest[i, :c] = dests[i]
             new_lens[i] = c
             ctx[i] = ctx_lens_tokens[i]
@@ -560,6 +571,7 @@ class ModelExecutor:
         host_plan = {
             "token_ids": token_ids,
             "positions": positions,
+            "slot_positions": slot_positions,
             "dest_slot": dest,
             # padded lanes get an out-of-range row: row-keyed scatters
             # (query ring, recurrent state) drop, gathers clamp harmlessly

@@ -344,12 +344,18 @@ def prefill_forward(
             table_l = jax.lax.dynamic_index_in_dim(
                 tables, li, 0, keepdims=False
             )[plan["row_ids"], :mp]  # [B, MP]
+            # store pages derive from RESIDENT slot positions, not logical
+            # token positions: a mid-prefill eviction (streamingllm window)
+            # compacts the table, after which logical page != table slot
+            # (executor.run_prefill builds slot_positions; they coincide
+            # with positions when nothing was evicted).
+            spos = plan.get("slot_positions", positions)
             pg = jnp.take_along_axis(
-                table_l, positions // page_size, axis=1
+                table_l, spos // page_size, axis=1
             )  # [B, S]
             dest = jnp.where(
                 plan["dest_slot"] >= 0,
-                pg * page_size + positions % page_size,
+                pg * page_size + spos % page_size,
                 -1,
             )
         else:
