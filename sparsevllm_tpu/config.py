@@ -122,6 +122,10 @@ class Config:
     max_model_len: int = 131072
     max_num_seqs_in_gpu: int | None = None  # resident-row cap; None = rows cap
     chunk_prefill_size: int = 8192
+    # prompts above this length CONSIDER host-archive streaming; they take
+    # it only when dense admission can never fit the page pool (routing is
+    # residency-aware, scheduler.add — quantized caches usually keep even
+    # 128K prompts resident). 0 disables streaming entirely.
     long_prefill_offload_threshold: int = 98304
     prefill_policy: str | None = None  # resolved via method registry
     prompt_admission_failure_action: str = "defer"  # defer | raise
@@ -270,7 +274,8 @@ class Config:
             )
         if self.dtype not in ("bfloat16", "float32", "float16"):
             raise ValueError(f"unsupported dtype {self.dtype!r}")
-        if self.kv_cache_dtype not in ("auto", "bfloat16", "float32", "int8", "int4"):
+        if self.kv_cache_dtype not in ("auto", "bfloat16", "float32",
+                                       "int8", "int4", "int2"):
             raise ValueError(f"unsupported kv_cache_dtype {self.kv_cache_dtype!r}")
         if self.weight_quantization not in (None, "fp8"):
             raise ValueError(
@@ -306,24 +311,64 @@ class Config:
                 f"({self.tensor_parallel_size}): experts shard over the "
                 f"same mesh axis as TP"
             )
-        # KIVI fidelity knobs: this engine quantizes per (token, kv-head)
-        # row (group = head_dim) with the current token held exactly via
-        # deferred-scale merge. Channel-grouped quantization and an fp
-        # residual window are unimplemented — reject silently-ignored
-        # settings (fail-fast contract, reference runtime_params.py:44-75).
-        if self.kivi_group_size not in (0, 32):
-            raise NotImplementedError(
-                "kivi_group_size: only the per-row default is implemented "
-                "(set 0 or leave default; channel grouping is a staged "
-                "feature)"
-            )
-        if self.kv_cache_dtype in ("int8", "int4") and \
-                self.kivi_residual_tokens not in (0, 32):
-            raise NotImplementedError(
-                "kivi_residual_tokens: an fp residual window is "
-                "unimplemented (the current token is already held exactly "
-                "via deferred-scale merge); set 0 or leave default"
-            )
+        # KIVI fidelity knobs. int8/int4 quantize per (token, kv-head) row
+        # with the current token held exactly via deferred-scale merge —
+        # channel grouping / fp residual do not apply there and non-default
+        # settings reject (fail-fast contract). int2 (KIVI-2) implements
+        # the full KIVI recipe: K is quantized PER CHANNEL over
+        # ``kivi_group_size`` token groups within a page, V per token, and
+        # the partial tail page stays raw bf16 (the fp-residual window;
+        # its size therefore tracks page_size, not kivi_residual_tokens).
+        if self.kv_cache_dtype == "int2":
+            if self.kivi_group_size == 0:
+                self.kivi_group_size = 32
+            if (self.kivi_group_size > self.page_size
+                    or self.page_size % self.kivi_group_size):
+                raise ValueError(
+                    f"kivi_group_size ({self.kivi_group_size}) must divide "
+                    f"page_size ({self.page_size}) for int2 per-channel K "
+                    f"grouping"
+                )
+            if self.kivi_residual_tokens not in (0, 32) and \
+                    self.kivi_residual_tokens != self.page_size:
+                raise NotImplementedError(
+                    "kivi_residual_tokens: the int2 fp-residual window is "
+                    "the partial tail page (page_size granularity); set 0, "
+                    "page_size, or leave default"
+                )
+            if self.method not in ("", "vanilla", "streamingllm"):
+                raise NotImplementedError(
+                    f"kv_cache_dtype='int2' supports methods that never "
+                    f"move tokens between pages (per-channel page groups "
+                    f"cannot be re-gathered without requantization): "
+                    f"vanilla | streamingllm, got {self.method!r}"
+                )
+            if self.chunk_prefill_size % self.page_size:
+                raise ValueError(
+                    "int2 requires chunk_prefill_size % page_size == 0 "
+                    "(prefill chunks must split into whole pages for "
+                    "per-channel group quantization)"
+                )
+            # streamed host-offload prefill is unwired for int2 (page-group
+            # quantization cannot adopt streamed token rows); int2's 8x
+            # capacity IS the residency story, so the router threshold is
+            # disabled and long prompts go through normal admission.
+            self.long_prefill_offload_threshold = 0
+        else:
+            if self.kivi_group_size not in (0, 32):
+                raise NotImplementedError(
+                    "kivi_group_size: channel grouping applies to the int2 "
+                    "(KIVI-2) cache only; int8/int4 quantize per-row "
+                    "(set 0 or leave default)"
+                )
+            if self.kv_cache_dtype in ("int8", "int4") and \
+                    self.kivi_residual_tokens not in (0, 32):
+                raise NotImplementedError(
+                    "kivi_residual_tokens: an fp residual window is "
+                    "unimplemented for int8/int4 (the current token is "
+                    "already held exactly via deferred-scale merge); set 0 "
+                    "or leave default"
+                )
         if self.prefix_cache_block_size == 0:
             self.prefix_cache_block_size = self.page_size
         if self.prefix_cache_block_size != self.page_size:

@@ -82,23 +82,38 @@ class ModelExecutor:
         self.max_rows = max_rows
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                  "float16": jnp.float16}[config.dtype]
-        kv_quant = config.kv_cache_dtype in ("int8", "int4")
-        kv_bits = 4 if config.kv_cache_dtype == "int4" else 8
+        kv_quant = config.kv_cache_dtype in ("int8", "int4", "int2")
+        kv_bits = {"int4": 4, "int2": 2}.get(config.kv_cache_dtype, 8)
         self.kv_dtype = jnp.int8 if kv_quant else dtype
 
         l, p = spec.num_layers, config.page_size
         # token-major within a page (ops/attention_ref.py docstring);
-        # int4 packs two elements per byte (split-half, ops/quant.py)
-        cdh = spec.head_dim // 2 if kv_bits == 4 else spec.head_dim
+        # int4 packs two elements per byte (split-half), int2 four
+        # (split-quarter along lanes) — ops/quant.py
+        cdh = spec.head_dim // (8 // kv_bits) if kv_quant else spec.head_dim
         kv_shape = (l, num_pages, p, spec.num_kv_heads, cdh)
         self.k_cache = jnp.zeros(kv_shape, self.kv_dtype)
         self.v_cache = jnp.zeros(kv_shape, self.kv_dtype)
-        # per-slot dequant params (int8: k/v scales; int4: + k/v zeros)
-        self.kv_scales = (
-            jnp.ones((4 if kv_bits == 4 else 2, l, num_pages, p,
-                      spec.num_kv_heads), jnp.float32)
-            if kv_quant else None
-        )
+        # per-slot dequant params (int8: k/v scales; int4: + k/v zeros).
+        # KIVI-2 carries a pytree instead: (V scale/zero planes, per-
+        # channel K scales over kivi_group_size token groups, and the raw
+        # bf16 TAIL page per row — the fp-residual window).
+        if kv_bits == 2:
+            g = config.kivi_group_size
+            self.kv_scales = (
+                jnp.ones((2, l, num_pages, p, spec.num_kv_heads),
+                         jnp.float32),
+                jnp.ones((2, l, num_pages, p // g, spec.num_kv_heads,
+                          spec.head_dim), jnp.float32),
+                jnp.zeros((2, l, max_rows, p, spec.num_kv_heads,
+                           spec.head_dim), dtype),
+            )
+        else:
+            self.kv_scales = (
+                jnp.ones((4 if kv_bits == 4 else 2, l, num_pages, p,
+                          spec.num_kv_heads), jnp.float32)
+                if kv_quant else None
+            )
         self.tables = jnp.zeros(
             (l, max_rows, config.max_pages_per_seq), jnp.int32
         )
@@ -128,6 +143,7 @@ class ModelExecutor:
             quest_skip_layers=config.quest_skip_layers,
             kv_quant=kv_quant,
             kv_quant_bits=kv_bits,
+            kivi_group=config.kivi_group_size,
             record_queries=config.method in ("rkv", "skipkv"),
             steer_alpha=(
                 config.skipkv_steering_alpha
@@ -301,6 +317,12 @@ class ModelExecutor:
         if fn is None:
             if self._rt.kv_quant:
                 bits = self._rt.kv_quant_bits
+                if bits == 2:
+                    raise NotImplementedError(
+                        "streamed-prefill row adoption is not wired for "
+                        "the KIVI-2 cache (page-group quantization cannot "
+                        "adopt token rows; config rejects the combination)"
+                    )
 
                 def impl(kc, vc, scales, li, k, v, slots):
                     if bits == 4:

@@ -224,6 +224,11 @@ class LLMEngine:
             per_slot = s.head_dim + 4  # int8 payload + f32 scale
         elif self.config.kv_cache_dtype == "int4":
             per_slot = s.head_dim // 2 + 8  # packed payload + scale + zero
+        elif self.config.kv_cache_dtype == "int2":
+            # quarter-packed payload + V scale/zero (f32, amortized over
+            # k+v slots) + per-channel K scale/zero per kivi_group tokens
+            g = self.config.kivi_group_size or 32
+            per_slot = s.head_dim // 4 + 4 + 4 * s.head_dim // g
         else:
             per_slot = s.head_dim * (
                 2 if self.config.dtype != "float32" else 4

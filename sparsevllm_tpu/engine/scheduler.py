@@ -75,7 +75,16 @@ class Scheduler:
             and seq.num_prompt_tokens > thr
             and getattr(self.config, "method", "") in ("snapkv", "pyramidkv")
         ):
-            seq.streamed_prefill = True
+            # Residency-aware routing: the archive path's H2D re-stream
+            # costs ~ctx^2/(2*chunk) tokens of host-link traffic, while the
+            # resident paged-kernel prefill reads KV at HBM speed — so
+            # stream ONLY when dense admission can never fit the pool
+            # (e.g. bf16 256K). With a quantized cache a 128K prompt fits
+            # a 16 GiB chip and takes the fast path (deferred admission
+            # drains the pool one long prompt at a time, long_bs1full).
+            seq.streamed_prefill = False  # probe the DENSE admission cost
+            dense_cost = self.kv.admission_cost_pages(seq)
+            seq.streamed_prefill = dense_cost > self.kv.num_pages - 1
         self.waiting.append(seq)
 
     def abort(self, seq_id: int) -> Sequence | None:

@@ -49,28 +49,42 @@ NEG_INF = -1e30
 
 
 class HostKVArchive:
-    """Per-layer host-RAM store of a sequence's post-RoPE K/V chunks."""
+    """Per-layer host-RAM store of a sequence's post-RoPE K/V chunks.
 
-    def __init__(self, num_layers: int):
-        self.k: list[list[np.ndarray]] = [[] for _ in range(num_layers)]
-        self.v: list[list[np.ndarray]] = [[] for _ in range(num_layers)]
+    Buffers are PREALLOCATED at prompt capacity and chunks write into
+    slices, so ``layer_kv`` returns zero-copy views — a per-chunk
+    ``np.concatenate`` over the whole archive would cost O(ctx^2) host
+    memcpy per layer across a prefill (measured dominant at 128K)."""
+
+    def __init__(self, num_layers: int, capacity: int):
+        self.capacity = capacity
+        self.k: list[np.ndarray | None] = [None] * num_layers
+        self.v: list[np.ndarray | None] = [None] * num_layers
+        self._len = [0] * num_layers
         self.tokens = 0  # archived tokens (same for every layer)
 
     def append(self, layer: int, k: np.ndarray, v: np.ndarray) -> None:
-        self.k[layer].append(k)
-        self.v[layer].append(v)
+        if self.k[layer] is None:
+            self.k[layer] = np.empty(
+                (self.capacity,) + k.shape[1:], k.dtype
+            )
+            self.v[layer] = np.empty(
+                (self.capacity,) + v.shape[1:], v.dtype
+            )
+        n, off = k.shape[0], self._len[layer]
+        self.k[layer][off : off + n] = k
+        self.v[layer][off : off + n] = v
+        self._len[layer] = off + n
 
     def layer_kv(self, layer: int) -> tuple[np.ndarray, np.ndarray]:
-        return (
-            np.concatenate(self.k[layer], axis=0),
-            np.concatenate(self.v[layer], axis=0),
-        )
+        n = self._len[layer]
+        return self.k[layer][:n], self.v[layer][:n]
 
     @property
     def nbytes(self) -> int:
         return sum(
-            a.nbytes for chunks in (self.k, self.v)
-            for layer in chunks for a in layer
+            a.nbytes for bufs in (self.k, self.v)
+            for a in bufs if a is not None
         )
 
 
@@ -300,14 +314,15 @@ class StreamedPrefillRunner:
         sampled first decode token on the final chunk, else None."""
         ex, spec, cfg = self.ex, self.spec, self.config
         arch = self._archives.setdefault(
-            seq.seq_id, HostKVArchive(spec.num_layers)
+            seq.seq_id,
+            HostKVArchive(spec.num_layers, seq.num_prompt_tokens),
         )
         start = seq.num_prefilled_tokens
         if arch.tokens != start:
             if start == 0:
                 # preempted mid-archive and replayed from scratch
                 arch = self._archives[seq.seq_id] = HostKVArchive(
-                    self.spec.num_layers
+                    self.spec.num_layers, seq.num_prompt_tokens
                 )
             else:
                 raise AssertionError("archive out of sync with sequence")
@@ -342,17 +357,17 @@ class StreamedPrefillRunner:
                 acc, m, l = f_blk(q, kb, vb, acc, m, l, blk_len)
             out, m, l = f_local(q, k, v, acc, m, l, chunk)
             h = f_post(params, li, h, out)
-            # archive this chunk's K/V (device -> host)
-            kv_host.append((
-                np.asarray(jax.device_get(k[:chunk])),
-                np.asarray(jax.device_get(v[:chunk])),
-            ))
+            # archive this chunk's K/V — keep device refs and fetch once
+            # after the loop (a per-layer device_get forces a pipeline
+            # sync per layer; one batched fetch overlaps all layers)
+            kv_host.append((k[:chunk], v[:chunk]))
             if final:
                 # obs-query stats for the pass-2 score sweep
                 oidx = np.arange(max(chunk - w, 0), chunk)
                 obs_ml.append((q[oidx], m[oidx], l[oidx], k, oidx))
+        kv_host = jax.device_get(kv_host)
         for li, (kh, vh) in enumerate(kv_host):
-            arch.append(li, kh, vh)
+            arch.append(li, np.asarray(kh), np.asarray(vh))
         arch.tokens += chunk
 
         if not final:

@@ -72,7 +72,11 @@ class StepRuntime:
     # attention kernels (ops/quant.py, KIVI-style — reference
     # triton_kernel/quant.py + full_layer_kivi decode).
     kv_quant: bool = False
-    kv_quant_bits: int = 8  # 8 (symmetric int8) | 4 (KIVI-4 packed)
+    kv_quant_bits: int = 8  # 8 (int8) | 4 (KIVI-4) | 2 (KIVI-2 per-channel)
+    # KIVI-2: K channel-scale token-group size (kivi_group_size); the
+    # kv_scales argument carries (v_scales, k_ch_scales, kv_tail) as a
+    # pytree in this mode — see prefill_forward/decode_forward.
+    kivi_group: int = 32
     # RKV/SkipKV: record decode queries into the device ring buffer
     # (ops/rkv.py; reference rkv.py record_decode_query:313).
     record_queries: bool = False
@@ -365,7 +369,53 @@ def prefill_forward(
         q, k, v = _qkv(x, xs, spec)
         q = apply_rope(q, positions, cos, sin)
         k = apply_rope(k, positions, cos, sin)
-        if rt.kv_quant:
+        att_scales, att_kch = scales, None
+        if rt.kv_quant and rt.kv_quant_bits == 2:
+            # KIVI-2: page-granular per-channel K quantization. Chunks
+            # start page-aligned (config enforces chunk % page == 0 and
+            # evictions drop whole pages), so the chunk splits into whole
+            # pages; the final partial page quantizes over masked stats
+            # AND keeps its raw rows in the tail buffer (decode's
+            # fp-residual window; quantized copy serves intra-prefill
+            # attention only).
+            vsc, kch, tail = scales
+            bsz, s_len = tokens.shape
+            spg = s_len // page_size
+            spos = plan.get("slot_positions", positions)
+            k4 = k.reshape(bsz, spg, page_size, -1, spec.head_dim)
+            v4 = v.reshape(bsz, spg, page_size, -1, spec.head_dim)
+            pidx = spos[:, 0:1] // page_size + jnp.arange(spg)[None, :]
+            dest_page = jnp.take_along_axis(
+                table_l, jnp.clip(pidx, 0, table_l.shape[1] - 1), axis=1
+            )  # [B, SPg]
+            valid_len = jnp.clip(
+                plan["new_lens"][:, None] - jnp.arange(spg)[None, :]
+                * page_size, 0, page_size,
+            )
+            ds0 = plan["dest_slot"].reshape(bsz, spg, page_size)[:, :, 0]
+            dest_page = jnp.where((valid_len > 0) & (ds0 >= 0),
+                                  dest_page, -1)
+            kc, vc, vsc, kch = quant_ops.store_pages_int2(
+                kc, vc, vsc, kch, li,
+                k4.reshape(bsz * spg, page_size, -1, spec.head_dim),
+                v4.reshape(bsz * spg, page_size, -1, spec.head_dim),
+                dest_page.reshape(-1), valid_len.reshape(-1),
+                rt.kivi_group,
+            )
+            # raw rows of the final (possibly partial) page -> tail buffer
+            lp = jnp.maximum((plan["new_lens"] - 1) // page_size, 0)
+            sel = lp[:, None, None, None, None]
+            k_last = jnp.take_along_axis(k4, sel, axis=1)[:, 0]
+            v_last = jnp.take_along_axis(v4, sel, axis=1)[:, 0]
+            rows = plan["row_ids"]
+            lix = jnp.broadcast_to(jnp.asarray(li, rows.dtype), rows.shape)
+            tail = tail.at[0, lix, rows].set(
+                k_last.astype(tail.dtype), mode="drop")
+            tail = tail.at[1, lix, rows].set(
+                v_last.astype(tail.dtype), mode="drop")
+            scales = (vsc, kch, tail)
+            att_scales, att_kch = vsc, kch
+        elif rt.kv_quant:
             if rt.kv_quant_bits == 4:
                 kc, vc, scales = quant_ops.store_kv_quant_layer_u4(
                     kc, vc, scales, li, k, v, dest
@@ -374,6 +424,7 @@ def prefill_forward(
                 kc, vc, scales = quant_ops.store_kv_quant_layer(
                     kc, vc, scales, li, k, v, dest
                 )
+            att_scales = scales
         else:
             kc, vc = attn_ops.store_kv_layer(
                 kc, vc, li, k, v, dest
@@ -391,7 +442,8 @@ def prefill_forward(
             sm_scale=sm_scale,
             obs_window=rt.obs_window if rt.emit_prefill_scores else 0,
             score_pooling=rt.score_pooling,
-            kv_scales=scales,
+            kv_scales=att_scales,
+            k_ch_scales=att_kch,
             impl=rt.impl,
         )
         attn_out = out.reshape(*x.shape[:-1], spec.q_dim) @ _w(
@@ -492,7 +544,52 @@ def decode_forward(
             qcache = rkv_ops.record_query(
                 qcache, li, q, row_ids, plan["qslot"]
             )
-        if rt.kv_quant:
+        tail_k = tail_v = tail_all_len = None
+        if rt.kv_quant and rt.kv_quant_bits == 2:
+            # KIVI-2 decode: the kernel serves only COMPLETE quantized
+            # pages (tokens < prev_q); the partial tail page stays raw in
+            # the tail buffer (the KIVI fp-residual window) and merges
+            # exactly via the kernel's (m, l) stats. The current token
+            # patches into the tail locally; its buffer write and — at a
+            # page boundary — the flushed page's channel scales batch-write
+            # AFTER the layer scan (in-scan scale writes force a whole-
+            # array copy per layer once the kernel reads them; payload
+            # page writes stay in-scan like every other store).
+            vsc, kch, tail = kv_scales
+            rows = row_ids
+            tk_l = jax.lax.dynamic_index_in_dim(
+                tail[0], li, 0, keepdims=False
+            )[rows]  # [B, P, Nkv, Dh]
+            tv_l = jax.lax.dynamic_index_in_dim(
+                tail[1], li, 0, keepdims=False
+            )[rows]
+            slot = (ctx - 1) % page_size  # [B]
+            bidx = jnp.arange(b)
+            tail_k = tk_l.at[bidx, slot].set(k.astype(tk_l.dtype))
+            tail_v = tv_l.at[bidx, slot].set(v.astype(tv_l.dtype))
+            prev_q = (ctx - 1) // page_size * page_size
+            tail_all_len = ctx - prev_q  # in [1, P]
+            # page flush: the current token completes a page -> quantize
+            # the raw tail per-channel and store it (payload in-scan,
+            # scales as ys). Computed every step, dropped off-boundary.
+            kq_pg, ks_pg, kz_pg = quant_ops.quantize_page_k_int2(
+                tail_k, rt.kivi_group)
+            vq_pg, vs_pg, vz_pg = quant_ops.quantize_page_v_int2(tail_v)
+            # the manager-allocated slot of the CURRENT token names the
+            # flush page directly (current is the page's last slot when
+            # flush fires); padded lanes carry dest -1 and drop.
+            flush = ((ctx % page_size) == 0) & (xs["_dest"] >= 0)
+            dest_pg = jnp.where(flush, xs["_dest"] // page_size, -1)
+            lix = jnp.broadcast_to(jnp.asarray(li, dest_pg.dtype),
+                                   dest_pg.shape)
+            kc = kc.at[lix, dest_pg].set(kq_pg, mode="drop")
+            vc = vc.at[lix, dest_pg].set(vq_pg, mode="drop")
+            k_cur = v_cur = None
+            step_scales = (
+                k.astype(tail.dtype), v.astype(tail.dtype),
+                ks_pg, kz_pg, vs_pg, vz_pg, dest_pg,
+            )
+        elif rt.kv_quant:
             # payload stored in-layer; SCALES are not (a per-layer scale
             # write read back by the attention kernel forces XLA to copy
             # the whole scales array per layer — see
@@ -532,6 +629,20 @@ def decode_forward(
                     kv_scales=None, impl=rt.impl,
                 )
                 return out
+            if rt.kv_quant_bits == 2:
+                # kernel over complete quantized pages; raw tail page
+                # (incl. current token) merges via the (m, l) stats
+                prev_q = (ctx_a - 1) // page_size * page_size
+                out_h, m_h, l_h = attn_ops.decode_attention(
+                    q, kc, vc, li, table_a, prev_q, sm_scale=sm_scale,
+                    select_mask=select_mask, page_pos=page_pos,
+                    kv_scales=vsc, k_ch_scales=kch, impl=rt.impl,
+                    return_stats=True,
+                )
+                return attn_ops.merge_tail_attention(
+                    out_h, m_h, l_h, q, tail_k, tail_v, tail_all_len,
+                    sm_scale=sm_scale,
+                )
             out_h, m_h, l_h = attn_ops.decode_attention(
                 q, kc, vc, li, table_a, ctx_a - 1, sm_scale=sm_scale,
                 select_mask=select_mask, page_pos=page_pos,
@@ -742,7 +853,27 @@ def decode_forward(
          query_cache, topk0),
         _layer_xs(params, spec, extra),
     )
-    if rt.kv_quant:
+    if rt.kv_quant and rt.kv_quant_bits == 2:
+        # batched post-scan writes: current token -> raw tail buffer;
+        # flushed-page channel scales -> scale arrays (payload pages were
+        # stored in-scan; in-scan SCALE writes would force whole-array
+        # copies per layer once the kernel reads them).
+        vsc, kch, tail = kv_scales
+        k_tok, v_tok, ks_pg, kz_pg, vs_pg, vz_pg, dest_pg = step_scales
+        l = k_tok.shape[0]
+        bsz = k_tok.shape[1]
+        ctx_all = plan["ctx_lens"]  # [L, B]
+        slot = (ctx_all - 1) % tail.shape[3]
+        lix = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32)[:, None],
+                               (l, bsz))
+        rows2 = jnp.broadcast_to(plan["row_ids"][None, :], (l, bsz))
+        tail = tail.at[0, lix, rows2, slot].set(k_tok, mode="drop")
+        tail = tail.at[1, lix, rows2, slot].set(v_tok, mode="drop")
+        vsc, kch = quant_ops.scatter_flush_scales_int2(
+            vsc, kch, ks_pg, kz_pg, vs_pg, vz_pg, dest_pg
+        )
+        kv_scales = (vsc, kch, tail)
+    elif rt.kv_quant:
         # ONE batched scale write for the whole step (all layers). In-scan
         # writes would force a whole-array copy per layer once the
         # attention kernel reads the scales (measured; see

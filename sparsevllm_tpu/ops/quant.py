@@ -379,6 +379,28 @@ def dequantize_page_v_int2(
     return q * scale[..., None] + zero[..., None]
 
 
+def scatter_flush_scales_int2(
+    kv_scales: jax.Array,  # [2, L, pages, P, Nkv] f32 (vs, vz)
+    k_ch_scales: jax.Array,  # [2, L, pages, P//G, Nkv, Dh] f32 (ks, kz)
+    ks: jax.Array,  # [L, B, P//G, Nkv, Dh]
+    kz: jax.Array,
+    vs: jax.Array,  # [L, B, P, Nkv]
+    vz: jax.Array,
+    dest_page: jax.Array,  # [L, B] int32; <0 drops (off-boundary steps)
+):
+    """One batched KIVI-2 flush-scale write for a whole decode step (all
+    layers; payload pages were stored in-scan — scales must not be, see
+    store_kv_quant_payload)."""
+    l, bsz = dest_page.shape
+    lix = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32)[:, None],
+                           (l, bsz))
+    kv_scales = kv_scales.at[0, lix, dest_page].set(vs, mode="drop")
+    kv_scales = kv_scales.at[1, lix, dest_page].set(vz, mode="drop")
+    k_ch_scales = k_ch_scales.at[0, lix, dest_page].set(ks, mode="drop")
+    k_ch_scales = k_ch_scales.at[1, lix, dest_page].set(kz, mode="drop")
+    return kv_scales, k_ch_scales
+
+
 def store_pages_int2(
     k_cache: jax.Array,  # [L, pages, P, Nkv, Dh//4] int8
     v_cache: jax.Array,

@@ -16,12 +16,19 @@ CHUNK = 256
 KEEP = 320
 
 
-def _engine(threshold):
+# routing is residency-aware (scheduler.add): a long prompt streams only
+# when DENSE admission cannot ever fit the pool. Dense cost here is
+# ceil(701/8) + ceil(KEEP/8) = 128 pages, so 120 pages forces streaming
+# while 256 keeps the resident path.
+STREAM_PAGES = 120
+
+
+def _engine(threshold, pages=256):
     return LLMEngine(
         tiny_random=True,
         dtype="float32",
         page_size=8,
-        num_kv_pages=256,
+        num_kv_pages=pages,
         max_model_len=1024,
         chunk_prefill_size=CHUNK,
         max_num_batched_tokens=1024,
@@ -55,14 +62,15 @@ def prompt():
 
 def test_streamed_matches_resident(prompt):
     res = _generate(_engine(threshold=0), list(prompt), steps=12)
-    eng_s = _engine(threshold=CHUNK)  # prompt > chunk -> streamed
+    # prompt > chunk AND dense admission exceeds the pool -> streamed
+    eng_s = _engine(threshold=CHUNK, pages=STREAM_PAGES)
     st = _generate(eng_s, list(prompt), steps=12)
     assert res.output_token_ids == st.output_token_ids
     assert res.finish_reason == st.finish_reason
 
 
 def test_streamed_row_state(prompt):
-    eng = _engine(threshold=CHUNK)
+    eng = _engine(threshold=CHUNK, pages=STREAM_PAGES)
     eng.add_request(
         prompt_token_ids=list(prompt),
         sampling_params=SamplingParams(
@@ -84,6 +92,20 @@ def test_streamed_row_state(prompt):
     assert seq.seq_id not in eng.executor.streamed._archives
     while eng.scheduler.has_work:
         eng.step()
+
+
+def test_routing_prefers_resident_when_pool_fits(prompt):
+    """Above-threshold prompts whose dense admission FITS the pool take
+    the resident paged-kernel path (the archive re-stream is strictly
+    slower whenever residency is possible, e.g. quantized 128K)."""
+    eng = _engine(threshold=CHUNK)  # 256 pages: dense cost 128 fits
+    eng.add_request(
+        prompt_token_ids=list(prompt),
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=2),
+    )
+    (seq,) = eng.scheduler.waiting
+    assert not getattr(seq, "streamed_prefill", False)
+    eng.abort_request(seq.seq_id)
 
 
 def test_streamed_admission_fits_small_pool(prompt):
