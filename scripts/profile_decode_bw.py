@@ -32,7 +32,7 @@ def bench(B, MP, P, Nkv, Nq, Dh, dtype, quant=None, iters=50):
         vc = jnp.asarray(rng.integers(-8, 8, (L, pages, P, Nkv, Dh)),
                          jnp.int8)
         scales = jnp.asarray(
-            rng.uniform(0.01, 0.02, (2, L, pages, P, Nkv)), jnp.float32)
+            rng.uniform(0.01, 0.02, (2, L, pages, Nkv, P)), jnp.float32)
         kv_bytes = 1
     else:
         kc = jnp.asarray(rng.standard_normal((L, pages, P, Nkv, Dh)), dtype)

@@ -80,7 +80,7 @@ def main():
     vc8 = jnp.zeros_like(kc8)
     kcb = jnp.zeros((L, pages, p, nkv, dh), jnp.bfloat16)
     vcb = jnp.zeros_like(kcb)
-    scales = jnp.ones((2, L, pages, p, nkv), jnp.float32)
+    scales = jnp.ones((2, L, pages, nkv, p), jnp.float32)
     k_new = jnp.asarray(rng.normal(size=(b, nkv, dh)), jnp.bfloat16)
     v_new = jnp.asarray(rng.normal(size=(b, nkv, dh)), jnp.bfloat16)
     dest = jnp.arange(b, dtype=jnp.int32) * p + 3
@@ -176,7 +176,7 @@ def megastep_probe():
     vc8 = jnp.zeros_like(kc8)
     kcb = jnp.zeros((L, pages, p, nkv, dh), jnp.bfloat16)
     vcb = jnp.zeros_like(kcb)
-    scales = jnp.ones((2, L, pages, p, nkv), jnp.float32)
+    scales = jnp.ones((2, L, pages, nkv, p), jnp.float32)
     k_new = jnp.asarray(rng.normal(size=(b, nkv, dh)), jnp.bfloat16)
     v_new = jnp.asarray(rng.normal(size=(b, nkv, dh)), jnp.bfloat16)
     q = jnp.asarray(rng.normal(size=(b, nq, dh)), jnp.bfloat16)

@@ -29,7 +29,7 @@ def run_case(ctx, chunk, dtype, block_s, kp, nkv=8, nq=24, dh=128, p=128,
         vc = jnp.asarray(rng.integers(0, 255, (1, pages, p, nkv, dh // 2)),
                          jnp.uint8).view(jnp.int8)
         scales = jnp.asarray(
-            rng.uniform(0.01, 0.02, (4, 1, pages, p, nkv)), jnp.float32)
+            rng.uniform(0.01, 0.02, (4, 1, pages, nkv, p)), jnp.float32)
     else:
         kc = jnp.asarray(rng.standard_normal((1, pages, p, nkv, dh)),
                          jnp.bfloat16)

@@ -39,7 +39,7 @@ def run_case(L, pages, P, Nkv, Dh, Nq, B, MP, S, dtype, quant=False):
         kc = jnp.asarray(rng.integers(-127, 128, size=kshape), jnp.int8)
         vc = jnp.asarray(rng.integers(-127, 128, size=kshape), jnp.int8)
         scales = jnp.asarray(
-            rng.uniform(0.005, 0.02, size=(2, L, pages, P, Nkv)), jnp.float32)
+            rng.uniform(0.005, 0.02, size=(2, L, pages, Nkv, P)), jnp.float32)
     else:
         kc = jnp.asarray(rng.normal(size=kshape), dtype)
         vc = jnp.asarray(rng.normal(size=kshape), dtype)
@@ -125,7 +125,7 @@ def run_case_int4(L, pages, P, Nkv, Dh, Nq, B, MP, S):
     rng = _np.random.default_rng(1)
     kc = jnp.zeros((L, pages, P, Nkv, Dh // 2), jnp.int8)
     vc = jnp.zeros_like(kc)
-    scales = jnp.ones((4, L, pages, P, Nkv), jnp.float32)
+    scales = jnp.ones((4, L, pages, Nkv, P), jnp.float32)
     k_new = jnp.asarray(rng.normal(size=(pages * P, Nkv, Dh)), jnp.float32)
     v_new = jnp.asarray(rng.normal(size=(pages * P, Nkv, Dh)), jnp.float32)
     dest = jnp.arange(pages * P, dtype=jnp.int32)

@@ -94,14 +94,18 @@ class ModelExecutor:
         kv_shape = (l, num_pages, p, spec.num_kv_heads, cdh)
         self.k_cache = jnp.zeros(kv_shape, self.kv_dtype)
         self.v_cache = jnp.zeros(kv_shape, self.kv_dtype)
-        # per-slot dequant params (int8: k/v scales; int4: + k/v zeros).
-        # KIVI-2 carries a pytree instead: (V scale/zero planes, per-
-        # channel K scales over kivi_group_size token groups, and the raw
-        # bf16 TAIL page per row — the fp-residual window).
+        # per-slot dequant params (int8: k/v scales; int4: + k/v zeros),
+        # [planes, L, pages, Nkv, P]: one exact (8,128) f32 tile per
+        # (plane, layer, page) — the token-major [.., P, Nkv] shape padded
+        # 16x in tiled form and broke the 128K prefill-bucket COMPILE
+        # (ops/quant.py module docstring). KIVI-2 carries a pytree:
+        # (V scale/zero planes, per-channel K scales over kivi_group_size
+        # token groups, and the raw bf16 TAIL page per row — the
+        # fp-residual window).
         if kv_bits == 2:
             g = config.kivi_group_size
             self.kv_scales = (
-                jnp.ones((2, l, num_pages, p, spec.num_kv_heads),
+                jnp.ones((2, l, num_pages, spec.num_kv_heads, p),
                          jnp.float32),
                 jnp.ones((2, l, num_pages, p // g, spec.num_kv_heads,
                           spec.head_dim), jnp.float32),
@@ -110,8 +114,8 @@ class ModelExecutor:
             )
         else:
             self.kv_scales = (
-                jnp.ones((4 if kv_bits == 4 else 2, l, num_pages, p,
-                          spec.num_kv_heads), jnp.float32)
+                jnp.ones((4 if kv_bits == 4 else 2, l, num_pages,
+                          spec.num_kv_heads, p), jnp.float32)
                 if kv_quant else None
             )
         self.tables = jnp.zeros(
@@ -1044,10 +1048,10 @@ def _compact_impl(
             )
             kvix = jnp.broadcast_to(kvix, lix2.shape)
             gathered_s = scales[
-                kvix, lix2, src_pg[None], src_off[None]
-            ]  # [nplanes, B, N, Nkv]
+                kvix, lix2, src_pg[None], :, src_off[None]
+            ]  # [nplanes, B, N, Nkv] (advanced dims first, slice last)
             scales = scales.at[
-                kvix, lix2, dst_pg[None], dst_off[None]
+                kvix, lix2, dst_pg[None], :, dst_off[None]
             ].set(gathered_s, mode="drop")
         mpk = npg.shape[1]
         tables = tables.at[li, rows, :mpk].set(npg)

@@ -318,7 +318,7 @@ def prefill_forward(
     spec: ModelSpec,
     rt: StepRuntime,
     quest_meta: jax.Array | None = None,
-    kv_scales: jax.Array | None = None,  # [2, L, pages, P, Nkv] (kv_quant)
+    kv_scales: jax.Array | None = None,  # [2, L, pages, Nkv, P] (kv_quant)
     tables: jax.Array | None = None,  # [L, R, MPt] PER-LAYER page tables
     mp: int = 0,  # table-page bucket (with ``tables``)
 ):
@@ -487,7 +487,7 @@ def decode_forward(
     mp_bucket: int,
     is_full_layer: jax.Array | None = None,  # [L] bool (decode_select)
     quest_meta: jax.Array | None = None,
-    kv_scales: jax.Array | None = None,  # [2, L, pages, P, Nkv] (kv_quant)
+    kv_scales: jax.Array | None = None,  # [2, L, pages, Nkv, P] (kv_quant)
     query_cache: jax.Array | None = None,  # [L, R, Qc, Nq, Dh] (rkv/skipkv)
     steer_vec: jax.Array | None = None,  # [L, H] steering vectors (skipkv)
     dk: dict | None = None,  # DeltaKV latent/center state (ops/deltakv.py)
@@ -667,7 +667,9 @@ def decode_forward(
                 off = dest % page_size
                 lsc = jax.lax.dynamic_index_in_dim(kv_scales, li, 1, False)
                 for _i, _v in enumerate(step_scales):
-                    lsc = lsc.at[_i, pg, off].set(_v, mode="drop")
+                    # lsc is [planes, pages, Nkv, P]; advanced dims (pg,
+                    # off) straddle the Nkv slice -> result dims lead: [B, Nkv]
+                    lsc = lsc.at[_i, pg, :, off].set(_v, mode="drop")
                 return lsc
 
             def full_attn(q):
@@ -789,7 +791,8 @@ def decode_forward(
                     lsc = jax.lax.dynamic_index_in_dim(
                         kv_scales, li, 1, False)
                     for _i, _v in enumerate(step_scales):
-                        lsc = lsc.at[_i, pg, off].set(_v, mode="drop")
+                        # [planes, pages, Nkv, P]: see _patched_lsc note
+                        lsc = lsc.at[_i, pg, :, off].set(_v, mode="drop")
                     return ref_ops.decode_attention_ref(
                         q,
                         jax.lax.dynamic_index_in_dim(kc, li, 0, False),

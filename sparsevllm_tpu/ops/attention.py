@@ -70,7 +70,7 @@ def prefill_attention(
     sm_scale: float,
     obs_window: int = 0,
     score_pooling: int = 0,
-    kv_scales=None,  # [2, L, pages, P, Nkv] f32 (int8 cache) or None
+    kv_scales=None,  # [2, L, pages, Nkv, P] f32 (int8 cache) or None
     k_ch_scales=None,  # [2, L, pages, P//G, Nkv, Dh] f32 (KIVI-2) or None
     impl: str = "ref",
 ):
@@ -107,7 +107,7 @@ def decode_attention(
     emit_scores: bool = False,
     select_mask: jax.Array | None = None,
     page_pos: jax.Array | None = None,
-    kv_scales=None,  # [2, L, pages, P, Nkv] f32 (int8 cache) or None
+    kv_scales=None,  # [2, L, pages, Nkv, P] f32 (int8 cache) or None
     k_ch_scales=None,  # [2, L, pages, P//G, Nkv, Dh] f32 (KIVI-2) or None
     impl: str = "ref",
     return_stats: bool = False,

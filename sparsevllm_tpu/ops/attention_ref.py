@@ -81,21 +81,21 @@ def gather_pages(
 
 def gather_dequant(
     cache: jax.Array,  # [num_pages, P, Nkv, Dh] int8
-    scales: jax.Array,  # [num_pages, P, Nkv] f32 per-slot scales
+    scales: jax.Array,  # [num_pages, Nkv, P] f32 per-slot scales
     page_table: jax.Array,
 ) -> jax.Array:
     """Gather + dequantize an int8 cache: [B, Nkv, K, Dh] fp32."""
     vals = gather_pages(cache, page_table).astype(jnp.float32)
-    sc = scales[page_table]  # [B, MP, P, Nkv]
-    b, mp, p, nkv = sc.shape
-    sc = sc.transpose(0, 3, 1, 2).reshape(b, nkv, mp * p, 1)
+    sc = scales[page_table]  # [B, MP, Nkv, P]
+    b, mp, nkv, p = sc.shape
+    sc = sc.transpose(0, 2, 1, 3).reshape(b, nkv, mp * p, 1)
     return vals * sc.astype(jnp.float32)
 
 
 def gather_dequant_u4(
     cache: jax.Array,  # [num_pages, P, Nkv, Dh//2] int8 split-half packed
-    scales: jax.Array,  # [num_pages, P, Nkv] f32
-    zeros: jax.Array,  # [num_pages, P, Nkv] f32
+    scales: jax.Array,  # [num_pages, Nkv, P] f32
+    zeros: jax.Array,  # [num_pages, Nkv, P] f32
     page_table: jax.Array,
 ) -> jax.Array:
     """Gather + dequantize an int4 (KIVI-4) cache: [B, Nkv, K, Dh] fp32.
@@ -107,10 +107,10 @@ def gather_dequant_u4(
     hi = ((pk >> 4) & 15).astype(jnp.float32)
     q = jnp.concatenate([lo, hi], axis=-1)  # [B, Nkv, K, Dh]
 
-    def _flat(x):  # [pages, P, Nkv] -> [B, Nkv, K, 1]
+    def _flat(x):  # [pages, Nkv, P] -> [B, Nkv, K, 1]
         g = x[page_table]
-        b, mp, p, nkv = g.shape
-        return g.transpose(0, 3, 1, 2).reshape(b, nkv, mp * p, 1)
+        b, mp, nkv, p = g.shape
+        return g.transpose(0, 2, 1, 3).reshape(b, nkv, mp * p, 1)
 
     return q * _flat(scales).astype(jnp.float32) + _flat(zeros).astype(
         jnp.float32)
@@ -137,7 +137,7 @@ def gather_dequant_int2_k(
 
 def gather_dequant_int2_v(
     cache: jax.Array,  # [num_pages, P, Nkv, Dh//4] int8 quarter-packed
-    scales: jax.Array,  # [num_pages, P, Nkv] f32
+    scales: jax.Array,  # [num_pages, Nkv, P] f32
     zeros: jax.Array,
     page_table: jax.Array,
 ) -> jax.Array:
@@ -147,7 +147,9 @@ def gather_dequant_int2_v(
 
     pv = cache[page_table]
     d = quant_ops.dequantize_page_v_int2(
-        pv, scales[page_table], zeros[page_table]
+        pv,
+        jnp.swapaxes(scales[page_table], -1, -2),
+        jnp.swapaxes(zeros[page_table], -1, -2),
     )
     b, mp, p, nkv, dh = d.shape
     return d.transpose(0, 3, 1, 2, 4).reshape(b, nkv, mp * p, dh)
@@ -191,7 +193,7 @@ def prefill_attention_ref(
     sm_scale: float,
     obs_window: int = 0,
     score_pooling: int = 0,
-    kv_scales: jax.Array | None = None,  # [2, pages, P, Nkv] int8 dequant
+    kv_scales: jax.Array | None = None,  # [2, pages, Nkv, P] int8 dequant
     k_ch_scales: jax.Array | None = None,  # [2, pages, P//G, Nkv, Dh] KIVI-2
 ) -> tuple[jax.Array, jax.Array | None]:
     """Chunked-prefill causal attention over the paged cache.
@@ -264,7 +266,7 @@ def decode_attention_ref(
     emit_scores: bool = False,
     select_mask: jax.Array | None = None,  # [B, max_pages*P] bool, extra mask
     page_pos: jax.Array | None = None,  # [B, max_pages] logical page index
-    kv_scales: jax.Array | None = None,  # [2, pages, P, Nkv] int8 dequant
+    kv_scales: jax.Array | None = None,  # [2, pages, Nkv, P] int8 dequant
     k_ch_scales: jax.Array | None = None,  # [2, pages, P//G, Nkv, Dh] KIVI-2
     return_stats: bool = False,
 ) -> tuple[jax.Array, jax.Array | None]:
@@ -348,7 +350,7 @@ def prefill_obs_scores_blockwise(
     sm_scale: float,
     obs_window: int,
     score_pooling: int = 0,
-    kv_scales: jax.Array | None = None,  # [2|4, pages, P, Nkv]
+    kv_scales: jax.Array | None = None,  # [2|4, pages, Nkv, P]
     block_pages: int = 8,
 ) -> jax.Array:
     """SnapKV observation scores with bounded memory at any context length.

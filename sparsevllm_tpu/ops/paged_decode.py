@@ -26,7 +26,7 @@ and a late-normalization pass outside rescales by exp(m_page - m_final) /
 l_final — exact softmax scores without a second K sweep (a separate score
 pass measured slower than the ref gather it replaced).
 
-int8/int4 KV dequantize whole pages in-kernel from raw [P, Nkv] scale
+int8/int4 KV dequantize whole pages in-kernel from raw [Nkv, P] scale
 (+zero) blocks; ``return_stats`` additionally emits the final online-softmax
 (m, l) so callers can merge extra tokens exactly outside the kernel (the
 quantized decode path defers the current token this way).
@@ -58,10 +58,10 @@ def _decode_kernel(
     q_ref,  # [1, Nq, Dh]
     k_refs,  # R x [1, 1, P, Nkv, Dh] (kv dtype or int8; token-major)
     v_refs,  # R x [1, 1, P, Nkv, Dh]
-    ks_refs,  # R x [1, 1, 1, P, Nkv] f32 K scales (int2: V scales) (or None)
-    vs_refs,  # R x [1, 1, 1, P, Nkv] f32 V scales (int2: V zeros) (or None)
-    kz_refs,  # R x [1, 1, 1, P, Nkv] f32 K zeros (int4 only, or None)
-    vz_refs,  # R x [1, 1, 1, P, Nkv] f32 V zeros (int4 only, or None)
+    ks_refs,  # R x [1, 1, 1, Nkv, P] f32 K scales (int2: V scales) (or None)
+    vs_refs,  # R x [1, 1, 1, Nkv, P] f32 V scales (int2: V zeros) (or None)
+    kz_refs,  # R x [1, 1, 1, Nkv, P] f32 K zeros (int4 only, or None)
+    vz_refs,  # R x [1, 1, 1, Nkv, P] f32 V zeros (int4 only, or None)
     kch_s_refs,  # R x [1, 1, 1, P//G, Nkv, Dh] f32 KIVI-2 per-channel K
     kch_z_refs,  # R x ... K channel zeros (int2 only, or None)
     mask_ref,  # [1, R, 1, P*Nkv] int8 select mask, pre-expanded (or None)
@@ -139,14 +139,14 @@ def _decode_kernel(
                 qv = jnp.concatenate(
                     [((pv >> (2 * j)) & 3).astype(jnp.float32)
                      for j in range(4)], axis=-1)  # [P, Nkv, Dh]
-                sc = sc_ref[0, 0, 0][:, :, None]  # vs plane
-                zz = zz_ref[0, 0, 0][:, :, None]  # vz plane
+                sc = sc_ref[0, 0, 0].T[:, :, None]  # vs plane
+                zz = zz_ref[0, 0, 0].T[:, :, None]  # vz plane
                 d = qv * sc + zz
                 return d.reshape(page_size * nkv, -1).astype(mm_dtype)
             if zz_ref is not None:  # int4 packed [P, Nkv, Dh/2]
                 pk = ref[0, 0].astype(jnp.int32)
-                sc = sc_ref[0, 0, 0][:, :, None]
-                zz = zz_ref[0, 0, 0][:, :, None]
+                sc = sc_ref[0, 0, 0].T[:, :, None]
+                zz = zz_ref[0, 0, 0].T[:, :, None]
                 half = ref.shape[4]
                 dlo = ((pk & 15).astype(jnp.float32) * sc + zz).reshape(
                     page_size * nkv, half)
@@ -156,7 +156,8 @@ def _decode_kernel(
             x3 = ref[0, 0]  # [P, Nkv, Dh]
             if sc_ref is not None:
                 x3 = (
-                    x3.astype(jnp.float32) * sc_ref[0, 0, 0][:, :, None]
+                    x3.astype(jnp.float32)
+                    * sc_ref[0, 0, 0].T[:, :, None]
                 )
             return x3.reshape(page_size * nkv, -1).astype(mm_dtype)
 
@@ -336,9 +337,11 @@ def _decode_pallas_impl(
         return imap
 
     def plane_imap(plane, j):
-        # RAW [P, Nkv] scale blocks (full array dims — legal). No outside
-        # flat view: with scales in the megastep scan carry, XLA would
-        # re-materialize the [.., 1, P*Nkv] relayout per layer.
+        # RAW [Nkv, P] scale blocks — one exact (8,128) tile per page
+        # (the transposed [P, Nkv] form padded 16x in VMEM and HBM; the
+        # kernel transposes in-register instead). No outside flat view:
+        # with scales in the megastep scan carry, XLA would re-materialize
+        # a relayout per layer.
         def imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
             return (plane, lidx_ref[0], table_ref[bb, i * r + j], 0, 0)
         return imap
@@ -365,7 +368,7 @@ def _decode_pallas_impl(
                                      memory_space=pltpu.VMEM))
         args += [k_cache, v_cache]
         for plane in planes:
-            in_specs.append(pl.BlockSpec((1, 1, 1, p, nkv),
+            in_specs.append(pl.BlockSpec((1, 1, 1, nkv, p),
                                          plane_imap(plane, j),
                                          memory_space=pltpu.VMEM))
             args.append(kv_scales)

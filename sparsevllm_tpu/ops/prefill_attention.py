@@ -50,7 +50,7 @@ def _prefill_kernel(
     q_ref,  # [1, Nkv, BS, G, Dh]
     k_refs,  # KP x [1, 1, P, Nkv, Dh] (kv dtype or int8; token-major pages)
     v_refs,
-    ks_refs,  # KP x [1, 1, 1, P, Nkv] f32 K scales (int2: V scales) or None
+    ks_refs,  # KP x [1, 1, 1, Nkv, P] f32 K scales (int2: V scales) or None
     vs_refs,  # KP x ... V scales (int2: V zeros) or None
     kz_refs,  # KP x ... K zeros (int4 only) or None
     vz_refs,
@@ -127,20 +127,21 @@ def _prefill_kernel(
             qv = jnp.concatenate(
                 [((pv >> (2 * j)) & 3).astype(jnp.float32)
                  for j in range(4)], axis=-1)  # [P, Dh]
-            sc = sc_ref[0, 0, 0, :, hh : hh + 1]  # vs plane [P, 1]
-            zz = zz_ref[0, 0, 0, :, hh : hh + 1]  # vz plane
+            sc = sc_ref[0, 0, 0, hh : hh + 1, :].T  # vs plane -> [P, 1]
+            zz = zz_ref[0, 0, 0, hh : hh + 1, :].T  # vz plane
             return (qv * sc + zz).astype(mm_dtype)
         if zz_ref is not None:  # int4 split-half packed [P, Dh/2]
             pk = ref[0, 0, :, hh, :].astype(jnp.int32)
-            sc = sc_ref[0, 0, 0, :, hh : hh + 1]  # [P, 1]
-            zz = zz_ref[0, 0, 0, :, hh : hh + 1]
+            sc = sc_ref[0, 0, 0, hh : hh + 1, :].T  # [P, 1]
+            zz = zz_ref[0, 0, 0, hh : hh + 1, :].T
             dlo = (pk & 15).astype(jnp.float32) * sc + zz
             dhi = ((pk >> 4) & 15).astype(jnp.float32) * sc + zz
             return jnp.concatenate([dlo, dhi], axis=1).astype(mm_dtype)
         x = ref[0, 0, :, hh, :]  # [P, Dh]
         if sc_ref is not None:
             x = (
-                x.astype(jnp.float32) * sc_ref[0, 0, 0, :, hh : hh + 1]
+                x.astype(jnp.float32)
+                * sc_ref[0, 0, 0, hh : hh + 1, :].T
             )
         return x.astype(mm_dtype)
 
@@ -318,7 +319,10 @@ def _prefill_pallas(
 
         for plane in ([0, 1, 2, 3] if quant4 else [0, 1]):
             for j in range(kp):
-                in_specs.append(pl.BlockSpec((1, 1, 1, p, nkv),
+                # [Nkv, P] blocks: one exact (8,128) tile per page (the
+                # [P, Nkv] form padded 16x in VMEM/DMA); per-head rows
+                # transpose in-register inside the kernel.
+                in_specs.append(pl.BlockSpec((1, 1, 1, nkv, p),
                                              plane_imap(plane, j),
                                              memory_space=pltpu.VMEM))
                 args.append(kv_scales)

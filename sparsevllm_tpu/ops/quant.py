@@ -9,12 +9,16 @@ round-half-even (quant.py:19-27 — rounding choice is accuracy-visible):
     split-half packed, 4 scale planes (k/v scale + k/v zero).
   * int4 grouped (deltakv latents): last-dim grouped pack/unpack.
 
-Scales layout: kv_scales[2(k,v), L, pages, P, Nkv] fp32 — token-major like
-the payload (ops/attention_ref.py docstring), addressed with the same page
-table; K and V keep separate leading planes so the attention kernels get a
-FREE contiguous [pages, 1, P*Nkv] flat view per plane (a combined
-[..., 2, Nkv] layout would make that view strided and force a copy before
-every pallas_call).
+Scales layout: kv_scales[2(k,v), L, pages, Nkv, P] fp32 — PAGE-major with
+(Nkv, P) minor: one exact (8, 128) f32 tile per (plane, layer, page), so
+the array's canonical layout is padding-free. The earlier token-major
+[..., P, Nkv] shape put Nkv=8 on the lane axis: its tiled form padded 16x
+(8.5 GiB at a 128K-token pool) and pallas consumption materialized that
+padded form — the 128K prefill bucket failed to COMPILE (17 GiB HLO temps)
+and relayout copies inflated prefill wall time. Kernels take per-page
+[Nkv, P] blocks and transpose in-register (one (8,128) tile, Mosaic-legal,
+measured free); stores write token rows strided / page rows contiguous
+(both measured < 0.1 ms at the 128K pool).
 """
 
 from __future__ import annotations
@@ -42,7 +46,7 @@ def dequantize_rows(q: jax.Array, scale: jax.Array) -> jax.Array:
 def store_kv_quant_layer(
     k_cache: jax.Array,  # [L, pages, P, Nkv, Dh] int8
     v_cache: jax.Array,
-    kv_scales: jax.Array,  # [2, L, pages, P, Nkv] f32
+    kv_scales: jax.Array,  # [2, L, pages, Nkv, P] f32
     layer_idx,
     k_new: jax.Array,  # [..., Nkv, Dh]
     v_new: jax.Array,
@@ -51,9 +55,8 @@ def store_kv_quant_layer(
     """Quantize + scatter new K/V token rows into layer ``layer_idx``.
 
     Payload rows are [Nkv*Dh] int8 (1 KiB at 8x128) — wide enough for XLA's
-    in-place scatter. Scale rows are [Nkv] f32 (narrow; XLA may copy the
-    scales plane), but the scales array is ~1/128 the payload so a copy per
-    prefill-chunk layer is noise."""
+    in-place scatter. Scale rows land at [.., :, off] (Nkv strided
+    elements; measured in-place and < 0.1 ms at a 128K pool)."""
     l, pages, p, nkv, dh = k_cache.shape
     kq, ks = quantize_rows(k_new.reshape(-1, nkv, dh))  # [T,Nkv,Dh],[T,Nkv]
     vq, vs = quantize_rows(v_new.reshape(-1, nkv, dh))
@@ -66,8 +69,8 @@ def store_kv_quant_layer(
     off = dest % p
     k_out = k_cache.at[lix, page, off].set(kq, mode="drop")
     v_out = v_cache.at[lix, page, off].set(vq, mode="drop")
-    kv_scales = kv_scales.at[0, lix, page, off].set(ks, mode="drop")
-    kv_scales = kv_scales.at[1, lix, page, off].set(vs, mode="drop")
+    kv_scales = kv_scales.at[0, lix, page, :, off].set(ks, mode="drop")
+    kv_scales = kv_scales.at[1, lix, page, :, off].set(vs, mode="drop")
     return k_out, v_out, kv_scales
 
 
@@ -99,18 +102,19 @@ def store_kv_quant_payload(
 
 
 def scatter_scales_batch(
-    kv_scales: jax.Array,  # [NP, L, pages, P, Nkv] f32 (NP=2 int8, 4 int4)
+    kv_scales: jax.Array,  # [NP, L, pages, Nkv, P] f32 (NP=2 int8, 4 int4)
     planes,  # tuple of [L, B, Nkv] arrays, one per leading plane
     dest_slots: jax.Array,  # [L, B] int32; <0 drops
 ) -> jax.Array:
     """One batched scale write for a whole decode step (all layers)."""
     l, b, nkv = planes[0].shape
-    p = kv_scales.shape[3]
+    p = kv_scales.shape[4]
     lix = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32)[:, None], (l, b))
     page = jnp.where(dest_slots >= 0, dest_slots // p, -1)
     off = dest_slots % p
     for i, vals in enumerate(planes):
-        kv_scales = kv_scales.at[i, lix, page, off].set(vals, mode="drop")
+        kv_scales = kv_scales.at[i, lix, page, :, off].set(
+            vals, mode="drop")
     return kv_scales
 
 
@@ -163,7 +167,7 @@ def unpack_int4_groups(
 def store_kv_quant_layer_u4(
     k_cache: jax.Array,  # [L, pages, P, Nkv, Dh//2] int8 packed
     v_cache: jax.Array,
-    kv_scales: jax.Array,  # [4, L, pages, P, Nkv] f32 (ks, vs, kz, vz)
+    kv_scales: jax.Array,  # [4, L, pages, Nkv, P] f32 (ks, vs, kz, vz)
     layer_idx,
     k_new: jax.Array,  # [..., Nkv, Dh]
     v_new: jax.Array,
@@ -182,7 +186,8 @@ def store_kv_quant_layer_u4(
     k_out = k_cache.at[lix, page, off].set(kq, mode="drop")
     v_out = v_cache.at[lix, page, off].set(vq, mode="drop")
     for i, vals in enumerate((ks, vs, kz, vz)):
-        kv_scales = kv_scales.at[i, lix, page, off].set(vals, mode="drop")
+        kv_scales = kv_scales.at[i, lix, page, :, off].set(
+            vals, mode="drop")
     return k_out, v_out, kv_scales
 
 
@@ -279,7 +284,7 @@ def unpack_int2_groups(
 #
 #   k/v payload  [P, Nkv, Dh//4] int8
 #   K scales     [P//G, Nkv, Dh] f32 x2 (scale, zero) — G = kivi_group_size
-#   V scales     [P, Nkv]        f32 x2 (scale, zero) — same planes as int4
+#   V scales     [Nkv, P]        f32 x2 (scale, zero) — same planes as int4
 # ---------------------------------------------------------------------------
 
 
@@ -380,11 +385,11 @@ def dequantize_page_v_int2(
 
 
 def scatter_flush_scales_int2(
-    kv_scales: jax.Array,  # [2, L, pages, P, Nkv] f32 (vs, vz)
+    kv_scales: jax.Array,  # [2, L, pages, Nkv, P] f32 (vs, vz)
     k_ch_scales: jax.Array,  # [2, L, pages, P//G, Nkv, Dh] f32 (ks, kz)
     ks: jax.Array,  # [L, B, P//G, Nkv, Dh]
     kz: jax.Array,
-    vs: jax.Array,  # [L, B, P, Nkv]
+    vs: jax.Array,  # [L, B, P, Nkv] (token-major; transposed here)
     vz: jax.Array,
     dest_page: jax.Array,  # [L, B] int32; <0 drops (off-boundary steps)
 ):
@@ -394,8 +399,10 @@ def scatter_flush_scales_int2(
     l, bsz = dest_page.shape
     lix = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32)[:, None],
                            (l, bsz))
-    kv_scales = kv_scales.at[0, lix, dest_page].set(vs, mode="drop")
-    kv_scales = kv_scales.at[1, lix, dest_page].set(vz, mode="drop")
+    vs_t = jnp.swapaxes(vs, -1, -2)  # [L, B, Nkv, P]
+    vz_t = jnp.swapaxes(vz, -1, -2)
+    kv_scales = kv_scales.at[0, lix, dest_page].set(vs_t, mode="drop")
+    kv_scales = kv_scales.at[1, lix, dest_page].set(vz_t, mode="drop")
     k_ch_scales = k_ch_scales.at[0, lix, dest_page].set(ks, mode="drop")
     k_ch_scales = k_ch_scales.at[1, lix, dest_page].set(kz, mode="drop")
     return kv_scales, k_ch_scales
@@ -404,7 +411,7 @@ def scatter_flush_scales_int2(
 def store_pages_int2(
     k_cache: jax.Array,  # [L, pages, P, Nkv, Dh//4] int8
     v_cache: jax.Array,
-    kv_scales: jax.Array,  # [2, L, pages, P, Nkv] f32 (vs, vz)
+    kv_scales: jax.Array,  # [2, L, pages, Nkv, P] f32 (vs, vz)
     k_ch_scales: jax.Array,  # [2, L, pages, P//G, Nkv, Dh] f32 (ks, kz)
     layer_idx,
     k_new: jax.Array,  # [NPg, P, Nkv, Dh] whole (possibly partial) pages
@@ -417,14 +424,16 @@ def store_pages_int2(
     the final partial page quantizes over masked stats and is additionally
     kept raw in the tail buffer for decode)."""
     kq, ks, kz = quantize_page_k_int2(k_new, group, valid_len)
-    vq, vs, vz = quantize_page_v_int2(v_new)
+    vq, vs, vz = quantize_page_v_int2(v_new)  # vs/vz [NPg, P, Nkv]
     lix = jnp.broadcast_to(jnp.asarray(layer_idx, dest_page.dtype),
                            dest_page.shape)
     pg = dest_page
     k_cache = k_cache.at[lix, pg].set(kq, mode="drop")
     v_cache = v_cache.at[lix, pg].set(vq, mode="drop")
-    kv_scales = kv_scales.at[0, lix, pg].set(vs, mode="drop")
-    kv_scales = kv_scales.at[1, lix, pg].set(vz, mode="drop")
+    kv_scales = kv_scales.at[0, lix, pg].set(
+        jnp.swapaxes(vs, -1, -2), mode="drop")
+    kv_scales = kv_scales.at[1, lix, pg].set(
+        jnp.swapaxes(vz, -1, -2), mode="drop")
     k_ch_scales = k_ch_scales.at[0, lix, pg].set(ks, mode="drop")
     k_ch_scales = k_ch_scales.at[1, lix, pg].set(kz, mode="drop")
     return k_cache, v_cache, kv_scales, k_ch_scales

@@ -149,10 +149,10 @@ def shard_executor_state(ex) -> None:
     ex.v_cache = jax.device_put(ex.v_cache, kvs)
     ex.tables = jax.device_put(ex.tables, replicated(mesh))
     if getattr(ex, "kv_scales", None) is not None:
-        # [2, L, pages, P, Nkv] — kv heads on the model axis, like the cache
+        # [2, L, pages, Nkv, P] — kv heads on the model axis, like the cache
         ex.kv_scales = jax.device_put(
             ex.kv_scales,
-            NamedSharding(mesh, _fit(P(None, None, None, None, MODEL),
+            NamedSharding(mesh, _fit(P(None, None, None, MODEL, None),
                                      ex.kv_scales.shape, mesh, "kv_scales")),
         )
     if getattr(ex, "query_cache", None) is not None:

@@ -81,7 +81,7 @@ def int2_caches():
     L, pages = 2, 12
     kc = jnp.zeros((L, pages, P, NKV, DH // 4), jnp.int8)
     vc = jnp.zeros((L, pages, P, NKV, DH // 4), jnp.int8)
-    vsc = jnp.ones((2, L, pages, P, NKV), jnp.float32)
+    vsc = jnp.ones((2, L, pages, NKV, P), jnp.float32)
     kch = jnp.ones((2, L, pages, P // G, NKV, DH), jnp.float32)
     npg = 8  # pages 1..8 hold 8*P tokens
     k_new = jnp.asarray(rng.normal(size=(npg, P, NKV, DH)) * 2.0,

@@ -46,7 +46,7 @@ def quant_caches():
     L, pages, Nkv, P, Dh = 2, 16, 2, 8, 128
     kc = jnp.zeros((L, pages, P, Nkv, Dh), jnp.int8)
     vc = jnp.zeros((L, pages, P, Nkv, Dh), jnp.int8)
-    scales = jnp.ones((2, L, pages, P, Nkv), jnp.float32)
+    scales = jnp.ones((2, L, pages, Nkv, P), jnp.float32)
     T = 64
     k_new = jnp.asarray(rng.normal(size=(T, Nkv, Dh)) * 2.0, jnp.float32)
     v_new = jnp.asarray(rng.normal(size=(T, Nkv, Dh)), jnp.float32)
@@ -192,7 +192,7 @@ def quant4_caches():
     L, pages, P, Nkv, Dh = 2, 16, 8, 2, 128
     kc = jnp.zeros((L, pages, P, Nkv, Dh // 2), jnp.int8)
     vc = jnp.zeros((L, pages, P, Nkv, Dh // 2), jnp.int8)
-    scales = jnp.ones((4, L, pages, P, Nkv), jnp.float32)
+    scales = jnp.ones((4, L, pages, Nkv, P), jnp.float32)
     T = 64
     k_new = jnp.asarray(rng.normal(size=(T, Nkv, Dh)) * 2.0, jnp.float32)
     v_new = jnp.asarray(rng.normal(size=(T, Nkv, Dh)), jnp.float32)

@@ -296,8 +296,8 @@ def test_obs_scores_blockwise_int8(caches):
     flat = kc.reshape(-1, Nkv, Dh)
     kq, ks = quant_ops.quantize_rows(flat)
     kq = kq.reshape(kc.shape)
-    scales = jnp.stack([ks.reshape(kc.shape[:3]),
-                        ks.reshape(kc.shape[:3])])  # [2, pages, P, Nkv]
+    ks_pg = ks.reshape(kc.shape[:3]).transpose(0, 2, 1)  # [pages, Nkv, P]
+    scales = jnp.stack([ks_pg, ks_pg])  # [2, pages, Nkv, P]
     deq = quant_ops.dequantize_rows(
         kq.reshape(-1, Nkv, Dh), ks).reshape(kc.shape)
     _, obs_r = ref.prefill_attention_ref(
