@@ -298,7 +298,7 @@ def run_synthetic(batch: int, steps: int, ctx: int, keep: int, impl: str,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--ctx", type=int, default=131072)
     ap.add_argument("--keep", type=int, default=4608)  # keep + recent window

@@ -26,9 +26,9 @@ def run_case(ctx, chunk, dtype, nkv=8, nq=24, dh=128, p=128, iters=8):
     pages = ctx // p + 2
     mp = pages
     if dtype == "int4":
-        kc = jnp.asarray(rng.integers(0, 255, (1, pages, p, nkv, dh // 2)),
+        kc = jnp.asarray(rng.integers(0, 255, (1, pages, p, nkv * (dh // 2))),
                          jnp.uint8).view(jnp.int8)
-        vc = jnp.asarray(rng.integers(0, 255, (1, pages, p, nkv, dh // 2)),
+        vc = jnp.asarray(rng.integers(0, 255, (1, pages, p, nkv * (dh // 2))),
                          jnp.uint8).view(jnp.int8)
         scales = jnp.asarray(
             rng.uniform(0.01, 0.02, (4, 1, pages, nkv, p)), jnp.float32)

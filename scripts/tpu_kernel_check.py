@@ -123,7 +123,7 @@ def run_case_int4(L, pages, P, Nkv, Dh, Nq, B, MP, S):
     from sparsevllm_tpu.ops import quant as _q
 
     rng = _np.random.default_rng(1)
-    kc = jnp.zeros((L, pages, P, Nkv, Dh // 2), jnp.int8)
+    kc = jnp.zeros((L, pages, P, Nkv * (Dh // 2)), jnp.int8)
     vc = jnp.zeros_like(kc)
     scales = jnp.ones((4, L, pages, Nkv, P), jnp.float32)
     k_new = jnp.asarray(rng.normal(size=(pages * P, Nkv, Dh)), jnp.float32)

@@ -89,9 +89,17 @@ class ModelExecutor:
         l, p = spec.num_layers, config.page_size
         # token-major within a page (ops/attention_ref.py docstring);
         # int4 packs two elements per byte (split-half), int2 four
-        # (split-quarter along lanes) — ops/quant.py
+        # (split-quarter along lanes) — ops/quant.py. int4 uses the
+        # FLAT-LANE 4-D shape [L, pages, P, Nkv*Dh//2] (lane f =
+        # h*(Dh//2)+j): the 5-D form put Dh//2=64 on the lane axis, whose
+        # 2x tile padding materialized two full padded cache copies as
+        # prefill-scan HLO temps and broke the 128K int4 bucket compile
+        # (ops/quant.py int4 section docstring).
         cdh = spec.head_dim // (8 // kv_bits) if kv_quant else spec.head_dim
-        kv_shape = (l, num_pages, p, spec.num_kv_heads, cdh)
+        if kv_bits == 4:
+            kv_shape = (l, num_pages, p, spec.num_kv_heads * cdh)
+        else:
+            kv_shape = (l, num_pages, p, spec.num_kv_heads, cdh)
         self.k_cache = jnp.zeros(kv_shape, self.kv_dtype)
         self.v_cache = jnp.zeros(kv_shape, self.kv_dtype)
         # per-slot dequant params (int8: k/v scales; int4: + k/v zeros),
@@ -983,7 +991,7 @@ def _compact_impl(
     window (last `obs_window` tokens) is always kept; the top (keep - W)
     prefix tokens by score are kept in original order.
     """
-    l_num, pages, p, nkv, dh = kc.shape
+    l_num, pages, p = kc.shape[:3]  # trailing dims: [Nkv, Dh] or flat int4
     b = rows.shape[0]
     k_len = scores.shape[-1]
     w = obs_window

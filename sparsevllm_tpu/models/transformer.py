@@ -605,6 +605,9 @@ def decode_forward(
                 v_cur = quant_ops.dequantize_rows_u4(vq, vs, vz).astype(
                     q.dtype)
                 step_scales = (ks, vs, kz, vz)
+                # flat-lane int4 cache rows (ops/quant.py int4 section)
+                kq = kq.reshape(kq.shape[0], -1)
+                vq = vq.reshape(vq.shape[0], -1)
             else:
                 kq, ks = quant_ops.quantize_rows(k)
                 vq, vs = quant_ops.quantize_rows(v)

@@ -93,15 +93,18 @@ def gather_dequant(
 
 
 def gather_dequant_u4(
-    cache: jax.Array,  # [num_pages, P, Nkv, Dh//2] int8 split-half packed
+    cache: jax.Array,  # [num_pages, P, Nkv*Dh//2] int8 flat-lane packed
     scales: jax.Array,  # [num_pages, Nkv, P] f32
     zeros: jax.Array,  # [num_pages, Nkv, P] f32
     page_table: jax.Array,
 ) -> jax.Array:
     """Gather + dequantize an int4 (KIVI-4) cache: [B, Nkv, K, Dh] fp32.
 
-    Split-half packing (ops/quant.py quantize_rows_u4): byte j holds
-    elements j and j + Dh/2."""
+    Flat-lane storage (ops/quant.py int4 section: lane f = h*(Dh//2)+j,
+    split-half packing: byte j of head h holds channels j and j+Dh/2)."""
+    nkv = scales.shape[1]
+    np_, p, fd = cache.shape
+    cache = cache.reshape(np_, p, nkv, fd // nkv)
     pk = gather_pages(cache, page_table).astype(jnp.int32)  # [B,Nkv,K,Dh/2]
     lo = (pk & 15).astype(jnp.float32)
     hi = ((pk >> 4) & 15).astype(jnp.float32)
@@ -364,8 +367,7 @@ def prefill_obs_scores_blockwise(
     Returns [B, max_pages * P] fp32.
     """
     b, s, nq, dh = q.shape
-    p = k_cache.shape[1]
-    nkv = k_cache.shape[2]
+    p = k_cache.shape[1]  # (int4 cache is flat 3-D [pages, P, Nkv*Dh//2])
     w = min(obs_window, s)
     # MXU dtype: bf16 operands run at full rate (f32 operands are 4-8x
     # slower); f32 inputs (CPU parity tests) keep exact f32 math

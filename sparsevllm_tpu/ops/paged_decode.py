@@ -46,6 +46,133 @@ from . import attention_ref as ref
 NEG_INF = -1e30
 
 
+def _flat4_step(
+    q_ref, k_refs, v_refs, ks_refs, vs_refs, kz_refs, vz_refs,
+    mask_ref, raw_ref, mraw_ref, acc_ref, m_ref, l_ref,
+    *, pages, ctx, sm_scale, page_size, groups, has_mask,
+):
+    """Windowed-QK online-softmax update over R FLAT-LANE int4 pages.
+
+    Pages are [P, Nkv*Dh//2] int8 (lane f = h*Dh//2 + j; split-half
+    nibbles). Head matching happens structurally: q scatters into zeroed
+    per-head lane windows of [Nq, Nkv*Dh] (0/1 iota matmuls) so cross-head
+    products vanish — scores come out [Nq, R*P] per TOKEN with no head
+    mask and no Mosaic relayout of the flat pages (see _decode_kernel
+    docstring)."""
+    mm_dtype = q_ref.dtype
+    q = q_ref[0]  # [Nq, Dh]
+    nq, dh = q.shape
+    nkv = ks_refs[0].shape[3]
+    half = dh // 2
+    fd = nkv * half  # packed lanes per page row
+    fd2 = 2 * fd  # unpacked (windowed) lanes = Nkv*Dh
+    r = len(k_refs)
+
+    # windowed lane axis maps: lane f < fd -> (head f//half, channel
+    # f%half) from the LO nibble; f >= fd -> (head (f-fd)//half, channel
+    # half + (f-fd)%half) from the HI nibble.
+    fi = jax.lax.broadcasted_iota(jnp.int32, (dh, fd2), 1)
+    di = jax.lax.broadcasted_iota(jnp.int32, (dh, fd2), 0)
+    chan = jnp.where(fi < fd, fi % half, half + (fi - fd) % half)
+    e_f32 = (chan == di).astype(jnp.float32)  # [Dh, Nkv*Dh] chan scatter
+
+    ri = jax.lax.broadcasted_iota(jnp.int32, (nq, fd2), 0)
+    fi2 = jax.lax.broadcasted_iota(jnp.int32, (nq, fd2), 1)
+    headf = jnp.where(fi2 < fd, fi2 // half, (fi2 - fd) // half)
+    own = headf == ri // groups  # [Nq, Nkv*Dh] per-row head window
+
+    # HIGHEST (exact fp32 contraction) only for f32 parity inputs — Mosaic
+    # rejects fp32 contract precision on bf16 operands; in bf16 serving
+    # the 0/1 placement is exact at default precision anyway.
+    q_prec = (jax.lax.Precision.HIGHEST if mm_dtype == jnp.float32
+              else jax.lax.Precision.DEFAULT)
+    qw = jax.lax.dot_general(
+        q, e_f32.astype(mm_dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=q_prec,
+    )
+    qw = jnp.where(own, qw, 0.0).astype(mm_dtype)  # [Nq, Nkv*Dh]
+
+    # per-(token, head) scale/zero -> packed-lane expansion (0/1 matmul:
+    # lane repeat-by-half is awkward in Mosaic, a [P,Nkv]x[Nkv,fd] MXU
+    # pass is free)
+    hsel = (
+        jax.lax.broadcasted_iota(jnp.int32, (nkv, fd), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (nkv, fd), 1) // half
+    ).astype(jnp.float32)
+
+    def _dq(ref, sc_ref, zz_ref):
+        pk = ref[0, 0].astype(jnp.int32)  # [P, fd]
+        sc_e = jax.lax.dot_general(
+            sc_ref[0, 0, 0].T, hsel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [P, fd]
+        zz_e = jax.lax.dot_general(
+            zz_ref[0, 0, 0].T, hsel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        dlo = (pk & 15).astype(jnp.float32) * sc_e + zz_e
+        dhi = ((pk >> 4) & 15).astype(jnp.float32) * sc_e + zz_e
+        return jnp.concatenate([dlo, dhi], axis=1).astype(mm_dtype)
+
+    k = jnp.concatenate(
+        [_dq(kr, ks, kz) for kr, ks, kz in zip(k_refs, ks_refs, kz_refs)],
+        axis=0,
+    )  # [R*P, Nkv*Dh]
+    s = jax.lax.dot_general(
+        qw, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale  # [Nq, R*P] — per TOKEN
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    off = col % page_size
+    pos = off
+    for j, lp in enumerate(pages):
+        pos = jnp.where(col // page_size == j, lp * page_size + off, pos)
+    valid = pos < ctx
+    if has_mask:
+        mcols = jnp.concatenate(
+            [mask_ref[0, j] for j in range(r)], axis=1
+        )  # [1, R*P]
+        valid = valid & (mcols.astype(jnp.int32) != 0)
+    s = jnp.where(valid, s, NEG_INF)
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.where(valid, jnp.exp(s - m_new), 0.0)  # [Nq, R*P] f32
+    v = jnp.concatenate(
+        [_dq(vr, vs, vz) for vr, vs, vz in zip(v_refs, vs_refs, vz_refs)],
+        axis=0,
+    )  # [R*P, Nkv*Dh]
+    pvw = jax.lax.dot_general(
+        p.astype(mm_dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Nq, Nkv*Dh]
+    # fold each row's own head window back to [Nq, Dh]. mm_dtype operands:
+    # f32+HIGHEST is exact for parity inputs; bf16 costs one rounding of
+    # values that leave the kernel in bf16 anyway (f32 HIGHEST here would
+    # run the fold at the fp32 MXU rate — measured parity-only luxury).
+    pv = jax.lax.dot_general(
+        jnp.where(own, pvw, 0.0).astype(mm_dtype), e_f32.astype(mm_dtype),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=q_prec,
+    )  # [Nq, Dh]
+    acc_ref[:] = acc_ref[:] * alpha + pv
+    l_ref[:] = jnp.broadcast_to(
+        l_prev * alpha + jnp.sum(p, axis=1, keepdims=True), l_ref.shape
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    if raw_ref is not None:
+        # p is already per-token: per-page raw expsums are direct slices
+        for j in range(r):
+            raw_ref[0, j] = p[:, j * page_size:(j + 1) * page_size]
+            mraw_ref[0, j] = jnp.broadcast_to(m_new, mraw_ref.shape[2:])
+
+
 def _decode_kernel(
     # scalar prefetch
     lidx_ref,  # [1] layer index
@@ -79,11 +206,23 @@ def _decode_kernel(
     page_size: int,
     groups: int,
     has_mask: bool,
+    flat4: bool = False,
 ):
     """One grid step processes R pages: R concurrent page DMAs fold into a
     single [Nq, R*P*Nkv] MXU matmul + ONE online-softmax update (R-fold
     fewer VPU bookkeeping rounds and deeper DMA queues than page-at-a-time
-    — the difference between ~50% and ~80+% of HBM peak at bs=8)."""
+    — the difference between ~50% and ~80+% of HBM peak at bs=8).
+
+    ``flat4`` (int4): pages arrive FLAT-LANE [P, Nkv*Dh//2] (lane f =
+    h*Dh//2 + j; ops/quant.py int4 section) and the kernel runs the
+    WINDOWED-QK scheme instead of the head-match mask: queries scatter
+    into zeroed per-head lane windows of a [Nq, Nkv*Dh] operand (0/1 iota
+    matmul), dequantized K/V stay [P, Nkv*Dh] with heads as contiguous
+    64-lane windows, and one matmul contracts the full windowed lane axis
+    — cross-head products vanish against the zero windows, so scores are
+    [Nq, R*P] per token with NO head mask, identical numerics, identical
+    FLOPs (8x narrower output x 8x deeper contraction), and zero Mosaic
+    relayouts of the flat pages."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     num_chunks = pl.num_programs(1)
@@ -104,6 +243,14 @@ def _decode_kernel(
     # skip steps whose every page starts past the context
     @pl.when(first_pos < ctx)
     def _compute():
+        if flat4:
+            _flat4_step(
+                q_ref, k_refs, v_refs, ks_refs, vs_refs, kz_refs, vz_refs,
+                mask_ref, raw_ref, mraw_ref, acc_ref, m_ref, l_ref,
+                pages=pages, ctx=ctx, sm_scale=sm_scale,
+                page_size=page_size, groups=groups, has_mask=has_mask,
+            )
+            return
         # bf16 MXU operands (f32 accumulate via preferred_element_type);
         # f32 inputs (CPU parity tests) keep exact f32 math.
         mm_dtype = q_ref.dtype
@@ -260,6 +407,7 @@ def _decode_kernel(
 def _make_kernel(has_mask: bool, quantized: bool, stats: bool,
                  raw: bool, quant4: bool = False, quant2: bool = False,
                  r: int = 1, **kw):
+    kw.setdefault("flat4", quant4)
     """Bind the optional-ref layout: blocks arrive positionally in in_specs
     order [q, R x (k, v, (ks, vs[, kz, vz][, kch_s, kch_z])), (mask)], then
     outputs [out, (m, l), (raw, mraw)], then 3 scratch refs. In KIVI-2 mode
@@ -304,13 +452,20 @@ def _decode_pallas_impl(
     if emit_raw:
         return_stats = True
     b, nq, dh = q.shape
-    l, pages, p, nkv, cdh = k_cache.shape  # cdh = Dh | Dh/2 (i4) | Dh/4 (i2)
-    mp = page_table.shape[1]
-    g = nq // nkv
-    has_mask = select_mask is not None
     quantized = kv_scales is not None
     quant2 = k_ch_scales is not None
     quant4 = quantized and not quant2 and kv_scales.shape[0] == 4
+    if quant4:
+        # FLAT-LANE int4 cache [L, pages, P, Nkv*Dh//2] (quant.py int4
+        # section) — served by the windowed-QK path (_flat4_step)
+        l, pages, p, fd = k_cache.shape
+        nkv = kv_scales.shape[3]
+        cdh = fd // nkv
+    else:
+        l, pages, p, nkv, cdh = k_cache.shape  # cdh = Dh | Dh/4 (int2)
+    mp = page_table.shape[1]
+    g = nq // nkv
+    has_mask = select_mask is not None
 
     lidx = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
     if page_pos is None:
@@ -334,6 +489,11 @@ def _decode_pallas_impl(
     def kv_imap_j(j):
         def imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
             return (lidx_ref[0], table_ref[bb, i * r + j], 0, 0, 0)
+        return imap
+
+    def kv_imap4_j(j):  # flat-lane 4-D int4 cache
+        def imap(bb, i, lidx_ref, table_ref, ctx_ref, ppos_ref):
+            return (lidx_ref[0], table_ref[bb, i * r + j], 0, 0)
         return imap
 
     def plane_imap(plane, j):
@@ -361,10 +521,12 @@ def _decode_pallas_impl(
                         0, 0, 0)
             return imap
 
+    kv_block = (1, 1, p, nkv * cdh) if quant4 else (1, 1, p, nkv, cdh)
     for j in range(r):
-        in_specs.append(pl.BlockSpec((1, 1, p, nkv, cdh), kv_imap_j(j),
+        imap = kv_imap4_j(j) if quant4 else kv_imap_j(j)
+        in_specs.append(pl.BlockSpec(kv_block, imap,
                                      memory_space=pltpu.VMEM))
-        in_specs.append(pl.BlockSpec((1, 1, p, nkv, cdh), kv_imap_j(j),
+        in_specs.append(pl.BlockSpec(kv_block, imap,
                                      memory_space=pltpu.VMEM))
         args += [k_cache, v_cache]
         for plane in planes:
@@ -380,14 +542,16 @@ def _decode_pallas_impl(
                 args.append(k_ch_scales)
     if has_mask:
         # pre-expand the token mask to the P*Nkv key columns (token-major:
-        # o*Nkv+h; repeat_interleave is free in XLA, awkward in Mosaic)
+        # o*Nkv+h; repeat_interleave is free in XLA, awkward in Mosaic).
+        # flat4 scores are per-TOKEN [Nq, R*P]: no Nkv expansion.
+        mask_w = p if quant4 else p * nkv
         in_specs.append(
-            pl.BlockSpec((1, r, 1, p * nkv), lambda bb, i, *_: (bb, i, 0, 0),
+            pl.BlockSpec((1, r, 1, mask_w), lambda bb, i, *_: (bb, i, 0, 0),
                          memory_space=pltpu.VMEM)
         )
-        mask_cols = jnp.repeat(
-            select_mask.astype(jnp.int8).reshape(b, mp, 1, p), nkv, axis=3
-        )
+        mask_cols = select_mask.astype(jnp.int8).reshape(b, mp, 1, p)
+        if not quant4:
+            mask_cols = jnp.repeat(mask_cols, nkv, axis=3)
         if mp_pad != mp:
             mask_cols = jnp.pad(
                 mask_cols, ((0, 0), (0, mp_pad - mp), (0, 0), (0, 0))

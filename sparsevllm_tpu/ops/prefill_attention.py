@@ -67,6 +67,7 @@ def _prefill_kernel(
     block_s: int,
     groups: int,
     nkv: int,
+    flat4: bool = False,
 ):
     """Multi-page superblock flash prefill.
 
@@ -111,6 +112,30 @@ def _prefill_kernel(
     def _head_slice(ref, sc_ref, zz_ref, hh, ch_s_ref=None, ch_z_ref=None,
                     v2=False):
         """One page's dequantized [P, Dh] tile for head hh (static index)."""
+        if flat4:  # int4 FLAT-LANE page [P, Nkv*Dh//2]
+            # fold head hh's 64 packed lanes out of the flat row with a
+            # 0/1 matmul: static lane slicing at 64-lane offsets is not
+            # tile-aligned, while a [P, fd]x[fd, half] mm_dtype pass is
+            # exact on byte values (0..255 exact in bf16) and ~4% of the
+            # main matmul FLOPs. Nibbles + scales apply per head as in
+            # the 5-D int4 path.
+            fd = ref.shape[3]
+            half = fd // nkv
+            sel = (
+                jax.lax.broadcasted_iota(jnp.int32, (fd, half), 0)
+                == hh * half
+                + jax.lax.broadcasted_iota(jnp.int32, (fd, half), 1)
+            ).astype(mm_dtype)
+            ph = jax.lax.dot_general(
+                ref[0, 0].astype(mm_dtype), sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            pk = ph.astype(jnp.int32)  # [P, half] exact byte values
+            sc = sc_ref[0, 0, 0, hh : hh + 1, :].T  # [P, 1]
+            zz = zz_ref[0, 0, 0, hh : hh + 1, :].T
+            dlo = (pk & 15).astype(jnp.float32) * sc + zz
+            dhi = ((pk >> 4) & 15).astype(jnp.float32) * sc + zz
+            return jnp.concatenate([dlo, dhi], axis=1).astype(mm_dtype)
         if ch_s_ref is not None:  # KIVI-2 KEY page [P, Nkv, Dh/4]
             pk = ref[0, 0, :, hh, :].astype(jnp.int32)
             qk = jnp.concatenate(
@@ -212,15 +237,17 @@ def _prefill_kernel(
         )
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
+    compute = _compute
+
     @pl.when(jnp.logical_and(q_block_valid, fully_past))
     def _fast():
-        _compute(masked=False)
+        compute(masked=False)
 
     @pl.when(jnp.logical_and(
         q_block_valid, jnp.logical_and(visible, jnp.logical_not(fully_past))
     ))
     def _boundary():
-        _compute(masked=True)
+        compute(masked=True)
 
     @pl.when(k_i == num_k - 1)
     def _finish():
@@ -275,12 +302,19 @@ def _prefill_pallas(
     *, sm_scale, block_s, block_pages=4, interpret=False,
 ):
     b, s, nq, dh = q.shape
-    l, pages, p, nkv, cdh = k_cache.shape  # cdh = Dh | Dh/2 (i4) | Dh/4 (i2)
-    mp = page_table.shape[1]
-    g = nq // nkv
     quantized = kv_scales is not None
     quant2 = k_ch_scales is not None
     quant4 = quantized and not quant2 and kv_scales.shape[0] == 4
+    if quant4:
+        # FLAT-LANE int4 cache [L, pages, P, Nkv*Dh//2] (quant.py int4
+        # section) — served by the windowed-QK path (_flat4_compute)
+        l, pages, p, fd = k_cache.shape
+        nkv = kv_scales.shape[3]
+        cdh = fd // nkv
+    else:
+        l, pages, p, nkv, cdh = k_cache.shape  # cdh = Dh | Dh/4 (int2)
+    mp = page_table.shape[1]
+    g = nq // nkv
     kp = min(block_pages, mp)
     mp_pad = -(-mp // kp) * kp
     if mp_pad != mp:
@@ -297,6 +331,11 @@ def _prefill_pallas(
             return (lidx_ref[0], table_ref[bb, ki * kp + j], 0, 0, 0)
         return imap
 
+    def kv_imap4(j):  # flat-lane 4-D int4 cache
+        def imap(bb, si, ki, lidx_ref, table_ref, *_):
+            return (lidx_ref[0], table_ref[bb, ki * kp + j], 0, 0)
+        return imap
+
     def q_imap(bb, si, ki, *_):
         return (bb, 0, si, 0, 0)
 
@@ -305,10 +344,12 @@ def _prefill_pallas(
                      memory_space=pltpu.VMEM),
     ]
     args = [q5]
+    kv_block = (1, 1, p, nkv * cdh) if quant4 else (1, 1, p, nkv, cdh)
     for cache in (k_cache, v_cache):
         for j in range(kp):
-            in_specs.append(pl.BlockSpec((1, 1, p, nkv, cdh), kv_imap(j),
-                                         memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec(
+                kv_block, kv_imap4(j) if quant4 else kv_imap(j),
+                memory_space=pltpu.VMEM))
             args.append(cache)
     if quantized:
         def plane_imap(plane, j):
@@ -357,7 +398,7 @@ def _prefill_pallas(
     )
     kernel = _bind_kernel(
         kp, quantized, quant4, quant2, sm_scale=sm_scale, page_size=p,
-        block_s=block_s, groups=g, nkv=nkv,
+        block_s=block_s, groups=g, nkv=nkv, flat4=quant4,
     )
     out5 = pl.pallas_call(
         kernel,

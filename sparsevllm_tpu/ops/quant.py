@@ -158,14 +158,25 @@ def unpack_int4_groups(
 # ---------------------------------------------------------------------------
 # INT4 full-KV cache (KIVI-4; reference triton_kernel/quant.py INT4 +
 # ppl_int4kv_flash_decoding). Asymmetric uint4 per (token, kv head),
-# SPLIT-HALF packed: byte j of a row holds elements j (low nibble) and
-# j + Dh/2 (high nibble) — halves concatenate along lanes in-kernel, which
-# Mosaic supports where nibble INTERLEAVING (a lane reshape) is rejected.
+# SPLIT-HALF packed: byte j of a head's row holds channels j (low nibble)
+# and j + Dh/2 (high nibble) — halves concatenate along lanes in-kernel,
+# which Mosaic supports where nibble INTERLEAVING (a lane reshape) is
+# rejected.
+#
+# Cache shape is FLAT-LANE 4-D: [L, pages, P, Nkv*Dh//2] int8 — lane
+# f = h*(Dh//2) + j. The 5-D [.., Nkv, Dh//2] form put Dh//2 = 64 on the
+# lane axis: every tiled materialization padded 2x, and the prefill-step
+# program carried two full padded cache copies as HLO temps (the 128K
+# int4 bucket exceeded HBM by 3.7 GiB at compile;
+# scripts/probe_prefill_mem.py isolates it: int4 temps 1.63 GiB vs int8
+# 0.22 GiB at 16K). The flat form's (P, Nkv*Dh//2) trailing dims tile
+# exactly; per-token rows stay contiguous (512 B at 8x128 — above the
+# in-place scatter cliff, PERF_NOTES.md).
 # ---------------------------------------------------------------------------
 
 
 def store_kv_quant_layer_u4(
-    k_cache: jax.Array,  # [L, pages, P, Nkv, Dh//2] int8 packed
+    k_cache: jax.Array,  # [L, pages, P, Nkv*Dh//2] int8 packed flat-lane
     v_cache: jax.Array,
     kv_scales: jax.Array,  # [4, L, pages, Nkv, P] f32 (ks, vs, kz, vz)
     layer_idx,
@@ -175,16 +186,19 @@ def store_kv_quant_layer_u4(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """int4 prefill store: quantize + scatter packed token rows + 4 scale
     planes (same in-place discipline as the int8 store)."""
-    l, pages, p, nkv, _ = k_cache.shape
+    l, pages, p, fd = k_cache.shape
     dh = k_new.shape[-1]
+    nkv = fd // (dh // 2)
     kq, ks, kz = quantize_rows_u4(k_new.reshape(-1, nkv, dh))
     vq, vs, vz = quantize_rows_u4(v_new.reshape(-1, nkv, dh))
     dest = dest_slot.reshape(-1)
     lix = jnp.broadcast_to(jnp.asarray(layer_idx, dest.dtype), dest.shape)
     page = jnp.where(dest >= 0, dest // p, -1)
     off = dest % p
-    k_out = k_cache.at[lix, page, off].set(kq, mode="drop")
-    v_out = v_cache.at[lix, page, off].set(vq, mode="drop")
+    k_out = k_cache.at[lix, page, off].set(
+        kq.reshape(-1, fd), mode="drop")
+    v_out = v_cache.at[lix, page, off].set(
+        vq.reshape(-1, fd), mode="drop")
     for i, vals in enumerate((ks, vs, kz, vz)):
         kv_scales = kv_scales.at[i, lix, page, :, off].set(
             vals, mode="drop")

@@ -130,10 +130,17 @@ def param_shardings(params, mesh: Mesh):
 
 
 def kv_sharding(mesh: Mesh, kv_shape: tuple[int, ...]) -> NamedSharding:
-    """[L, pages, P, Nkv, Dh] sharded over kv heads on the model axis."""
-    return NamedSharding(
-        mesh, _fit(P(None, None, None, MODEL, None), kv_shape, mesh, "kv_cache")
-    )
+    """[L, pages, P, Nkv, Dh] sharded over kv heads on the model axis.
+
+    The flat-lane int4 cache is 4-D [L, pages, P, Nkv*Dh//2] with heads as
+    contiguous lane windows (ops/quant.py int4 section): sharding the flat
+    dim over the model axis splits it into whole-head blocks, matching the
+    scales' Nkv sharding."""
+    if len(kv_shape) == 4:
+        spec = P(None, None, None, MODEL)
+    else:
+        spec = P(None, None, None, MODEL, None)
+    return NamedSharding(mesh, _fit(spec, kv_shape, mesh, "kv_cache"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

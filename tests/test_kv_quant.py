@@ -190,8 +190,8 @@ def quant4_caches():
     """int4 caches + 4-plane scales filled through the prefill store."""
     rng = np.random.default_rng(22)
     L, pages, P, Nkv, Dh = 2, 16, 8, 2, 128
-    kc = jnp.zeros((L, pages, P, Nkv, Dh // 2), jnp.int8)
-    vc = jnp.zeros((L, pages, P, Nkv, Dh // 2), jnp.int8)
+    kc = jnp.zeros((L, pages, P, Nkv * (Dh // 2)), jnp.int8)
+    vc = jnp.zeros((L, pages, P, Nkv * (Dh // 2)), jnp.int8)
     scales = jnp.ones((4, L, pages, Nkv, P), jnp.float32)
     T = 64
     k_new = jnp.asarray(rng.normal(size=(T, Nkv, Dh)) * 2.0, jnp.float32)
