@@ -93,8 +93,9 @@ def _hbm_gib() -> float:
 
 
 def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
-            smoke: bool = False, kv_dtype: str = "int4", page: int = 128,
-            method: str = "snapkv", chunk: int = 8192) -> dict:
+            smoke: bool = False, kv_dtype: str = "bfloat16", page: int = 128,
+            method: str = "snapkv", chunk: int = 8192,
+            staging: str = "int4") -> dict:
     """Honest prompt-in -> tokens-out measurement through LLMEngine."""
     import jax
 
@@ -103,8 +104,8 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
     from sparsevllm_tpu.sampling_params import SamplingParams
 
     name, spec = _smoke_spec() if smoke else _pick_spec(_hbm_gib())
-    print(f"model={name} method={method} kv={kv_dtype} ctx={ctx} "
-          f"batch={batch}", file=sys.stderr)
+    print(f"model={name} method={method} kv={kv_dtype} staging={staging} "
+          f"ctx={ctx} batch={batch}", file=sys.stderr)
     params = init_params(spec, seed=0, dtype="bfloat16",
                          distribution="zeros")
 
@@ -113,7 +114,13 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
     growth = steps + (warmup_disp + 1) * k_disp + page
     prompt_pages = -(-(ctx + 1) // page)
     keep_pages = -(-keep // page) + -(-growth // page) + 1
-    if method == "snapkv":
+    use_staging = method == "snapkv" and staging != "none"
+    if use_staging:
+        # staged mixed-precision prefill: the in-flight prompt lives in the
+        # int4 staging pool; the MAIN (bf16) pool holds only each row's
+        # compacted keep budget + decode growth
+        num_pages = batch * keep_pages + 8
+    elif method == "snapkv":
         # one full prompt in flight + every row's compacted remainder
         num_pages = prompt_pages + (batch + 1) * keep_pages + 8
     else:
@@ -125,6 +132,9 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
     elif method == "omnikv":
         extra["full_attn_layers"] = (0, 1)
         extra["decode_keep_tokens"] = keep
+    if use_staging:
+        extra["kv_staging_dtype"] = staging
+        extra["num_staging_pages"] = prompt_pages + 2
     engine = LLMEngine(
         spec=spec, params=params,
         method=method if method != "vanilla" else "",
@@ -202,6 +212,7 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
         "config": {
             "model": name, "batch": batch, "ctx": ctx, "keep": keep,
             "kv_dtype": kv_dtype, "decode_steps": steps,
+            "staging": staging if use_staging else "none",
         },
     }
 
@@ -307,9 +318,13 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("--method", default="snapkv",
                     help="snapkv | omnikv | vanilla")
-    ap.add_argument("--kv-dtype", default="int4",
-                    help="int4 (default; 128K fits residency) | int8 | "
-                         "bfloat16 (needs host offload or small ctx)")
+    ap.add_argument("--kv-dtype", default="bfloat16",
+                    help="bfloat16 (default; int4-staged prefill keeps "
+                         "decode residency tiny) | int8 | int4")
+    ap.add_argument("--staging", default="int4",
+                    help="staged-prefill pool dtype for snapkv "
+                         "(int4 | int8 | bfloat16 | none). Only applies "
+                         "when kv-dtype is a float type.")
     ap.add_argument("--synthetic", action="store_true",
                     help="decode-only over synthesized compacted state "
                          "(kernel diagnostic; metric gets _synthetic)")
@@ -331,10 +346,14 @@ def main() -> None:
                     smoke=args.smoke, kv_dtype=args.kv_dtype,
                     page=args.page, method=args.method)
             else:
+                staging = args.staging
+                if args.kv_dtype not in ("auto", "bfloat16", "float32"):
+                    staging = "none"
                 result = run_e2e(
                     args.batch, args.steps, args.ctx, args.keep, impl,
                     smoke=args.smoke, kv_dtype=args.kv_dtype,
-                    page=args.page, method=args.method, chunk=args.chunk)
+                    page=args.page, method=args.method, chunk=args.chunk,
+                    staging=staging)
             break
         except Exception as e:  # noqa: BLE001
             last_err = e

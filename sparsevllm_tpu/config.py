@@ -136,6 +136,19 @@ class Config:
     hbm_utilization: float = 0.9  # fraction of per-chip HBM usable
     hbm_bytes_per_chip: int | None = None  # None = query device
     kv_cache_dtype: str = "auto"  # auto | bfloat16 | int8 | int4 (KIVI)
+    # Mixed-precision staged prefill (snapkv/pyramidkv): long prompts
+    # prefill into a QUANTIZED staging pool (so a 128K prompt fits a
+    # 16 GiB chip) while attention runs bf16 over a per-layer dequantized
+    # scratch; prefill-end compaction dequantizes the kept tokens into the
+    # bf16 main pool, so decode runs the full-speed bf16 path. This is the
+    # TPU answer to the reference's long_bs1full + staging-cache posture
+    # (snapkv.py:205-226) under a much smaller HBM: residency during
+    # prefill is int4/int8, residency during decode is bf16-but-tiny.
+    # "none" disables; "bfloat16" stages unquantized (testing / big-HBM).
+    kv_staging_dtype: str = "none"  # none | int8 | int4 | bfloat16
+    num_staging_pages: int | None = None  # None = max_model_len pages + pad
+    # prompts above this stage (0 = auto: max(chunk, keep budget + page))
+    staging_threshold_tokens: int = 0
     # Weight storage: None = model dtype; "fp8" = block-scaled e4m3
     # ((128,128) blocks + weight_scale_inv, the Qwen3.5 HF checkpoint
     # format — reference quantization/fp8.py:58-129). Halves weight HBM
@@ -282,6 +295,29 @@ class Config:
                 f"unsupported weight_quantization "
                 f"{self.weight_quantization!r} (None or 'fp8')"
             )
+        if self.kv_staging_dtype not in ("none", "int8", "int4", "bfloat16"):
+            raise ValueError(
+                f"unsupported kv_staging_dtype {self.kv_staging_dtype!r} "
+                f"(none | int8 | int4 | bfloat16)"
+            )
+        if self.kv_staging_dtype != "none":
+            if self.method not in ("snapkv", "pyramidkv"):
+                raise ValueError(
+                    "kv_staging_dtype requires a prefill-end-compaction "
+                    "method (snapkv | pyramidkv): the staging pool is freed "
+                    f"by compaction; got method={self.method!r}"
+                )
+            if self.kv_cache_dtype not in ("auto", "bfloat16", "float32"):
+                raise ValueError(
+                    "kv_staging_dtype requires a float main pool "
+                    "(kv_cache_dtype auto/bfloat16/float32): decode reads "
+                    "dequantized compacted tokens from the main pool"
+                )
+            if self.num_staging_pages is None:
+                # one max_model_len prompt in flight + margin
+                self.num_staging_pages = (
+                    self.max_model_len // self.page_size + 2
+                )
         if self.kv_cache_dtype in ("int8", "int4") and self.method == "quest":
             raise ValueError(
                 f"quest with {self.kv_cache_dtype} KV is unsupported: page "

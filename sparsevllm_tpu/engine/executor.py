@@ -34,9 +34,11 @@ import numpy as np
 
 from ..config import Config
 from ..layers import sampler as sampler_ops
-from ..layers.rope import rope_table
+from ..layers.rope import apply_rope, rope_table
 from ..models.spec import ModelSpec
 from ..models import transformer as tfm
+from ..ops import attention as attn_ops
+from ..ops import quant as quant_ops
 from ..utils.log import logger
 from ..utils.profiler import profiler
 
@@ -271,6 +273,43 @@ class ModelExecutor:
                 latent_dim, dtype,
                 latent_bits=config.deltakv_latent_bits,
             )
+        # mixed-precision staged prefill pool (config.kv_staging_dtype):
+        # long prompts prefill QUANTIZED into this pool; attention runs bf16
+        # over a per-layer dequantized scratch; compaction dequantizes the
+        # kept tokens into the bf16 main pool (see run_prefill_staged).
+        self.k_stage = self.v_stage = self.stage_scales = None
+        self.num_stage_pages = 0
+        sd = config.kv_staging_dtype
+        if sd != "none":
+            sp_pages = config.num_staging_pages or (
+                config.max_pages_per_seq + 2
+            )
+            self.num_stage_pages = sp_pages
+            if sd == "int4":
+                self.k_stage = jnp.zeros(
+                    (l, sp_pages, p, spec.num_kv_heads * spec.head_dim // 2),
+                    jnp.int8,
+                )
+                self.v_stage = jnp.zeros_like(self.k_stage)
+                self.stage_scales = jnp.ones(
+                    (4, l, sp_pages, spec.num_kv_heads, p), jnp.float32
+                )
+            elif sd == "int8":
+                self.k_stage = jnp.zeros(
+                    (l, sp_pages, p, spec.num_kv_heads, spec.head_dim),
+                    jnp.int8,
+                )
+                self.v_stage = jnp.zeros_like(self.k_stage)
+                self.stage_scales = jnp.ones(
+                    (2, l, sp_pages, spec.num_kv_heads, p), jnp.float32
+                )
+            else:  # bfloat16 staging (testing / big-HBM chips)
+                self.k_stage = jnp.zeros(
+                    (l, sp_pages, p, spec.num_kv_heads, spec.head_dim),
+                    dtype,
+                )
+                self.v_stage = jnp.zeros_like(self.k_stage)
+                self.stage_scales = None
         if mesh is not None:
             from ..parallel.mesh import shard_executor_state
             shard_executor_state(self)
@@ -643,6 +682,237 @@ class ModelExecutor:
             }
         return np.asarray(tokens)[:b], obs
 
+    # ------------------------------------------------- staged long prefill
+
+    def _get_staged_prefill_fn(self, sb: int, mp: int, mode: str,
+                               nlp: int = -1, emit_obs: bool = True):
+        """Mixed-precision staged prefill step (bs=1): quantize+store the
+        chunk into the staging pool, but run attention in bf16 over a
+        per-layer dequantized scratch of the WHOLE staged context. This
+        sidesteps the in-kernel int4 dequant VMEM cliff (PERF_NOTES #3/#4 —
+        int4 prefill ran at ~13% MFU) — the scratch dequant is one linear
+        sweep per layer while the attention re-streams the context once per
+        query block either way, so prefill runs at bf16-kernel speed.
+
+        Staging arrays are scan-INVARIANT: the chunk's quantized payload +
+        scales emit as scan ys and ONE batched scatter writes them after the
+        layer scan (an in-scan write read back by the gather would force a
+        whole-pool copy per layer — the PERF_NOTES #1 aliasing hazard). The
+        current chunk's attention therefore uses its EXACT bf16 K/V,
+        spliced into the scratch; earlier chunks read back quantized."""
+        key = ("prefill_staged", sb, mp, mode, nlp, emit_obs)
+        fn = self._fn_cache.get(key)
+        if fn is not None:
+            return fn
+        spec, rt = self.spec, self._rt
+        cos, sin = self.rope
+        cfg = self.config
+        sd = cfg.kv_staging_dtype
+        p = cfg.page_size
+        nkv, dh = spec.num_kv_heads, spec.head_dim
+        fdtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                  "float16": jnp.float16}[cfg.dtype]
+        sm_scale = dh ** -0.5
+        obs_w = cfg.snapkv_obs_window if (
+            emit_obs and rt.emit_prefill_scores) else 0
+
+        def step(params, ks, vs, ssc, tables, plan):
+            tokens = plan["token_ids"]  # [1, S]
+            positions = plan["positions"]
+            h = params["embed"][tokens]
+            row = plan["row_ids"]  # [1]
+            # layers are lockstep pre-compaction: layer 0's table row is
+            # representative (asserted in kv_manager.alloc_prefill)
+            pages_row = tables[0][row[0], :mp]  # [MP] staging page ids
+            start = plan["chunk_start"]  # scalar: resident slot start
+            ident = jnp.arange(mp, dtype=jnp.int32)[None, :]
+
+            def body(carry, xs):
+                h = carry
+                li = xs["_layer_idx"]
+                x = tfm.rms_norm(h, xs["input_norm"], spec.rms_norm_eps)
+                q, k, v = tfm._qkv(x, xs, spec)
+                q = apply_rope(q, positions, cos, sin)
+                k = apply_rope(k, positions, cos, sin)
+                kr = k.reshape(-1, nkv, dh)
+                vr = v.reshape(-1, nkv, dh)
+                ks_l = jax.lax.dynamic_index_in_dim(ks, li, 0, False)
+                vs_l = jax.lax.dynamic_index_in_dim(vs, li, 0, False)
+                if sd == "int4":
+                    kq, ksc, kzr = quant_ops.quantize_rows_u4(kr)
+                    vq, vsc, vzr = quant_ops.quantize_rows_u4(vr)
+                    store = (kq.reshape(sb, -1), vq.reshape(sb, -1),
+                             ksc, vsc, kzr, vzr)
+                    sc_l = jax.lax.dynamic_index_in_dim(ssc, li, 1, False)
+                    scr_k = quant_ops.gather_dequant_pages_u4(
+                        ks_l, sc_l[0], sc_l[2], pages_row, nkv, fdtype)
+                    scr_v = quant_ops.gather_dequant_pages_u4(
+                        vs_l, sc_l[1], sc_l[3], pages_row, nkv, fdtype)
+                elif sd == "int8":
+                    kq, ksc = quant_ops.quantize_rows(kr)
+                    vq, vsc = quant_ops.quantize_rows(vr)
+                    store = (kq, vq, ksc, vsc)
+                    sc_l = jax.lax.dynamic_index_in_dim(ssc, li, 1, False)
+                    scr_k = quant_ops.gather_dequant_pages(
+                        ks_l, sc_l[0], pages_row, fdtype)
+                    scr_v = quant_ops.gather_dequant_pages(
+                        vs_l, sc_l[1], pages_row, fdtype)
+                else:  # bf16 staging
+                    store = (kr.astype(fdtype), vr.astype(fdtype))
+                    scr_k = ks_l[pages_row].astype(fdtype)
+                    scr_v = vs_l[pages_row].astype(fdtype)
+                # splice the current chunk's EXACT values over its slots
+                # (leading-dim merge/split reshapes are layout-free)
+                scr_k = jax.lax.dynamic_update_slice(
+                    scr_k.reshape(mp * p, nkv, dh),
+                    kr.astype(fdtype), (start, 0, 0),
+                ).reshape(mp, p, nkv, dh)
+                scr_v = jax.lax.dynamic_update_slice(
+                    scr_v.reshape(mp * p, nkv, dh),
+                    vr.astype(fdtype), (start, 0, 0),
+                ).reshape(mp, p, nkv, dh)
+                out, obs = attn_ops.prefill_attention(
+                    q, scr_k[None], scr_v[None], jnp.int32(0), ident,
+                    plan["ctx_lens"], plan["new_lens"],
+                    sm_scale=sm_scale, obs_window=obs_w,
+                    score_pooling=rt.score_pooling,
+                    kv_scales=None, impl=rt.impl,
+                )
+                attn_out = out.reshape(1, sb, spec.q_dim) @ tfm._w(
+                    xs, "wo", (spec.q_dim, spec.hidden_size), x.dtype
+                )
+                h = h + attn_out
+                x2 = tfm.rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
+                h = h + tfm._ffn(x2, xs, spec, rt.moe_dispatch)
+                return h, (obs, store) if obs_w else (None, store)
+
+            h, (obs, stores) = jax.lax.scan(
+                body, h, tfm._layer_xs(params, spec)
+            )
+            # ONE batched staging write for the whole step (all layers)
+            dest = plan["dest_slot"].reshape(-1)  # [S]
+            page = jnp.where(dest >= 0, dest // p, -1)
+            off = dest % p
+            l_num = spec.num_layers
+            lix = jnp.broadcast_to(
+                jnp.arange(l_num, dtype=jnp.int32)[:, None], (l_num, sb)
+            )
+            pgb = jnp.broadcast_to(page[None, :], (l_num, sb))
+            offb = jnp.broadcast_to(off[None, :], (l_num, sb))
+            ks = ks.at[lix, pgb, offb].set(stores[0], mode="drop")
+            vs = vs.at[lix, pgb, offb].set(stores[1], mode="drop")
+            if sd != "bfloat16":
+                for i, plane in enumerate(stores[2:]):
+                    ssc = ssc.at[i, lix, pgb, :, offb].set(
+                        plane, mode="drop")
+            hf = tfm.rms_norm(h, params["final_norm"], spec.rms_norm_eps)
+            last_idx = jnp.maximum(plan["new_lens"] - 1, 0)
+            last_h = jnp.take_along_axis(
+                hf, last_idx[:, None, None], axis=1
+            ).squeeze(1)
+            logits = tfm.compute_logits(params, last_h, spec)
+            key2 = jax.random.fold_in(self._base_key, plan["step"])
+            toks = sampler_ops.sample(
+                logits, plan["temps"], plan["top_k"], plan["top_p"], key2,
+                mode=mode,
+            )
+            lps = (sampler_ops.token_logprobs(logits, toks, nlp)
+                   if nlp >= 0 else None)
+            return ks, vs, ssc, toks, obs, lps
+
+        fn = jax.jit(step, donate_argnums=(1, 2, 3))
+        self._fn_cache[key] = fn
+        logger.info("compiled STAGED prefill bucket S=%d MP=%d", sb, mp)
+        return fn
+
+    def run_prefill_staged(
+        self, seqs, chunk_sizes, dests, row_ids, ctx_lens_tokens,
+        emit_obs: bool = True,
+    ):
+        """Staged-pool chunk prefill (bs=1; scheduler isolates staged seqs).
+        Same contract as run_prefill: returns (tokens [1] np, obs)."""
+        assert len(seqs) == 1, "staged prefill runs bs=1"
+        seq, chunk = seqs[0], chunk_sizes[0]
+        ctx = int(ctx_lens_tokens[0])
+        start = ctx - chunk
+        _, sb, _ = self._prefill_buckets(1, chunk, 1)
+        mp = min(
+            _round_up_pow2(
+                -(-max(ctx, start + sb) // self.config.page_size),
+                lo=max(self.config.decode_context_bucket_base
+                       // self.config.page_size, 1),
+            ),
+            self.config.max_pages_per_seq,
+        )
+        token_ids = np.zeros((1, sb), np.int32)
+        token_ids[0, :chunk] = seq.prompt_token_ids[start : start + chunk]
+        positions = np.arange(start, start + sb, dtype=np.int32)[None]
+        dest = np.full((1, sb), -1, np.int32)
+        dest[0, :chunk] = dests[0]
+        temps, top_k, top_p, mode, nlp = self._sampling_arrays(seqs, 1)
+        host_plan = {
+            "token_ids": token_ids,
+            "positions": positions,
+            "dest_slot": dest,
+            "row_ids": np.asarray(row_ids, np.int32),
+            "ctx_lens": np.asarray([ctx], np.int32),
+            "new_lens": np.asarray([chunk], np.int32),
+            "chunk_start": np.asarray(start, np.int32),
+            "step": np.asarray(self._step_counter, np.int32),
+            "temps": temps, "top_k": top_k, "top_p": top_p,
+        }
+        plan = self._put_plan(host_plan, "prefill")
+        self._step_counter += 1
+        fn = self._get_staged_prefill_fn(sb, mp, mode, nlp, emit_obs)
+        with profiler.record("staged_prefill_step"):
+            (self.k_stage, self.v_stage, self.stage_scales,
+             tokens, obs, lps) = fn(
+                self.params, self.k_stage, self.v_stage, self.stage_scales,
+                self.tables, plan,
+            )
+        self.last_logprobs = None
+        if lps is not None:
+            lp, tids, tlps = lps
+            self.last_logprobs = {
+                "lp": np.asarray(lp)[:1],
+                "top_ids": np.asarray(tids)[:1],
+                "top_lps": np.asarray(tlps)[:1],
+            }
+        return np.asarray(tokens)[:1], obs
+
+    def compact_rows_staged(self, plan: dict, obs_scores) -> None:
+        """Prefill-end compaction OUT of the staging pool: top-k select over
+        obs scores, gather+DEQUANTIZE kept tokens from staging, scatter bf16
+        rows into fresh MAIN-pool pages, rewrite device table rows. The
+        staging pages become free (manager returns them to the staging
+        stack) and decode runs the full-speed bf16 path."""
+        rows = self._dev(plan["rows"])
+        ctx = self._dev(plan["ctx"])
+        keep = self._dev(plan["keep"])
+        new_pages = self._dev(plan["new_pages"])
+        batch_idx = self._dev(plan["batch_idx"])
+        w = int(plan["obs_window"])
+        kt = int(plan["keep"].max())
+        sd = self.config.kv_staging_dtype
+        key = ("compact_staged", obs_scores.shape, new_pages.shape, kt, w)
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(
+                    _staged_compact_impl, obs_window=w, keep_max=kt,
+                    page_size=self.config.page_size, staging=sd,
+                ),
+                donate_argnums=(3, 4, 5),
+            )
+            self._fn_cache[key] = fn
+            logger.info("compiled staged compact op %s", key)
+        with profiler.record("compact_staged"):
+            self.k_cache, self.v_cache, self.tables = fn(
+                self.k_stage, self.v_stage, self.stage_scales,
+                self.k_cache, self.v_cache, self.tables,
+                obs_scores, batch_idx, rows, ctx, keep, new_pages,
+            )
+
     def run_decode(
         self,
         seqs,
@@ -1002,38 +1272,11 @@ def _compact_impl(
     def layer_body(carry, xs):
         kc, vc, scales, tables = carry
         li, sc, kp, npg = xs  # [B,K], [B], [B,MPK]
-        prefix_len = ctx - w  # [B]
-        pos = jnp.arange(k_len, dtype=jnp.int32)[None, :]
-        cand = jnp.where(pos < prefix_len[:, None], sc, -jnp.inf)
-        n_prefix = jnp.maximum(kp - w, 0)  # [B]
-        kt_prefix = min(kt, k_len)
-        _, top_idx = jax.lax.top_k(cand, kt_prefix)  # [B, KTp]
-        rank = jnp.arange(kt_prefix, dtype=jnp.int32)[None, :]
-        valid = rank < n_prefix[:, None]
-        # ascending original order for kept prefix tokens
-        src_prefix = jnp.sort(
-            jnp.where(valid, top_idx, k_len), axis=1
-        )  # invalid -> sentinel at end
-        dst_prefix = jnp.where(valid, rank, -1)
-        # observation window tokens
-        wj = jnp.arange(w, dtype=jnp.int32)[None, :]
-        src_win = prefix_len[:, None] + wj
-        win_valid = src_win >= 0
-        dst_win = jnp.where(win_valid, n_prefix[:, None] + wj, -1)
-        src = jnp.concatenate([src_prefix, src_win], axis=1)  # [B, KTp+W]
-        dst = jnp.concatenate([dst_prefix, dst_win], axis=1)
-        src = jnp.clip(src, 0, k_len - 1)
-
         old_table = tables[li][rows]  # [B, MP]
-        mp_full = old_table.shape[1]
-        src_page = jnp.take_along_axis(
-            old_table, jnp.clip(src // p, 0, mp_full - 1), axis=1
+        src_slot, dst_slot = _keep_slot_plan(
+            sc, kp, ctx, old_table, npg,
+            obs_window=w, keep_max=kt, page_size=p, k_len=k_len,
         )
-        src_slot = src_page * p + src % p  # [B, N]
-        dst_page = jnp.take_along_axis(
-            npg, jnp.clip(dst // p, 0, npg.shape[1] - 1), axis=1
-        )
-        dst_slot = jnp.where(dst >= 0, dst_page * p + dst % p, -1)
 
         # multi-dim gather/scatter with [Nkv, Dh] token slices — no cache
         # reshape (merging minor dims is not layout-compatible with TPU
@@ -1075,3 +1318,123 @@ def _compact_impl(
         layer_body, (kc, vc, kv_scales, tables), xs
     )
     return kc, vc, kv_scales, tables
+
+
+def _keep_slot_plan(
+    sc, kp, ctx, old_table, npg,
+    *, obs_window: int, keep_max: int, page_size: int, k_len: int,
+):
+    """SnapKV keep-selection -> (src_slot, dst_slot) staging/main slot pairs
+    ([B, KTp+W]; dst -1 drops). Shared by resident and staged compaction;
+    token semantics mirror reference _snapkv_prefill_eviction
+    (sparse_controller.py:631-665): obs window always kept, top
+    (keep - W) prefix tokens kept in original order."""
+    p = page_size
+    w = obs_window
+    prefix_len = ctx - w  # [B]
+    pos = jnp.arange(k_len, dtype=jnp.int32)[None, :]
+    cand = jnp.where(pos < prefix_len[:, None], sc, -jnp.inf)
+    n_prefix = jnp.maximum(kp - w, 0)  # [B]
+    kt_prefix = min(keep_max, k_len)
+    _, top_idx = jax.lax.top_k(cand, kt_prefix)  # [B, KTp]
+    rank = jnp.arange(kt_prefix, dtype=jnp.int32)[None, :]
+    valid = rank < n_prefix[:, None]
+    src_prefix = jnp.sort(jnp.where(valid, top_idx, k_len), axis=1)
+    dst_prefix = jnp.where(valid, rank, -1)
+    wj = jnp.arange(w, dtype=jnp.int32)[None, :]
+    src_win = prefix_len[:, None] + wj
+    win_valid = src_win >= 0
+    dst_win = jnp.where(win_valid, n_prefix[:, None] + wj, -1)
+    src = jnp.concatenate([src_prefix, src_win], axis=1)
+    dst = jnp.concatenate([dst_prefix, dst_win], axis=1)
+    src = jnp.clip(src, 0, k_len - 1)
+    mp_full = old_table.shape[1]
+    src_page = jnp.take_along_axis(
+        old_table, jnp.clip(src // p, 0, mp_full - 1), axis=1
+    )
+    src_slot = src_page * p + src % p
+    dst_page = jnp.take_along_axis(
+        npg, jnp.clip(dst // p, 0, npg.shape[1] - 1), axis=1
+    )
+    dst_slot = jnp.where(dst >= 0, dst_page * p + dst % p, -1)
+    return src_slot, dst_slot
+
+
+def _staged_compact_impl(
+    ks, vs, ssc, kc, vc, tables, scores, batch_idx, rows, ctx, keep,
+    new_pages, *, obs_window: int, keep_max: int, page_size: int,
+    staging: str,
+):
+    """Staged compaction: top-k select (same semantics as _compact_impl),
+    gather kept rows from the QUANTIZED staging pool, dequantize, scatter
+    bf16 into main-pool pages, rewrite table rows to the main pages."""
+    p = page_size
+    k_len = scores.shape[-1]
+    scores_sel = scores[:, batch_idx]  # [L, B, K]
+    nkv = kc.shape[3]
+    dh = kc.shape[4]
+
+    def layer_body(carry, xs):
+        kc, vc, tables = carry
+        li, sc, kp, npg = xs
+        old_table = tables[li][rows]  # [B, MP] staging page ids
+        src_slot, dst_slot = _keep_slot_plan(
+            sc, kp, ctx, old_table, npg,
+            obs_window=obs_window, keep_max=keep_max,
+            page_size=p, k_len=k_len,
+        )
+        src_pg, src_off = src_slot // p, src_slot % p
+        lix = jnp.broadcast_to(li, src_slot.shape)
+        if staging == "int4":
+            pk = ks[lix, src_pg, src_off]  # [B, N, FD] packed
+            pv = vs[lix, src_pg, src_off]
+            # scale planes: [4, B, N, Nkv] (advanced dims lead, slice last)
+            nplanes = 4
+            lix2 = jnp.broadcast_to(li, (nplanes,) + src_slot.shape)
+            kvix = jnp.broadcast_to(
+                jnp.arange(nplanes, dtype=jnp.int32).reshape(nplanes, 1, 1),
+                lix2.shape,
+            )
+            g_s = ssc[kvix, lix2, src_pg[None], :, src_off[None]]
+            b_, n_ = src_slot.shape
+
+            def _deq4(pkx, s, z):
+                pi = pkx.astype(jnp.int32).reshape(b_, n_, nkv, dh // 2)
+                q = jnp.concatenate(
+                    [(pi & 15).astype(jnp.float32),
+                     ((pi >> 4) & 15).astype(jnp.float32)], axis=-1)
+                return q * s[..., None] + z[..., None]
+
+            gathered_k = _deq4(pk, g_s[0], g_s[2]).astype(kc.dtype)
+            gathered_v = _deq4(pv, g_s[1], g_s[3]).astype(kc.dtype)
+        elif staging == "int8":
+            pk = ks[lix, src_pg, src_off].astype(jnp.float32)  # [B,N,Nkv,Dh]
+            pv = vs[lix, src_pg, src_off].astype(jnp.float32)
+            nplanes = 2
+            lix2 = jnp.broadcast_to(li, (nplanes,) + src_slot.shape)
+            kvix = jnp.broadcast_to(
+                jnp.arange(nplanes, dtype=jnp.int32).reshape(nplanes, 1, 1),
+                lix2.shape,
+            )
+            g_s = ssc[kvix, lix2, src_pg[None], :, src_off[None]]
+            gathered_k = (pk * g_s[0][..., None]).astype(kc.dtype)
+            gathered_v = (pv * g_s[1][..., None]).astype(kc.dtype)
+        else:  # bf16 staging
+            gathered_k = ks[lix, src_pg, src_off].astype(kc.dtype)
+            gathered_v = vs[lix, src_pg, src_off].astype(kc.dtype)
+        dst_pg = jnp.where(dst_slot >= 0, dst_slot // p, -1)
+        dst_off = dst_slot % p
+        kc = kc.at[lix, dst_pg, dst_off].set(gathered_k, mode="drop")
+        vc = vc.at[lix, dst_pg, dst_off].set(gathered_v, mode="drop")
+        mpk = npg.shape[1]
+        tables = tables.at[li, rows, :mpk].set(npg)
+        return (kc, vc, tables), None
+
+    xs = (
+        jnp.arange(scores_sel.shape[0], dtype=jnp.int32),
+        scores_sel,
+        keep,
+        new_pages,
+    )
+    (kc, vc, tables), _ = jax.lax.scan(layer_body, (kc, vc, tables), xs)
+    return kc, vc, tables

@@ -52,20 +52,157 @@ class SnapKVManager(KVCacheManager):
             [max(b, self.obs_window) for b in budgets], np.int64
         )
 
+        # mixed-precision staging pool (config.kv_staging_dtype): long
+        # prompts prefill into a quantized staging pool shared across layers
+        # (layers are lockstep pre-compaction) and move to the bf16 main
+        # pool at compaction. One free stack; page 0 reserved (trash).
+        self.staging = config.kv_staging_dtype != "none"
+        if self.staging:
+            sp = config.num_staging_pages or (config.max_pages_per_seq + 2)
+            self.num_stage_pages = sp
+            self._stage_free: list[int] = list(range(1, sp))
+            self._stage_reserved: dict[int, int] = {}  # seq -> promised pages
+            self._stage_held: dict[int, list[np.ndarray]] = {}
+            self._stage_threshold = config.staging_threshold_tokens or max(
+                config.chunk_prefill_size,
+                int(self.layer_budgets.max()) + self.P,
+            )
+
+    # --------------------------------------------------------- staging pool
+
+    def wants_staging(self, seq: Sequence) -> bool:
+        """Prompts above the staging threshold prefill via the quantized
+        staging pool (scheduler.add routes; engine/executor run the staged
+        step). Shorter prompts go straight to the bf16 main pool — they are
+        mostly kept anyway."""
+        return self.staging and (
+            seq.num_prompt_tokens > self._stage_threshold
+        )
+
+    def _stage_avail(self) -> int:
+        return len(self._stage_free) - sum(self._stage_reserved.values())
+
+    def can_admit(self, seq: Sequence) -> bool:
+        if seq.staged_prefill:
+            need = -(-(seq.num_prompt_tokens + 1) // self.P)
+            if self._stage_avail() < need:
+                return False
+        return super().can_admit(seq)
+
+    def alloc_row(self, seq: Sequence) -> int:
+        row = super().alloc_row(seq)
+        if seq.staged_prefill:
+            self._stage_reserved[seq.seq_id] = -(
+                -(seq.num_prompt_tokens + 1) // self.P
+            )
+            self._stage_held[seq.seq_id] = []
+        return row
+
+    def alloc_prefill(self, seq: Sequence, chunk: int) -> np.ndarray:
+        if not seq.staged_prefill:
+            return super().alloc_prefill(seq, chunk)
+        row = self.seq_rows[seq.seq_id]
+        start = int(self.row_lens[0, row])
+        end = start + chunk
+        n_total = -(-end // self.P)
+        n_new = n_total - (start + self.P - 1) // self.P
+        if n_new > 0:
+            if n_new > len(self._stage_free):
+                raise RuntimeError(
+                    f"staging pool exhausted: need {n_new} pages, "
+                    f"{len(self._stage_free)} free (admission bug)"
+                )
+            pages = np.asarray(
+                [self._stage_free.pop() for _ in range(n_new)], np.int32
+            )
+            self._stage_held[seq.seq_id].append(pages)
+            r = self._stage_reserved.get(seq.seq_id, 0)
+            self._stage_reserved[seq.seq_id] = max(r - n_new, 0)
+            idx = np.arange(n_total - n_new, n_total)
+            for l in range(self.L):
+                self.page_tables[l, row, idx] = pages
+            self._queue_update(
+                np.repeat(np.arange(self.L), n_new),
+                np.full(self.L * n_new, row),
+                np.tile(idx, self.L),
+                np.tile(pages, self.L),
+            )
+        positions = np.arange(start, end, dtype=np.int64)
+        pages_of = self.page_tables[0, row, positions // self.P].astype(
+            np.int64
+        )
+        dest = pages_of * self.P + positions % self.P
+        self.row_lens[:, row] = end
+        return dest.astype(np.int32)
+
+    def free_seq(self, seq: Sequence) -> None:
+        held = self._stage_held.pop(seq.seq_id, None) if self.staging \
+            else None
+        if self.staging:
+            self._stage_reserved.pop(seq.seq_id, None)
+        if held is not None:
+            # still mid-staging (abort/preempt): pages go back to the
+            # staging stack; the row holds no main-pool pages yet.
+            for pages in held:
+                self._stage_free.extend(int(x) for x in pages)
+            row = self.seq_rows.pop(seq.seq_id, None)
+            if row is not None:
+                self.row_lens[:, row] = 0
+                self._free_rows.append(row)
+            seq.row = -1
+            return
+        super().free_seq(seq)
+
+    def plan_staged_compaction(self, seq: Sequence) -> dict:
+        """Staged prefill-end move: allocate MAIN-pool destination pages for
+        the kept tokens (keep[l] = min(budget_l, ctx)); the executor's
+        staged compact op gathers+dequantizes them out of staging."""
+        rows = self.rows_of([seq])
+        ctx = np.asarray([seq.num_prompt_tokens], np.int64)
+        keep = np.minimum(self.layer_budgets[:, None], ctx[None, :])
+        mpk = int(-(-keep.max() // self.P))
+        new_pages = np.zeros((self.L, 1, mpk), np.int32)
+        for l in range(self.L):
+            n = int(-(-keep[l, 0] // self.P))
+            new_pages[l, 0, :n] = self._pop_pages(l, n)
+        return {
+            "rows": rows,
+            "ctx": ctx.astype(np.int32),
+            "keep": keep.astype(np.int32),
+            "new_pages": new_pages,
+            "obs_window": self.obs_window,
+        }
+
+    def commit_staged_compaction(self, seq: Sequence, plan: dict) -> None:
+        row = self.seq_rows[seq.seq_id]
+        for pages in self._stage_held.pop(seq.seq_id, []):
+            self._stage_free.extend(int(x) for x in pages)
+        self._stage_reserved.pop(seq.seq_id, None)
+        keep = plan["keep"]
+        new_pages = plan["new_pages"]
+        for l in range(self.L):
+            n = int(-(-keep[l, 0] // self.P))
+            self.page_tables[l, row, :n] = new_pages[l, 0, :n]
+            self.row_lens[l, row] = keep[l, 0]
+        seq.staged_prefill = False
+
     # admission peak: whole prompt resident + compaction destination pages
     # (new pages are allocated before old ones are freed). Streamed long
     # prefills (host KV archive, engine/streamed_prefill.py) never hold the
     # prompt in device pages — only the compacted keep budget.
     def admission_cost_pages(self, seq: Sequence) -> int:
         keep_pages = -(-int(self.layer_budgets.max()) // self.P)
-        if getattr(seq, "streamed_prefill", False):
+        if getattr(seq, "streamed_prefill", False) or seq.staged_prefill:
+            # streamed: prompt KV lives in the host archive; staged: in the
+            # separately-accounted staging pool (can_admit checks it) —
+            # the MAIN pool only ever holds the compacted keep budget.
             return keep_pages + 1
         prompt_pages = -(-(seq.num_prompt_tokens + 1) // self.P)
         return prompt_pages + keep_pages
 
     def prefill_step_cost_pages(self, seq: Sequence, chunk: int) -> int:
-        if getattr(seq, "streamed_prefill", False):
-            return 0  # chunk KV lives in activations + the host archive
+        if getattr(seq, "streamed_prefill", False) or seq.staged_prefill:
+            return 0  # chunk KV lives off the main pool
         return super().prefill_step_cost_pages(seq, chunk)
 
     def plan_compaction(self, seqs: list[Sequence]) -> dict | None:

@@ -69,6 +69,13 @@ class Scheduler:
         # the device never holds the whole prompt's KV, so admission only
         # reserves the compacted keep budget. Applies to methods whose
         # decode residency is bounded by prefill-end compaction.
+        # staged mixed-precision prefill (kv_staging_dtype): long prompts
+        # prefill into the quantized staging pool; takes precedence over
+        # the host-archive streamed path (staging reads at HBM speed).
+        if hasattr(self.kv, "wants_staging") and self.kv.wants_staging(seq):
+            seq.staged_prefill = True
+            self.waiting.append(seq)
+            return
         thr = getattr(self.config, "long_prefill_offload_threshold", 0)
         if (
             thr
@@ -172,10 +179,14 @@ class Scheduler:
         # default to it; all_chunked still isolates >threshold prompts to
         # bound padding waste, which is the TPU analogue of the reference's
         # long/short split).
+        # staged sequences always count as long: the staged step fn is
+        # compiled for bs=1 and its scratch is sized for one sequence.
         longs = [s for s in candidates
-                 if s.remaining_prefill > self._long_threshold]
+                 if s.remaining_prefill > self._long_threshold
+                 or s.staged_prefill]
         shorts = [s for s in candidates
-                  if s.remaining_prefill <= self._long_threshold]
+                  if s.remaining_prefill <= self._long_threshold
+                  and not s.staged_prefill]
         if longs and not shorts:
             selected = [longs[0]]
         elif shorts:

@@ -53,6 +53,10 @@ class Sequence:
     completion_top_logprobs: list[dict[int, float]] = field(
         default_factory=list
     )
+    # long-prompt prefill routing (set at scheduler.add): host-archive
+    # streamed prefill vs quantized staging-pool prefill (kv_staging_dtype)
+    streamed_prefill: bool = False
+    staged_prefill: bool = False
 
     @property
     def num_prompt_tokens(self) -> int:

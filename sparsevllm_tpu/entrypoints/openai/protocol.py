@@ -159,13 +159,26 @@ class ResponsesRequest:
                         "input items must be {role, content} objects")
                 content = it.get("content", "")
                 if isinstance(content, list):
-                    # content parts: concatenate text parts
-                    content = "".join(
-                        p.get("text", "") for p in content
-                        if isinstance(p, dict)
-                        and p.get("type") in ("input_text", "output_text",
-                                              "text")
-                    )
+                    # content parts: concatenate text parts; reject
+                    # unsupported modalities LOUDLY (a silently-dropped
+                    # image part would corrupt the request's meaning —
+                    # ADVICE r2: pin a 4xx, not pass-through-drop)
+                    texts = []
+                    for p in content:
+                        if not isinstance(p, dict):
+                            raise ProtocolError(
+                                "content parts must be objects")
+                        if p.get("type") in ("input_text", "output_text",
+                                             "text"):
+                            texts.append(p.get("text", ""))
+                        else:
+                            raise ProtocolError(
+                                f"unsupported content part type "
+                                f"{p.get('type')!r} (text-only serving; "
+                                f"multimodal inputs go through the "
+                                f"benchmark/multimodal adapters)"
+                            )
+                    content = "".join(texts)
                 items.append({"role": it["role"], "content": content})
         else:
             raise ProtocolError("input must be a string or a list of items")

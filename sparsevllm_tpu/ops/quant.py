@@ -118,6 +118,44 @@ def scatter_scales_batch(
     return kv_scales
 
 
+def gather_dequant_pages(
+    cache_l: jax.Array,  # [pages, P, Nkv, Dh] int8 (one layer)
+    scale_l: jax.Array,  # [pages, Nkv, P] f32
+    pages: jax.Array,  # [MP] int32 page ids (logical order)
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Gather + dequantize int8 pages into a LOGICAL-ORDER float scratch
+    [MP, P, Nkv, Dh] (the staged-prefill attention scratch; see
+    engine/executor.py run_prefill_staged)."""
+    q = cache_l[pages].astype(jnp.float32)  # [MP, P, Nkv, Dh]
+    s = jnp.swapaxes(scale_l[pages], 1, 2)  # [MP, P, Nkv]
+    return (q * s[..., None]).astype(dtype)
+
+
+def gather_dequant_pages_u4(
+    cache_l: jax.Array,  # [pages, P, Nkv*Dh//2] int8 packed flat-lane
+    scale_l: jax.Array,  # [pages, Nkv, P] f32
+    zero_l: jax.Array,  # [pages, Nkv, P] f32
+    pages: jax.Array,  # [MP] int32
+    nkv: int,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """int4 flat-lane pages -> [MP, P, Nkv, Dh] float scratch.
+
+    Unpacks the split-half layout (byte (h, j) holds channels j and
+    j + Dh/2 of head h — see the INT4 section header)."""
+    pk = cache_l[pages].astype(jnp.int32)  # [MP, P, FD]
+    mp, p, fd = pk.shape
+    dh2 = fd // nkv
+    pk = pk.reshape(mp, p, nkv, dh2)
+    lo = (pk & 15).astype(jnp.float32)
+    hi = ((pk >> 4) & 15).astype(jnp.float32)
+    q = jnp.concatenate([lo, hi], axis=-1)  # [MP, P, Nkv, Dh]
+    s = jnp.swapaxes(scale_l[pages], 1, 2)[..., None]  # [MP, P, Nkv, 1]
+    z = jnp.swapaxes(zero_l[pages], 1, 2)[..., None]
+    return (q * s + z).astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # INT4 grouped pack/unpack (reference quant.py:29-218 last-dim grouping) —
 # used by the DeltaKV latent pool.

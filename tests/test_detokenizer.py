@@ -56,20 +56,38 @@ def test_text_after_held_back_bytes_emits_together():
     assert d.push([raw[1]] + list(b"ber")) == "über"[-4:]
 
 
-def test_finish_flushes_truncated_sequence_verbatim():
+def test_complete_text_streams_past_trailing_partial():
+    """Only the trailing incomplete codepoint is held back — complete text
+    before it must stream immediately (ADVICE r2)."""
     d = IncrementalDetokenizer(ByteTokenizer())
     raw = "é".encode("utf-8")
-    assert d.push(list(b"ok") + [raw[0]]) == ""  # trailing partial holds all
+    assert d.push(list(b"ok") + [raw[0]]) == "ok"
     tail = d.finish()
-    assert tail.startswith("ok")
-    assert "�" in tail  # replacement char included verbatim on flush
+    assert tail == "�"  # the dangling byte flushes verbatim
 
 
-def test_merge_changed_prefix_reemits_full_text():
+def test_merge_changed_prefix_never_duplicates_streamed_text():
+    """Streamed deltas cannot be retracted: a merge that rewrites already-
+    emitted text must NOT re-emit it (a delta-concatenating SSE client
+    would render the duplicate — ADVICE r2). We emit nothing for the
+    diverged region instead (reference raises; documented divergence)."""
     d = IncrementalDetokenizer(MergeTokenizer())
     assert d.push([0]) == "Aa"
-    # decode([0,1]) == 'AB!' does not extend 'Aa' -> full re-emit
-    assert d.push([1]) == "AB!"
+    # decode([0,1]) == 'AB!' does not extend 'Aa' -> suffix-silence
+    assert d.push([1]) == ""
+    assert d.finish() == ""
+
+
+def test_push_after_finish_raises():
+    d = IncrementalDetokenizer(ByteTokenizer())
+    d.push(list(b"x"))
+    d.finish()
+    try:
+        d.push(list(b"y"))
+    except RuntimeError:
+        pass
+    else:
+        raise AssertionError("push after finish must raise")
 
 
 def test_empty_push_is_noop():

@@ -103,30 +103,3 @@ def test_native_pool_exhaustion_raises():
     rows = np.asarray([mgr.seq_rows[s.seq_id]], np.int32)
     with pytest.raises(RuntimeError, match="exhausted"):
         native.alloc_decode(mgr, rows, 16)
-
-
-def test_offload_roundtrip():
-    import jax.numpy as jnp
-
-    from sparsevllm_tpu.engine.kv_offload import (
-        HostKVOffload, scatter_restored,
-    )
-
-    rng = np.random.default_rng(0)
-    kc = jnp.asarray(rng.normal(size=(2, 16, 2, 8, 16)), jnp.float32)
-    vc = jnp.asarray(rng.normal(size=(2, 16, 2, 8, 16)), jnp.float32)
-    off = HostKVOffload()
-    pages = np.asarray([3, 7, 9], np.int32)
-    off.offload(("seq1", 0), kc, vc, 0, pages)
-    assert ("seq1", 0) in off
-    assert off.stats()["entries"] == 1
-    # overwrite the source pages, then restore into new pages
-    kc2 = kc.at[0, pages].set(0)
-    vc2 = vc.at[0, pages].set(0)
-    hk, hv = off.restore(("seq1", 0))
-    new_pages = np.asarray([1, 2, 4], np.int32)
-    kc2, vc2 = scatter_restored(kc2, vc2, 0, new_pages, hk, hv)
-    np.testing.assert_allclose(kc2[0, new_pages], kc[0, pages])
-    np.testing.assert_allclose(vc2[0, new_pages], vc[0, pages])
-    off.drop(("seq1", 0))
-    assert off.stats()["entries"] == 0

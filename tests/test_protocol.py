@@ -112,7 +112,6 @@ def test_responses_content_parts_concatenated():
                     "role": "user",
                     "content": [
                         {"type": "input_text", "text": "a"},
-                        {"type": "image", "text": "IGNORED"},
                         {"type": "text", "text": "b"},
                     ],
                 }
@@ -121,6 +120,25 @@ def test_responses_content_parts_concatenated():
         16,
     )
     assert r.input_items == [{"role": "user", "content": "ab"}]
+
+
+def test_responses_unsupported_content_part_rejected():
+    """Non-text modalities must 4xx, not silently drop (ADVICE r2)."""
+    with pytest.raises(ProtocolError, match="unsupported content part"):
+        ResponsesRequest.from_body(
+            {
+                "input": [
+                    {
+                        "role": "user",
+                        "content": [
+                            {"type": "input_text", "text": "a"},
+                            {"type": "image", "image_url": "http://x"},
+                        ],
+                    }
+                ]
+            },
+            16,
+        )
 
 
 def test_responses_max_output_tokens_alias():
