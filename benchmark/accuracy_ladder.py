@@ -275,6 +275,14 @@ def method_configs(ctx: int):
                         recent_keep_tokens=64),
     }
     base["deltakv_id"] = dict(base["deltakv"])  # 1x-latent machinery lane
+    # origin codec: NO learned compressor — payload is the exact
+    # (K∥V − neighbor-ref) residual, int4-grouped (reference
+    # no-compressor DELTA_ORIGIN configs). Needs no checkpoint; this is
+    # the deployable accuracy-first DeltaKV lane.
+    base["deltakv_origin"] = dict(
+        base["deltakv"], deltakv_compressor_arch="origin",
+        deltakv_latent_group=128,
+    )
     return base
 
 
@@ -420,7 +428,8 @@ def run_part_a(args, art):
     results = {}
     for name, kw in method_configs(args.ctx).items():
         dk_ckpt = dk_ckpts.get(name) if name.startswith("deltakv") else None
-        if name.startswith("deltakv") and dk_ckpt is None:
+        if (name.startswith("deltakv") and dk_ckpt is None
+                and kw.get("deltakv_compressor_arch") != "origin"):
             continue
         for kv_dtype in args.kv_dtypes.split(","):
             try:

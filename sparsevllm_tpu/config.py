@@ -219,7 +219,15 @@ class Config:
     # full-layer cache, deltakv_less_memory.py:205-241)
     deltakv_kivi_bits: int = 0
     deltakv_latent_dim: int = 0  # 0 = from checkpoint / auto (io_dim // 4)
-    deltakv_compressor_arch: str = "linear"  # linear | mlp_gelu | mlp_swiglu
+    # linear | mlp_gelu | mlp_swiglu | origin ("origin" = no learned
+    # compressor; the payload is the exact K∥V−ref residual — reference
+    # DELTA_ORIGIN / no-compressor configs)
+    deltakv_compressor_arch: str = "linear"
+    # each compressed token's reference = mean of its N nearest CAUSAL
+    # centers by l2 over (K∥V) (reference deltakv_neighbor_count=4)
+    deltakv_neighbor_count: int = 4
+    # latent quantization group size (0 = one scale per token payload)
+    deltakv_latent_group: int = 0
     deltakv_max_compressed_tokens: int = 32768  # latent capacity per row
     # fold the raw decode tail into latents every N tokens (0 = never;
     # reference tail re-compression — without it the tail grows raw forever)
@@ -485,12 +493,16 @@ class Config:
             if not (0.0 < self.deltakv_cluster_ratio <= 1.0):
                 raise ValueError("deltakv_cluster_ratio must be in (0, 1]")
             if self.deltakv_compressor_arch not in (
-                "linear", "mlp_gelu", "mlp_swiglu"
+                "linear", "mlp_gelu", "mlp_swiglu", "origin"
             ):
                 raise ValueError(
                     f"unknown deltakv_compressor_arch "
                     f"{self.deltakv_compressor_arch!r}"
                 )
+            if self.deltakv_neighbor_count < 1:
+                raise ValueError("deltakv_neighbor_count must be >= 1")
+            if self.deltakv_latent_group < 0:
+                raise ValueError("deltakv_latent_group must be >= 0")
             if self.deltakv_max_compressed_tokens % self.page_size:
                 raise ValueError(
                     "deltakv_max_compressed_tokens must be a multiple of "

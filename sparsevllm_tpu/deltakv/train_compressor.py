@@ -88,9 +88,25 @@ def collect_kv_residuals(
         for li in sparse_layers:
             k, v = per_layer[li]
             kv = np.concatenate([k, v], axis=-1)  # [S, Nkv, 2Dh]
-            kv = kv.reshape(s, -1)  # [S, io]
-            centers = kv[(np.arange(s) // stride) * stride]
-            sample.append(kv - centers)
+            kv = kv.reshape(s, -1).astype(np.float32)  # [S, io]
+            # nearest-causal-center references (mean of 4 neighbors by l2)
+            # — MUST match the runtime assignment (ops/deltakv.py
+            # compress_layer; reference _cluster_refs): training on
+            # positional j//stride residuals mis-scales the compressor.
+            centers = kv[::stride]  # [NC, io]
+            scores = 2.0 * kv @ centers.T - (centers ** 2).sum(-1)[None]
+            cpos = np.arange(centers.shape[0]) * stride
+            allowed = cpos[None, :] <= np.arange(s)[:, None]
+            scores = np.where(allowed, scores, -np.inf)
+            nn = min(4, centers.shape[0])
+            fathers = np.argpartition(-scores, nn - 1, axis=1)[:, :nn]
+            # early tokens have < nn causal centers: fall back to the own
+            # stride group's center for disallowed picks
+            picked = np.take_along_axis(scores, fathers, 1)
+            own = (np.arange(s) // stride)[:, None]
+            fathers = np.where(np.isfinite(picked), fathers, own)
+            refs = centers[fathers].mean(axis=1)  # [S, io]
+            sample.append(kv - refs)
         out.append(np.stack(sample, axis=1))  # [S, Ls, io]
     return np.concatenate(out, axis=0)
 

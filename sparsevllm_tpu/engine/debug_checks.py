@@ -87,6 +87,17 @@ def check_decode_plan(kv, seqs, dest_slots, ctx_start) -> None:
     # writes k tokens) and pages owned by the row
     l_num, b, k = d.shape
     rows = kv.rows_of(seqs)
+    # EVERY table entry of a decoding row must be a valid main-pool page:
+    # the decode kernel streams pages up to the context BUCKET, so even
+    # entries past the row's logical length get DMA'd — a stale id beyond
+    # the pool is an out-of-bounds HBM read that crashes the chip
+    # (observed with staging-pool ids after staged compaction).
+    tb = kv.page_tables[:, rows]
+    if tb.min() < 0 or tb.max() >= kv.num_pages:
+        raise BoundsError(
+            f"table rows contain out-of-pool page ids: "
+            f"[{tb.min()}, {tb.max()}] vs {kv.num_pages} pages"
+        )
     for j, seq in enumerate(seqs):
         for l in range(l_num):
             lane = d[l, j]

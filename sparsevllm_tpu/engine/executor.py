@@ -172,6 +172,8 @@ class ModelExecutor:
             dk_stride=max(int(round(1.0 / config.deltakv_cluster_ratio)), 1),
             dk_arch=config.deltakv_compressor_arch,
             dk_latent_bits=config.deltakv_latent_bits,
+            dk_nn=config.deltakv_neighbor_count,
+            dk_group=config.deltakv_latent_group,
             moe_dispatch="dense" if mesh is not None else "sorted",
         )
         self.query_cache = None
@@ -226,7 +228,14 @@ class ModelExecutor:
                 slot[li] = si
             self._sparse_slot = jnp.asarray(slot)
             io_dim = 2 * spec.num_kv_heads * spec.head_dim
-            if config.deltakv_checkpoint_path:
+            if config.deltakv_compressor_arch == "origin":
+                # no learned compressor: payload = exact K∥V−ref residual
+                latent_dim = io_dim
+                self.dk_comp = comp_ops.init_compressor_params(
+                    len(sparse_layers), io_dim, io_dim, "origin",
+                    config.seed,
+                )
+            elif config.deltakv_checkpoint_path:
                 # checkpoint is the source of truth for latent_dim/arch
                 # (reference sync_deltakv_config_from_checkpoint,
                 # utils/loader.py:186-278 — synced BEFORE cache allocation)
@@ -261,6 +270,12 @@ class ModelExecutor:
                     f"deltakv latent_dim must be a multiple of {per_byte} "
                     f"for {config.deltakv_latent_bits}-bit packed latents"
                 )
+            if (config.deltakv_latent_group
+                    and latent_dim % config.deltakv_latent_group):
+                raise ValueError(
+                    f"deltakv_latent_group ({config.deltakv_latent_group}) "
+                    f"must divide latent_dim ({latent_dim})"
+                )
             # arch is static (rt.dk_arch); jitted fns take arrays only
             self.dk_comp = {
                 "down": self.dk_comp["down"], "up": self.dk_comp["up"],
@@ -272,6 +287,8 @@ class ModelExecutor:
                 -(-cmax // stride), spec.num_kv_heads, spec.head_dim,
                 latent_dim, dtype,
                 latent_bits=config.deltakv_latent_bits,
+                latent_group=config.deltakv_latent_group,
+                neighbors=config.deltakv_neighbor_count,
             )
         # mixed-precision staged prefill pool (config.kv_staging_dtype):
         # long prompts prefill QUANTIZED into this pool; attention runs bf16
@@ -1053,7 +1070,7 @@ class ModelExecutor:
                 dk = dk_ops.compress_layer(
                     dk, si, comp_layer, rt.dk_arch, k_raw, v_raw, rows,
                     counts, stride=stride, latent_bits=rt.dk_latent_bits,
-                    dest_offset=dest_offset,
+                    latent_group=rt.dk_group, dest_offset=dest_offset,
                 )
                 return dk, None
 
@@ -1426,8 +1443,16 @@ def _staged_compact_impl(
         dst_off = dst_slot % p
         kc = kc.at[lix, dst_pg, dst_off].set(gathered_k, mode="drop")
         vc = vc.at[lix, dst_pg, dst_off].set(gathered_v, mode="drop")
+        # rewrite the WHOLE table row: stale entries past the keep pages
+        # still hold STAGING page ids, which can exceed the main pool —
+        # a decode-kernel page DMA through one is out-of-bounds HBM and
+        # crashes the chip (observed: 'TPU backend error (Internal)' on
+        # the first decode megastep after a staged compaction).
         mpk = npg.shape[1]
-        tables = tables.at[li, rows, :mpk].set(npg)
+        mpt = tables.shape[2]
+        row_full = jnp.zeros((rows.shape[0], mpt), tables.dtype)
+        row_full = row_full.at[:, :mpk].set(npg)
+        tables = tables.at[li, rows].set(row_full)
         return (kc, vc, tables), None
 
     xs = (

@@ -183,6 +183,10 @@ class SnapKVManager(KVCacheManager):
         for l in range(self.L):
             n = int(-(-keep[l, 0] // self.P))
             self.page_tables[l, row, :n] = new_pages[l, 0, :n]
+            # stale staging ids past the keep pages can exceed the main
+            # pool — clear to the trash page (the device row was fully
+            # rewritten by the compact op for the same reason)
+            self.page_tables[l, row, n:] = 0
             self.row_lens[l, row] = keep[l, 0]
         seq.staged_prefill = False
 

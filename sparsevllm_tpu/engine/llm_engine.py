@@ -12,6 +12,7 @@ scheduler -> warmup) but with TPU-native replacements:
 
 from __future__ import annotations
 
+import os
 import time
 import weakref
 from dataclasses import dataclass, field
@@ -120,6 +121,19 @@ class LLMEngine:
         self.config = Config(model=model, **cfg_kwargs)
         config = self.config
         profiler.enabled = profiler.enabled or config.enable_profiler
+
+        # persistent XLA compilation cache: the jit shape buckets are this
+        # engine's "CUDA graphs" and a fresh process otherwise recompiles
+        # every bucket (~150 s per 128K staged-prefill bucket through the
+        # TPU tunnel). Opt out with SPARSEVLLM_COMPILE_CACHE=''.
+        import jax
+
+        cache_dir = os.environ.get(
+            "SPARSEVLLM_COMPILE_CACHE", "/tmp/sparsevllm_jax_cache"
+        )
+        if cache_dir and not jax.config.jax_compilation_cache_dir:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
         # --- model + tokenizer ------------------------------------------
         if spec is not None:

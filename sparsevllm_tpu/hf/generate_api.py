@@ -142,6 +142,142 @@ def _hf_generate_dense(model, prompt_ids, max_tokens, chunk=0):
     return out
 
 
+def _hf_generate_deltakv(model, prompt_ids, max_tokens, cfg):
+    """Manual bs=1 torch loop with the DeltaKV cluster cache (the oracle).
+
+    Drives the HF llama-family weights directly (embed -> per-layer ln /
+    qkv / attention / mlp -> head) because DeltaKV needs PRE-RoPE K: the
+    cache stores K before rotation and the view re-applies RoPE at the
+    carried absolute positions (reference hf_common wrappers +
+    ClusterCachePipeline). Full layers keep a dense raw cache and emit
+    decode scores; sparse layers attend [sink | selected reconstructed |
+    buffer] where the selection is the latest full layer's top-k over the
+    compressed segment of its view (reference sparse_controller
+    semantics :1301-1330 on the HF side)."""
+    import torch
+
+    from .deltakv_cache import ClusterKVCache
+
+    base = model.model
+    layers = base.layers
+    nl = len(layers)
+    full = sorted(set(cfg.get("full_attn_layers", (0,))))
+    sink = cfg.get("num_sink_tokens", 16)
+    tail = cfg.get("num_recent_tokens", 64)
+    topk = cfg.get("decode_keep_tokens", 128)
+    cache = ClusterKVCache(
+        nl, sink=sink, tail=tail,
+        cluster_ratio=cfg.get("deltakv_cluster_ratio", 0.25),
+        neighbor_count=cfg.get("deltakv_neighbor_count", 4),
+        compressors=cfg.get("compressors"),
+        payload_bits=cfg.get("deltakv_payload_bits", 0),
+    )
+    # full layers use a plain raw cache (dense observation layers)
+    raw_k = [None] * nl
+    raw_v = [None] * nl
+    raw_pos = [None] * nl
+    hcfg = model.config
+    nq = hcfg.num_attention_heads
+    nkv = getattr(hcfg, "num_key_value_heads", nq)
+    dh = getattr(hcfg, "head_dim", hcfg.hidden_size // nq)
+
+    def rope(x, pos):
+        # x [1, S, H, D] -> rotated at absolute positions [S]
+        cos, sin = base.rotary_emb(x, pos.view(1, -1))
+        cos, sin = cos[:, :, None], sin[:, :, None]  # [1, S, 1, D]
+        x1, x2 = x[..., : dh // 2], x[..., dh // 2:]
+        rot = torch.cat([-x2, x1], dim=-1)
+        return x * cos + rot * sin
+
+    def attend(q, k, v, qpos, kpos):
+        # q [1, Sq, Nq, D]; k/v [1, Sk, Nkv, D]; returns out + probs
+        g = nq // nkv
+        kf = k.repeat_interleave(g, dim=2).float()
+        vf = v.repeat_interleave(g, dim=2).float()
+        s = torch.einsum("bqhd,bkhd->bhqk", q.float(), kf) * dh ** -0.5
+        mask = kpos.view(1, 1, 1, -1) <= qpos.view(1, 1, -1, 1)
+        s = s.masked_fill(~mask, float("-inf"))
+        p = torch.softmax(s, dim=-1)
+        out = torch.einsum("bhqk,bkhd->bqhd", p, vf)
+        return out.to(q.dtype), p
+
+    sel_idx = [None]  # latest full-layer top-k into the compressed store
+
+    def forward(ids, pos, decode):
+        h = base.embed_tokens(ids)
+        for li, lyr in enumerate(layers):
+            x = lyr.input_layernorm(h)
+            q = lyr.self_attn.q_proj(x).view(1, -1, nq, dh)
+            k = lyr.self_attn.k_proj(x).view(1, -1, nkv, dh)
+            v = lyr.self_attn.v_proj(x).view(1, -1, nkv, dh)
+            qn = getattr(lyr.self_attn, "q_norm", None)
+            if qn is not None:
+                q = qn(q)
+                k = lyr.self_attn.k_norm(k)
+            qr = rope(q, pos)
+            if li in full:
+                if raw_k[li] is None:
+                    raw_k[li], raw_v[li], raw_pos[li] = k, v, pos
+                else:
+                    raw_k[li] = torch.cat([raw_k[li], k], dim=1)
+                    raw_v[li] = torch.cat([raw_v[li], v], dim=1)
+                    raw_pos[li] = torch.cat([raw_pos[li], pos])
+                kv_view = (raw_k[li], raw_v[li], raw_pos[li])
+            else:
+                idx = sel_idx[0] if decode else None
+                cache.update(li, k, v, pos)
+                kv_view = cache.view(li, idx)
+            kk, vv, kpos = kv_view
+            out, probs = attend(qr, rope(kk, kpos), vv, pos, kpos)
+            if decode and li in full:
+                # top-k over the COMPRESSED segment at any sparse layer's
+                # current store length (same count on every sparse layer)
+                sl = next((i for i in range(nl) if i not in full), None)
+                c = cache.compressed_len(sl) if sl is not None else 0
+                if c:
+                    comp_pos = cache.comp_pos[sl][0]
+                    # full layer is dense: its view positions are absolute;
+                    # score each compressed token at its absolute position
+                    scores = probs.sum(dim=(1, 2))[0]  # [K]
+                    full_pos = kpos
+                    pos_to_score = {
+                        int(p_): float(s_)
+                        for p_, s_ in zip(full_pos.tolist(),
+                                          scores.tolist())
+                    }
+                    cs = torch.tensor(
+                        [pos_to_score.get(int(p_), 0.0)
+                         for p_ in comp_pos.tolist()]
+                    )
+                    k_ = min(topk, c)
+                    sel_idx[0] = torch.topk(cs, k_).indices.sort().values
+            h = h + lyr.self_attn.o_proj(
+                out.reshape(1, -1, nq * dh))
+            x2 = lyr.post_attention_layernorm(h)
+            mlp = lyr.mlp
+            h = h + mlp.down_proj(
+                torch.nn.functional.silu(mlp.gate_proj(x2)) * mlp.up_proj(x2)
+            )
+        h = base.norm(h)
+        return model.lm_head(h)
+
+    ids = torch.tensor([prompt_ids], dtype=torch.long)
+    s = ids.shape[1]
+    chunk = cfg.get("chunk_prefill_size", 0) or s
+    logits = None
+    with torch.no_grad():
+        for i in range(0, s, chunk):
+            part = ids[:, i : i + chunk]
+            pos = torch.arange(i, i + part.shape[1])
+            logits = forward(part, pos, decode=False)
+        out = [int(logits[0, -1].argmax())]
+        for t in range(max_tokens - 1):
+            nid = torch.tensor([[out[-1]]], dtype=torch.long)
+            logits = forward(nid, torch.tensor([s + t]), decode=True)
+            out.append(int(logits[0, -1].argmax()))
+    return out
+
+
 def get_generate_api(model="", method: str = "", backend: str = "engine",
                      tiny_random: bool = False, hf_model=None, **cfg):
     """Returns ``generate(prompt_ids, max_tokens) -> list[int]``."""
@@ -198,7 +334,12 @@ def get_generate_api(model="", method: str = "", backend: str = "engine",
             return _hf_generate_snapkv(hf_model, prompt_ids, max_tokens,
                                        cfg)
         return generate
+    if method == "deltakv":
+        def generate(prompt_ids, max_tokens):
+            return _hf_generate_deltakv(hf_model, prompt_ids, max_tokens,
+                                        cfg)
+        return generate
     raise NotImplementedError(
-        f"hf backend supports vanilla/snapkv (got {method!r}); omnikv "
-        f"selection math lives in hf/token_select.py for cache pipelines"
+        f"hf backend supports vanilla/snapkv/deltakv (got {method!r}); "
+        f"omnikv selection math lives in hf/token_select.py"
     )

@@ -88,6 +88,8 @@ class StepRuntime:
     dk_stride: int = 1
     dk_arch: str = "linear"
     dk_latent_bits: int = 4  # 4 (int4 packed latents) | 2 (int2)
+    dk_nn: int = 4  # nearest-center neighbors per token reference
+    dk_group: int = 0  # latent quant group (0 = per-token scale)
     # SkipKV activation steering: per-layer vector added to the decode
     # hidden state, alpha-scaled (reference activation_controller.py:55-232).
     steer_alpha: float = 0.0
@@ -727,6 +729,7 @@ def decode_forward(
                     cos, sin,
                     stride=rt.dk_stride, nkv=spec.num_kv_heads,
                     dh=spec.head_dim, latent_bits=rt.dk_latent_bits,
+                    latent_group=rt.dk_group,
                 )
                 out = dk_ops.sparse_decode_attention(
                     q, raw_k, raw_v, raw_valid, k_hat, v_hat, hv,

@@ -45,15 +45,26 @@ def derope(k: jax.Array, positions: jax.Array, cos: jax.Array,
 
 def init_state(num_sparse: int, rows: int, cmax: int, ncmax: int,
                nkv: int, dh: int, latent_dim: int, dtype,
-               latent_bits: int = 4) -> dict:
+               latent_bits: int = 4, latent_group: int = 0,
+               neighbors: int = 4) -> dict:
     per_byte = 8 // latent_bits  # int4 -> 2 values/byte, int2 -> 4
+    g = latent_group or latent_dim
     return {
         "latents": jnp.zeros(
             (num_sparse, rows, cmax, latent_dim // per_byte), jnp.uint8
         ),
-        "lat_scale": jnp.ones((num_sparse, rows, cmax), jnp.float32),
-        "lat_zero": jnp.zeros((num_sparse, rows, cmax), jnp.float32),
+        "lat_scale": jnp.ones(
+            (num_sparse, rows, cmax, latent_dim // g), jnp.float32),
+        "lat_zero": jnp.zeros(
+            (num_sparse, rows, cmax, latent_dim // g), jnp.float32),
         "centers": jnp.zeros((num_sparse, rows, ncmax, nkv, 2 * dh), dtype),
+        # per-token nearest-center (father) indices: each compressed
+        # token's reference is the MEAN of its `neighbors` nearest causal
+        # centers by content (reference _cluster_refs + token_father_idx,
+        # cache_pipeline.py:433-481) — positional j//stride assignment
+        # measured 0.33 recall on the induction oracle vs 1.00 exact.
+        "fathers": jnp.zeros(
+            (num_sparse, rows, cmax, neighbors), jnp.int32),
     }
 
 
@@ -69,54 +80,96 @@ def compress_layer(
     *,
     stride: int,
     latent_bits: int = 4,
+    latent_group: int = 0,
     dest_offset: jax.Array | None = None,  # [B] write position (tail
     #   re-compression appends at the current compressed count; must be a
     #   multiple of ``stride`` so cluster boundaries stay aligned)
 ) -> dict:
-    """Compress one sparse layer's region into latents + centers."""
+    """Compress one sparse layer's region into latents + centers.
+
+    Reference-faithful reconstruction recipe (cache_pipeline.py:433-604):
+    centers sit at fixed-stride positions, but each token's REFERENCE is
+    the mean of its ``neighbors`` nearest CAUSAL centers under the l2
+    metric over the full (K∥V) vector; the payload is the LATENT-space
+    residual ``down(kv) - down(ref)`` (identical to ``down(kv - ref)``
+    for linear/origin codecs) and reconstruction is ``up(payload) + ref``.
+    Father indices persist in the state so reconstruction regathers the
+    same refs."""
     b, c, nkv, dh = k_raw.shape
+    kvdim = nkv * 2 * dh
     kv = jnp.concatenate([k_raw, v_raw], axis=-1)  # [B, C, Nkv, 2Dh]
+    kvf = kv.reshape(b, c, kvdim).astype(jnp.float32)
     nc = (c + stride - 1) // stride
-    center_pos = jnp.arange(nc) * stride  # token index of each center
+    center_pos = jnp.arange(nc) * stride  # span-token index of each center
     centers = kv[:, center_pos]  # [B, NC, Nkv, 2Dh]
-    tok_center = jnp.arange(c) // stride  # [C]
-    residual = kv - centers[:, tok_center]  # [B, C, Nkv, 2Dh]
-    residual = residual.reshape(b, c, nkv * 2 * dh).astype(jnp.float32)
-    latent = comp_ops.compress_down(
-        comp_layer["down"], arch, residual
-    )  # [B, C, latent]
-    ld = latent.shape[-1]
-    if latent_bits == 2:
-        packed, scale, zero = quant.pack_int2_groups(latent, group=ld)
-    else:
-        packed, scale, zero = quant.pack_int4_groups(latent, group=ld)
-    # one group per token: squeeze the group dim
-    scale = scale[..., 0]
-    zero = zero[..., 0]
 
     valid = jnp.arange(c)[None, :] < counts[:, None]  # [B, C]
     if dest_offset is None:
         dest_offset = jnp.zeros((b,), jnp.int32)
     cmax = dk["latents"].shape[2]
-    # scatter at (row, dest_offset + j); invalid lanes write past cmax
-    # and drop
+    ncmax = dk["centers"].shape[2]
+    prev_n = dest_offset // stride  # [B] pre-existing centers per row
+
+    # 1) write the NEW centers (so scoring sees old + new in one array)
+    nidx = prev_n[:, None] + jnp.arange(nc)[None, :]
+    center_valid = center_pos[None, :] < counts[:, None]
+    nidx_w = jnp.where(center_valid, nidx, ncmax)
+    rnidx = jnp.broadcast_to(rows[:, None], (b, nc))
+    centers_arr = dk["centers"].at[sl, rnidx, nidx_w].set(
+        centers.astype(dk["centers"].dtype), mode="drop"
+    )
+
+    # 2) nearest-causal-center fathers (l2 over K∥V; argmax 2x·c − |c|²)
+    cen_all = jax.lax.dynamic_index_in_dim(
+        centers_arr, sl, 0, keepdims=False
+    )[rows]  # [B, NCmax, Nkv, 2Dh]
+    cf = cen_all.reshape(b, ncmax, kvdim).astype(jnp.float32)
+    dot = jnp.einsum("bck,bnk->bcn", kvf, cf,
+                     preferred_element_type=jnp.float32)
+    cn2 = jnp.sum(cf * cf, axis=-1)  # [B, NCmax]
+    scores = 2.0 * dot - cn2[:, None, :]  # [B, C, NCmax]
+    tok = jnp.arange(c, dtype=jnp.int32)[None, :, None]
+    slot = jnp.arange(ncmax, dtype=jnp.int32)[None, None, :]
+    j = slot - prev_n[:, None, None]  # new-center index within this span
+    allowed = (slot < prev_n[:, None, None]) | (
+        (j >= 0) & (j * stride <= tok) & (j * stride < counts[:, None, None])
+    )
+    scores = jnp.where(allowed, scores, NEG_INF)
+    nn = dk["fathers"].shape[-1]
+    k_sel = min(nn, ncmax)
+    vals, fathers = jax.lax.top_k(scores, k_sel)  # [B, C, NN]
+    # early tokens have fewer than NN causal centers: replace disallowed
+    # picks (score NEG_INF) with the best father so the mean stays clean
+    fathers = jnp.where(vals > NEG_INF / 2, fathers, fathers[..., :1])
+    if k_sel < nn:
+        fathers = jnp.pad(fathers, ((0, 0), (0, 0), (0, nn - k_sel)),
+                          mode="edge")
+    refs = cf[jnp.arange(b)[:, None, None], fathers].mean(axis=2)  # [B,C,KV]
+
+    # 3) latent-space residual
+    latent = comp_ops.compress_down(
+        comp_layer["down"], arch, kvf
+    ) - comp_ops.compress_down(comp_layer["down"], arch, refs)
+    ld = latent.shape[-1]
+    g = latent_group or ld
+    if latent_bits == 2:
+        packed, scale, zero = quant.pack_int2_groups(latent, group=g)
+    else:
+        packed, scale, zero = quant.pack_int4_groups(latent, group=g)
+
+    # 4) scatter at (row, dest_offset + j); invalid lanes drop past cmax
     cidx = dest_offset[:, None] + jnp.arange(c)[None, :]  # [B, C]
     cidx = jnp.where(valid, cidx, cmax)
     ridx = jnp.broadcast_to(rows[:, None], (b, c))
     latents = dk["latents"].at[sl, ridx, cidx].set(packed, mode="drop")
     lat_scale = dk["lat_scale"].at[sl, ridx, cidx].set(scale, mode="drop")
     lat_zero = dk["lat_zero"].at[sl, ridx, cidx].set(zero, mode="drop")
-    ncmax = dk["centers"].shape[2]
-    nidx = dest_offset[:, None] // stride + jnp.arange(nc)[None, :]
-    center_valid = center_pos[None, :] < counts[:, None]
-    nidx = jnp.where(center_valid, nidx, ncmax)
-    rnidx = jnp.broadcast_to(rows[:, None], (b, nc))
-    centers_arr = dk["centers"].at[sl, rnidx, nidx].set(
-        centers.astype(dk["centers"].dtype), mode="drop"
-    )
+    fathers_arr = dk["fathers"].at[sl, ridx, cidx].set(
+        fathers.astype(jnp.int32), mode="drop")
     return {
         "latents": latents, "lat_scale": lat_scale,
         "lat_zero": lat_zero, "centers": centers_arr,
+        "fathers": fathers_arr,
     }
 
 
@@ -135,6 +188,7 @@ def reconstruct(
     nkv: int,
     dh: int,
     latent_bits: int = 4,
+    latent_group: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Rebuild K̂ (re-RoPE'd), V̂ for the selected compressed tokens.
 
@@ -143,29 +197,31 @@ def reconstruct(
     b, t = topk_idx.shape
     valid = (topk_idx >= 0) & (topk_idx < comp_counts[:, None])
     idx = jnp.clip(topk_idx, 0, dk["latents"].shape[2] - 1)
-    bidx = jnp.arange(b)[:, None]
     lat_sl = jax.lax.dynamic_index_in_dim(dk["latents"], sl, 0, False)
     sc_sl = jax.lax.dynamic_index_in_dim(dk["lat_scale"], sl, 0, False)
     zr_sl = jax.lax.dynamic_index_in_dim(dk["lat_zero"], sl, 0, False)
     ce_sl = jax.lax.dynamic_index_in_dim(dk["centers"], sl, 0, False)
+    fa_sl = jax.lax.dynamic_index_in_dim(dk["fathers"], sl, 0, False)
     packed = lat_sl[rows[:, None], idx]  # [B, T, latent//per_byte]
-    scale = sc_sl[rows[:, None], idx]  # [B, T]
+    scale = sc_sl[rows[:, None], idx]  # [B, T, G]
     zero = zr_sl[rows[:, None], idx]
-    if latent_bits == 2:
-        ld = packed.shape[-1] * 4
-        latent = quant.unpack_int2_groups(
-            packed, scale[..., None], zero[..., None], group=ld
-        )  # [B, T, latent]
-    else:
-        ld = packed.shape[-1] * 2
-        latent = quant.unpack_int4_groups(
-            packed, scale[..., None], zero[..., None], group=ld
-        )  # [B, T, latent]
+    per_byte = 4 if latent_bits == 2 else 2
+    ld = packed.shape[-1] * per_byte
+    g = latent_group or ld
+    unpack = (quant.unpack_int2_groups if latent_bits == 2
+              else quant.unpack_int4_groups)
+    latent = unpack(packed, scale, zero, group=g)  # [B, T, latent]
     residual = comp_ops.reconstruct_up(
         comp_layer["up"], arch, latent
     )  # [B, T, io]
-    centers = ce_sl[rows[:, None], idx // stride]  # [B, T, Nkv, 2Dh]
-    kv_hat = residual.reshape(b, t, nkv, 2 * dh) + centers.astype(jnp.float32)
+    fathers = fa_sl[rows[:, None], idx]  # [B, T, NN]
+    kvdim = nkv * 2 * dh
+    ncmax = ce_sl.shape[1]
+    cen = ce_sl[rows[:, None], :].reshape(b, ncmax, kvdim)
+    refs = cen[
+        jnp.arange(b)[:, None, None], jnp.clip(fathers, 0, ncmax - 1)
+    ].astype(jnp.float32).mean(axis=2)  # [B, T, KV]
+    kv_hat = (residual + refs).reshape(b, t, nkv, 2 * dh)
     k_hat, v_hat = kv_hat[..., :dh], kv_hat[..., dh:]
     # Re-RoPE K at absolute positions
     from ..layers.rope import apply_rope

@@ -156,12 +156,43 @@ def shard_executor_state(ex) -> None:
     ex.v_cache = jax.device_put(ex.v_cache, kvs)
     ex.tables = jax.device_put(ex.tables, replicated(mesh))
     if getattr(ex, "kv_scales", None) is not None:
-        # [2, L, pages, Nkv, P] — kv heads on the model axis, like the cache
-        ex.kv_scales = jax.device_put(
-            ex.kv_scales,
+        if isinstance(ex.kv_scales, tuple):
+            # KIVI-2 pytree (V planes, K channel scales, raw tail):
+            # replicate — int2 is scoped to vanilla/streamingllm and its
+            # arrays are small relative to the payload pools
+            ex.kv_scales = jax.device_put(ex.kv_scales, replicated(mesh))
+        else:
+            # [2, L, pages, Nkv, P] — kv heads on model, like the cache
+            ex.kv_scales = jax.device_put(
+                ex.kv_scales,
+                NamedSharding(mesh, _fit(
+                    P(None, None, None, MODEL, None),
+                    ex.kv_scales.shape, mesh, "kv_scales")),
+            )
+    # staged-prefill pool: same placement rules as the main cache
+    # (int4 flat-lane rows keep head-contiguous lanes, so the lane axis
+    # shards over model iff divisible — _fit falls back to replicate)
+    for name in ("k_stage", "v_stage"):
+        arr = getattr(ex, name, None)
+        if arr is not None:
+            spec = (P(None, None, None, MODEL, None) if arr.ndim == 5
+                    else P(None, None, None, MODEL))
+            setattr(ex, name, jax.device_put(
+                arr, NamedSharding(mesh, _fit(spec, arr.shape, mesh, name))
+            ))
+    if getattr(ex, "stage_scales", None) is not None:
+        ex.stage_scales = jax.device_put(
+            ex.stage_scales,
             NamedSharding(mesh, _fit(P(None, None, None, MODEL, None),
-                                     ex.kv_scales.shape, mesh, "kv_scales")),
+                                     ex.stage_scales.shape, mesh,
+                                     "stage_scales")),
         )
+    if getattr(ex, "dk_state", None) is not None:
+        # DeltaKV latent/center state: replicated (deltakv is TP=1 by
+        # contract — reference deltakv_base.py:74; DP shards the batch
+        # via the step plans, not the state rows)
+        ex.dk_state = jax.device_put(ex.dk_state, replicated(mesh))
+        ex.dk_comp = jax.device_put(ex.dk_comp, replicated(mesh))
     if getattr(ex, "query_cache", None) is not None:
         # [L, R, Qc, Nq, Dh] — q heads on the model axis
         ex.query_cache = jax.device_put(

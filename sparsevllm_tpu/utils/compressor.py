@@ -17,7 +17,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-ARCHS = ("linear", "mlp_gelu", "mlp_swiglu")
+# "origin" = no learned compressor: the payload IS the exact (K∥V − ref)
+# residual (reference _origin_codec / DELTA_ORIGIN cache impls,
+# cache_pipeline.py:168-172) — the no-checkpoint DeltaKV serving mode.
+ARCHS = ("linear", "mlp_gelu", "mlp_swiglu", "origin")
 
 
 def init_compressor_params(
@@ -41,7 +44,16 @@ def init_compressor_params(
             rng.normal(0, scale, size=shape).astype(np.float32), dtype
         )
 
-    if arch == "linear":
+    if arch == "origin":
+        if latent_dim != io_dim:
+            raise ValueError(
+                f"origin codec stores the raw residual: latent_dim "
+                f"({latent_dim}) must equal io_dim ({io_dim})"
+            )
+        # placeholder leaves so the param pytree shape is stable under jit
+        down = {"w1": jnp.ones((ls, 1, 1), dtype)}
+        up = {"w1": jnp.ones((ls, 1, 1), dtype)}
+    elif arch == "linear":
         down = {"w1": w(ls, io_dim, latent_dim)}
         up = {"w1": w(ls, latent_dim, io_dim)}
     else:
@@ -56,6 +68,8 @@ def init_compressor_params(
 
 
 def _apply(block: dict, x: jax.Array, arch: str) -> jax.Array:
+    if arch == "origin":
+        return x
     if arch == "linear":
         return x @ block["w1"]
     if arch == "mlp_gelu":

@@ -36,8 +36,11 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # ---------------------------------------------------------------------------
 
 
-@pytest.fixture(autouse=True)
+@pytest.fixture(autouse=True, scope="module")
 def _exit_live_engines():
+    """Module-scoped: several suites share one module-scoped engine across
+    tests (per-test exit would kill it mid-module); exiting at module end
+    still bounds the leak to one module's engines."""
     yield
     from sparsevllm_tpu.engine import llm_engine as _le
 

@@ -43,6 +43,7 @@ def prompts():
     return [rng.integers(3, 500, n).tolist() for n in (7, 63, 64, 65, 130)]
 
 
+@pytest.mark.slow
 def test_eager_matches_bucketed(prompts):
     """Exact-shape (enforce_eager) and padded-bucket execution must agree
     token-for-token — catches padded-lane contamination."""

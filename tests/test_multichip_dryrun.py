@@ -14,6 +14,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 (virtual) devices")
