@@ -425,8 +425,11 @@ def run_part_a(args, art):
         print(f"  deltakv compressor training failed: {e!r}",
               file=sys.stderr)
 
+    only = set(args.methods.split(",")) if args.methods else None
     results = {}
     for name, kw in method_configs(args.ctx).items():
+        if only is not None and name not in only:
+            continue
         dk_ckpt = dk_ckpts.get(name) if name.startswith("deltakv") else None
         if (name.startswith("deltakv") and dk_ckpt is None
                 and kw.get("deltakv_compressor_arch") != "origin"):
@@ -461,6 +464,8 @@ def main() -> None:
                     choices=("constructed", "trained"))
     ap.add_argument("--samples", type=int, default=4)
     ap.add_argument("--kv-dtypes", default="bfloat16,int8,int4")
+    ap.add_argument("--methods", default="",
+                    help="comma-separated method-lane filter (default all)")
     ap.add_argument("--params-cache", default="",
                     help="save/load the trained oracle (train on TPU, "
                          "eval anywhere)")

@@ -125,6 +125,25 @@ def train_compressors(
 
     n, ls, io = residuals.shape
     comp = comp_ops.init_compressor_params(ls, io, latent_dim, arch, seed)
+    if arch == "linear":
+        # PCA init: the MSE-optimal linear codec pre-quantization (top
+        # right-singular vectors of the residual sample). SGD then only
+        # refines under int4 QAT; at latent_dim == io the init is already
+        # exactly lossless (orthogonal basis), which makes the
+        # identity-capacity control lane a true machinery test instead of
+        # an SGD-convergence test (reference train_compressor.py:49-150
+        # trains from scratch at scale; this env has ~1e3 steps).
+        sample = np.asarray(residuals[: min(n, 8192)], np.float64)
+        down_w = np.zeros((ls, io, latent_dim), np.float32)
+        up_w = np.zeros((ls, latent_dim, io), np.float32)
+        for sl in range(ls):
+            _, _, vt = np.linalg.svd(sample[:, sl], full_matrices=False)
+            basis = vt[: latent_dim]  # [r<=latent, io]
+            r = basis.shape[0]
+            down_w[sl, :, :r] = basis.T
+            up_w[sl, :r, :] = basis
+        comp["down"]["w1"] = jnp.asarray(down_w, comp["down"]["w1"].dtype)
+        comp["up"]["w1"] = jnp.asarray(up_w, comp["up"]["w1"].dtype)
     trainable = {"down": comp["down"], "up": comp["up"]}
     opt = optax.adam(lr)
     state = opt.init(trainable)

@@ -254,10 +254,11 @@ def test_deltakv_random_compressor_runs(hf_model):
 
 
 def test_compressor_training_learns_and_deploys(tmp_path, hf_model):
-    """Train on tiny-model residuals; loss drops; checkpoint runs E2E."""
+    """PCA-init beats random init; QAT refinement holds it; ckpt runs E2E."""
     from sparsevllm_tpu.deltakv import (
         collect_kv_residuals, train_compressors,
     )
+    from sparsevllm_tpu.utils.compressor import init_compressor_params
     from sparsevllm_tpu.utils.tiny_random import build_tiny_params_and_spec
 
     params, spec = build_tiny_params_and_spec(None, SEED, "float32")
@@ -266,7 +267,19 @@ def test_compressor_training_learns_and_deploys(tmp_path, hf_model):
     res = collect_kv_residuals(params, spec, prompts, [1], stride=4)
     assert res.shape[1:] == (1, IO_DIM)
     comp, losses = train_compressors(res, 16, "linear", steps=60, seed=0)
-    assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
+    # PCA init starts near the linear-codec optimum: SGD under int4 QAT
+    # must not degrade it (it cannot meaningfully improve it)
+    assert losses[-1] < losses[0] * 1.25, (losses[0], losses[-1])
+    # and the PCA start itself must crush a random-init start
+    rand = init_compressor_params(1, IO_DIM, 16, "linear", seed=0)
+    x = jnp.asarray(res[:, 0], jnp.float32)
+    rec = comp_ops._apply(
+        {"w1": rand["up"]["w1"][0]},
+        comp_ops._apply({"w1": rand["down"]["w1"][0]}, x, "linear"),
+        "linear",
+    )
+    rand_loss = float(jnp.mean((rec - x) ** 2))
+    assert losses[0] < rand_loss * 0.5, (losses[0], rand_loss)
     path = os.path.join(tmp_path, "trained.npz")
     comp_ops.save_checkpoint(path, comp, {"stride": 4})
 

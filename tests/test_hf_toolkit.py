@@ -58,6 +58,38 @@ def test_hf_snapkv_oracle_matches_engine(prompt):
     assert etoks == htoks, (etoks, htoks)
 
 
+def test_hf_deltakv_all_full_matches_dense(prompt):
+    """The manual deltakv drive loop with EVERY layer full (dense raw
+    cache, no compression anywhere) must reproduce HF's own forward —
+    validates the loop's rope/attention/mlp math independently of the
+    cluster cache."""
+    hf_dense = get_generate_api(backend="hf", tiny_random=True)
+    hf_dk = get_generate_api(
+        backend="hf", tiny_random=True, method="deltakv",
+        full_attn_layers=tuple(range(4)),  # tiny-random llama has 4 layers
+        num_sink_tokens=8, num_recent_tokens=16, decode_keep_tokens=64,
+        deltakv_cluster_ratio=0.25,
+    )
+    assert hf_dk(prompt, 8) == hf_dense(prompt, 8)
+
+
+def test_hf_deltakv_origin_lossless_matches_dense(prompt):
+    """Origin codec (payload = exact K||V - ref residual, fp payload) with
+    topk >= compressed count reconstructs the cache exactly: greedy
+    continuation must equal dense HF. Anchors ClusterKVCache's
+    centers/fathers/reconstruct math (reference cache_pipeline.py
+    ClusterCachePipeline) to HF's own forward; the engine-side mirror is
+    tests/test_deltakv.py lossless-vs-dense."""
+    hf_dense = get_generate_api(backend="hf", tiny_random=True)
+    hf_dk = get_generate_api(
+        backend="hf", tiny_random=True, method="deltakv",
+        full_attn_layers=(0,),
+        num_sink_tokens=8, num_recent_tokens=16, decode_keep_tokens=512,
+        deltakv_cluster_ratio=0.25, chunk_prefill_size=32,
+    )
+    assert hf_dk(prompt, 8) == hf_dense(prompt, 8)
+
+
 def test_omnikv_token_select_math():
     import torch
 
