@@ -104,8 +104,6 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
     from sparsevllm_tpu.sampling_params import SamplingParams
 
     name, spec = _smoke_spec() if smoke else _pick_spec(_hbm_gib())
-    print(f"model={name} method={method} kv={kv_dtype} staging={staging} "
-          f"ctx={ctx} batch={batch}", file=sys.stderr)
     params = init_params(spec, seed=0, dtype="bfloat16",
                          distribution="zeros")
 
@@ -115,11 +113,36 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
     prompt_pages = -(-(ctx + 1) // page)
     keep_pages = -(-keep // page) + -(-growth // page) + 1
     use_staging = method == "snapkv" and staging != "none"
+    streamed = False
     if use_staging:
         # staged mixed-precision prefill: the in-flight prompt lives in the
         # int4 staging pool; the MAIN (bf16) pool holds only each row's
-        # compacted keep budget + decode growth
+        # compacted keep budget + decode growth. Residency check: weights
+        # + staging pool + main pool must fit HBM with workspace headroom
+        # — otherwise fall back to STREAMED prefill (host KV archive,
+        # engine/streamed_prefill.py: device holds only keep tokens).
         num_pages = batch * keep_pages + 8
+        import jax
+
+        w_bytes = sum(
+            x.nbytes for x in jax.tree_util.tree_leaves(params)
+        )
+        tok_b = 2 * spec.num_kv_heads * spec.head_dim * 2  # bf16 K+V
+        l = spec.num_layers
+        main_b = l * num_pages * page * tok_b
+        sp = prompt_pages + 2
+        sbits = {"int8": 8, "int4": 4, "bfloat16": 16}[staging]
+        stage_b = l * sp * page * tok_b * sbits // 16
+        scale_b = (4 * l * sp * spec.num_kv_heads * page * 4
+                   if staging != "bfloat16" else 0)
+        budget = _hbm_gib() * 2**30 * 0.90
+        need = w_bytes + main_b + stage_b + scale_b
+        if need > budget:
+            print(f"staged plan needs {need/2**30:.1f} GiB > "
+                  f"{budget/2**30:.1f} budget -> streamed prefill",
+                  file=sys.stderr)
+            use_staging = False
+            streamed = True
     elif method == "snapkv":
         # one full prompt in flight + every row's compacted remainder
         num_pages = prompt_pages + (batch + 1) * keep_pages + 8
@@ -135,6 +158,12 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
     if use_staging:
         extra["kv_staging_dtype"] = staging
         extra["num_staging_pages"] = prompt_pages + 2
+    if streamed:
+        extra["long_prefill_offload_threshold"] = chunk
+    mode = "staged" if use_staging else (
+        "streamed" if streamed else "resident")
+    print(f"model={name} method={method} kv={kv_dtype} prefill={mode} "
+          f"ctx={ctx} batch={batch}", file=sys.stderr)
     engine = LLMEngine(
         spec=spec, params=params,
         method=method if method != "vanilla" else "",
@@ -152,6 +181,19 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
         decode_steps_per_dispatch=k_disp,
         **extra,
     )
+    try:
+        return _drive_e2e(engine, spec, name, batch, steps, ctx, keep,
+                          kv_dtype, method, warmup_disp, k_disp, mode)
+    finally:
+        engine.exit()  # release device pools even on an OOM mid-run
+
+
+def _drive_e2e(engine, spec, name, batch, steps, ctx, keep, kv_dtype,
+               method, warmup_disp, k_disp, mode):
+    import jax
+
+    from sparsevllm_tpu.sampling_params import SamplingParams
+
     rng = np.random.default_rng(0)
     sp = SamplingParams(
         temperature=0.0, ignore_eos=True,
@@ -198,7 +240,6 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
     jax.block_until_ready(engine.executor.k_cache)
     dt = time.perf_counter() - t0
     tok_s = decode_tokens / dt
-    engine.exit()
     suffix = "" if kv_dtype in ("auto", "bfloat16", "float32") \
         else f"_{kv_dtype}"
     return {
@@ -212,7 +253,7 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
         "config": {
             "model": name, "batch": batch, "ctx": ctx, "keep": keep,
             "kv_dtype": kv_dtype, "decode_steps": steps,
-            "staging": staging if use_staging else "none",
+            "prefill_mode": mode,
         },
     }
 

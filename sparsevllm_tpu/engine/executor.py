@@ -80,6 +80,11 @@ class ModelExecutor:
                 params["lm_head_sinv"] = sinv
         self.params = params
         self.mesh = mesh
+        # register for trace-time consumers (shard_map MoE dispatch);
+        # engines are created/used sequentially, so last-set wins is safe
+        from ..parallel import mesh as mesh_lib
+
+        mesh_lib.set_current_mesh(mesh)
         self.num_pages = num_pages
         self.max_rows = max_rows
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
@@ -174,7 +179,16 @@ class ModelExecutor:
             dk_latent_bits=config.deltakv_latent_bits,
             dk_nn=config.deltakv_neighbor_count,
             dk_group=config.deltakv_latent_group,
-            moe_dispatch="dense" if mesh is not None else "sorted",
+            # mesh: expert-parallel sorted dispatch (shard_map +
+            # ragged_dot over each device's contiguous expert range) when
+            # experts divide the model axis; single device: sorted.
+            moe_dispatch=(
+                "sorted" if mesh is None else
+                "sorted_ep"
+                if spec.is_moe
+                and spec.num_experts % mesh.shape["model"] == 0
+                else "dense"
+            ),
         )
         self.query_cache = None
         self.steer_vec = None

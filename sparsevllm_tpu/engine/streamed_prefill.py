@@ -146,18 +146,22 @@ class StreamedPrefillRunner:
         g = spec.gqa_groups
 
         def attend(q, kb, vb, acc, m, l, blk_len):
-            # q [S, Nq, Dh]; kb/vb [Bk, Nkv, Dh]
+            # q [S, Nq, Dh]; kb/vb [Bk, Nkv, Dh]. QK/PV matmuls run in the
+            # MODEL dtype with fp32 accumulation: bf16 operands hit the
+            # MXU native rate (fp32 operands would run the slow multi-pass
+            # path); at dtype=float32 everything stays f32, keeping the
+            # streamed-vs-resident token-identity tests exact.
             s, nq, dh = q.shape
             bk = kb.shape[0]
-            kbf = jnp.repeat(kb, g, axis=1).astype(jnp.float32)
-            vbf = jnp.repeat(vb, g, axis=1).astype(jnp.float32)
+            kbf = jnp.repeat(kb, g, axis=1)
+            vbf = jnp.repeat(vb, g, axis=1)
             kmask = jnp.arange(bk) < blk_len  # [Bk]
 
             def body(carry, si):
                 acc, m, l = carry
                 qs = jax.lax.dynamic_slice(
                     q, (si * s_block, 0, 0), (s_block, nq, dh)
-                ).astype(jnp.float32)
+                )
                 st = jnp.einsum(
                     "shd,khd->shk", qs, kbf,
                     preferred_element_type=jnp.float32,
@@ -175,7 +179,7 @@ class StreamedPrefillRunner:
                 p = jnp.exp(st - m_new[..., None])
                 p = jnp.where(kmask[None, None, :], p, 0.0)
                 pv = jnp.einsum(
-                    "shk,khd->shd", p, vbf,
+                    "shk,khd->shd", p.astype(vbf.dtype), vbf,
                     preferred_element_type=jnp.float32,
                 )
                 accs = accs * alpha[..., None] + pv
@@ -201,14 +205,14 @@ class StreamedPrefillRunner:
 
         def attend(q, k, v, acc, m, l, new_len):
             s, nq, dh = q.shape
-            kf = jnp.repeat(k, g, axis=1).astype(jnp.float32)
-            vf = jnp.repeat(v, g, axis=1).astype(jnp.float32)
+            kf = jnp.repeat(k, g, axis=1)  # model dtype; f32 accum below
+            vf = jnp.repeat(v, g, axis=1)
 
             def body(carry, si):
                 acc, m, l = carry
                 qs = jax.lax.dynamic_slice(
                     q, (si * s_block, 0, 0), (s_block, nq, dh)
-                ).astype(jnp.float32)
+                )
                 st = jnp.einsum(
                     "shd,khd->shk", qs, kf,
                     preferred_element_type=jnp.float32,
@@ -230,7 +234,7 @@ class StreamedPrefillRunner:
                 alpha = jnp.exp(ms - m_new)
                 p = jnp.where(valid, jnp.exp(st - m_new[..., None]), 0.0)
                 pv = jnp.einsum(
-                    "shk,khd->shd", p, vf,
+                    "shk,khd->shd", p.astype(vf.dtype), vf,
                     preferred_element_type=jnp.float32,
                 )
                 accs = accs * alpha[..., None] + pv
@@ -273,9 +277,9 @@ class StreamedPrefillRunner:
 
         def score(q_obs, kb, m, l, blk_len):
             # q_obs [W, Nq, Dh]; kb [Bk, Nkv, Dh]; m/l [W, Nq]
-            kbf = jnp.repeat(kb, g, axis=1).astype(jnp.float32)
+            kbf = jnp.repeat(kb, g, axis=1)
             st = jnp.einsum(
-                "whd,khd->whk", q_obs.astype(jnp.float32), kbf,
+                "whd,khd->whk", q_obs, kbf,
                 preferred_element_type=jnp.float32,
             ) * sm_scale  # [W, Nq, Bk]
             p = jnp.exp(st - m[..., None]) / l[..., None]
@@ -292,9 +296,9 @@ class StreamedPrefillRunner:
         def score(q_obs, k, m, l, qpos, kpos0, new_len):
             # causal within the chunk: key j visible to obs query i when
             # kpos0 + j <= qpos[i]
-            kf = jnp.repeat(k, g, axis=1).astype(jnp.float32)
+            kf = jnp.repeat(k, g, axis=1)
             st = jnp.einsum(
-                "whd,khd->whk", q_obs.astype(jnp.float32), kf,
+                "whd,khd->whk", q_obs, kf,
                 preferred_element_type=jnp.float32,
             ) * sm_scale
             ki = kpos0 + jnp.arange(k.shape[0])
@@ -380,13 +384,20 @@ class StreamedPrefillRunner:
 
     def _iter_blocks(self, arch: HostKVArchive, layer: int):
         """Yield (k_dev, v_dev, valid_len, kpos0) archive blocks (padded to
-        block_tokens so one jit bucket serves every block)."""
+        block_tokens so one jit bucket serves every block).
+
+        Double-buffered: block j+1's H2D ``device_put`` is issued before
+        block j is yielded, so the host->device copy of the next block
+        overlaps the attention compute on the current one (the reference
+        overlaps pinned-CUDA copies with streams, raw_kv_offload.py; on
+        TPU the async device_put plays that role)."""
         if arch.tokens == 0:
             return
         bt = self.block_tokens
         k_all, v_all = arch.layer_kv(layer)
         t = k_all.shape[0]
-        for j in range(0, t, bt):
+
+        def put(j):
             kb = k_all[j : j + bt]
             blk_len = kb.shape[0]
             if blk_len < bt:
@@ -395,7 +406,15 @@ class StreamedPrefillRunner:
                 vb = np.pad(v_all[j : j + bt], pad)
             else:
                 vb = v_all[j : j + bt]
-            yield jnp.asarray(kb), jnp.asarray(vb), blk_len, j
+            return jax.device_put(kb), jax.device_put(vb), blk_len, j
+
+        starts = list(range(0, t, bt))
+        nxt = put(starts[0])
+        for i, j in enumerate(starts):
+            cur = nxt
+            if i + 1 < len(starts):
+                nxt = put(starts[i + 1])
+            yield cur
 
     def _obs_scores(self, arch, obs_ml, start: int, chunk: int) -> np.ndarray:
         """[L, ctx] fp32 SnapKV scores over the full context (exact)."""

@@ -229,11 +229,93 @@ def _moe_sorted(x, lp, spec: ModelSpec):
     return combined.reshape(*lead, h).astype(x.dtype)
 
 
+def _moe_sorted_ep(x, lp, spec: ModelSpec):
+    """Expert-parallel sort-based dispatch under a mesh (reference
+    models/qwen3_moe.py:75-197 local-expert-range grouped GEMM +
+    triton_kernel/moe.py, re-expressed TPU-first).
+
+    ``shard_map`` over the mesh: each device holds a CONTIGUOUS expert
+    range (the [E, H, I] stacks shard over the 'model' axis, see
+    parallel/mesh.py) and runs ``lax.ragged_dot`` grouped GEMMs over only
+    the token-expert pairs routed to ITS range — pairs routed elsewhere
+    fall into a zero-weight dummy group. Device FLOPs are T·topk·H·I and
+    device weight traffic is (E/n)·H·I (vs the dense-over-experts mesh
+    path's T·(E/n)·H·I FLOPs + same traffic: a topk/E_local compute cut,
+    decisive in prefill). The final combine is a psum over 'model' —
+    exactly the reference's local-expert-then-ep_all_reduce flow. Tokens
+    additionally shard over 'data' when divisible."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA, MODEL, get_current_mesh
+
+    mesh = get_current_mesh()
+    *lead, h = x.shape
+    xt = x.reshape(-1, h)  # [T, H]
+    t = xt.shape[0]
+    k = spec.num_experts_per_tok
+    e = spec.num_experts
+    n_model = mesh.shape[MODEL]
+    e_local = e // n_model
+
+    logits = xt @ lp["router"]  # [T, E] (router replicated)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    top_w, top_i = jax.lax.top_k(probs, k)
+    if spec.norm_topk_prob:
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+
+    h_, f_ = spec.hidden_size, spec.moe_intermediate_size
+    wg = _w(lp, "moe_w_gate", (h_, f_), xt.dtype)
+    wu = _w(lp, "moe_w_up", (h_, f_), xt.dtype)
+    wd = _w(lp, "moe_w_down", (f_, h_), xt.dtype)
+
+    # token rows shard over 'data' when divisible (decode megasteps at
+    # bs<dp replicate — same degradation rule as the step plans)
+    tok_spec = P(DATA) if t % mesh.shape[DATA] == 0 else P()
+
+    def local(xt, top_w, top_i, wg, wu, wd):
+        tl = xt.shape[0]
+        ax = jax.lax.axis_index(MODEL)
+        lo = ax * e_local
+        t_idx = jnp.repeat(jnp.arange(tl), k)  # [T*K]
+        e_idx = top_i.reshape(-1) - lo
+        is_local = (e_idx >= 0) & (e_idx < e_local)
+        # non-local pairs land in a trailing dummy group with zero weights
+        key = jnp.where(is_local, e_idx, e_local)
+        order = jnp.argsort(key)
+        xs = xt[t_idx[order]]  # [T*K, H] sorted by local expert
+        gs = jnp.bincount(key, length=e_local + 1).astype(jnp.int32)
+        zg = jnp.zeros((1,) + wg.shape[1:], wg.dtype)
+        zd = jnp.zeros((1,) + wd.shape[1:], wd.dtype)
+        gate = jax.lax.ragged_dot(xs, jnp.concatenate([wg, zg]), gs)
+        up = jax.lax.ragged_dot(xs, jnp.concatenate([wu, zg]), gs)
+        act = jax.nn.silu(gate) * up
+        out = jax.lax.ragged_dot(act, jnp.concatenate([wd, zd]), gs)
+        w = top_w.reshape(-1)[order]
+        w = w * is_local[order]  # zero non-local contributions
+        comb = jnp.zeros((tl, h), out.dtype).at[t_idx[order]].add(
+            out * w[:, None].astype(out.dtype)
+        )
+        return jax.lax.psum(comb, MODEL)
+
+    out = shard_map(
+        local, mesh=mesh,
+        in_specs=(tok_spec, tok_spec, tok_spec,
+                  P(MODEL, None, None), P(MODEL, None, None),
+                  P(MODEL, None, None)),
+        out_specs=tok_spec,
+        check_vma=False,
+    )(xt, top_w, top_i, wg, wu, wd)
+    return out.reshape(*lead, h).astype(x.dtype)
+
+
 def _ffn(x, lp, spec: ModelSpec, moe_dispatch: str = "dense"):
     if not spec.is_moe:
         return _mlp(x, lp, spec)
     if moe_dispatch == "sorted":
         return _moe_sorted(x, lp, spec)
+    if moe_dispatch == "sorted_ep":
+        return _moe_sorted_ep(x, lp, spec)
     return _moe(x, lp, spec)
 
 

@@ -33,6 +33,21 @@ from ..utils.log import logger
 DATA = "data"
 MODEL = "model"
 
+# Process-wide current mesh: the executor registers its mesh here so model
+# code (e.g. the shard_map MoE dispatch in models/transformer.py) can bind
+# per-device program blocks at trace time without threading the Mesh object
+# through the (hashable, static) StepRuntime.
+_CURRENT_MESH: Mesh | None = None
+
+
+def set_current_mesh(mesh: Mesh | None) -> None:
+    global _CURRENT_MESH
+    _CURRENT_MESH = mesh
+
+
+def get_current_mesh() -> Mesh | None:
+    return _CURRENT_MESH
+
 # Sharding rules for stacked per-layer params ([L, ...] leading layer axis).
 _LAYER_RULES: dict[str, P] = {
     # column-parallel (output-feature sharded)

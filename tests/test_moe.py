@@ -100,21 +100,64 @@ def test_moe_with_sparse_method(hf_moe):
 
 
 def test_moe_ep_sharded_mesh():
-    """Experts sharded over the model axis execute on the 8-device mesh."""
+    """Expert-parallel sorted dispatch (shard_map + local-range
+    ragged_dot) on the 8-device mesh is token-identical to the
+    single-device engine."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    engine = LLM(tensor_parallel_size=4, data_parallel_size=2, **BASE)
     rng = np.random.default_rng(5)
     prompts = [rng.integers(3, 500, 24).tolist() for _ in range(4)]
-    outs = engine.generate(
-        prompt_token_ids=prompts,
-        sampling_params=SamplingParams(temperature=0.0, max_tokens=4,
-                                       ignore_eos=True),
-    )
-    assert all(len(o.output_token_ids) == 4 for o in outs)
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+    engine = LLM(tensor_parallel_size=4, data_parallel_size=2, **BASE)
+    assert engine.executor._rt.moe_dispatch == "sorted_ep"
+    outs = engine.generate(prompt_token_ids=prompts, sampling_params=sp)
     # experts really sharded: 8 experts / model axis 4 = 2 per device
     shard = engine.executor.params["layers"]["moe_w_gate"].sharding
     assert "model" in str(shard.spec)
+    engine.exit()
+    single = LLM(**BASE)
+    souts = single.generate(prompt_token_ids=prompts, sampling_params=sp)
+    assert [o.output_token_ids for o in outs] == \
+        [o.output_token_ids for o in souts]
+
+
+def test_moe_sorted_ep_matches_dense_block():
+    """_moe_sorted_ep (shard_map local-expert ragged_dot + psum) ==
+    dense-over-experts einsum, bitwise-closely, on a (2, 4) mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+
+    from sparsevllm_tpu.models import transformer as tfm
+    from sparsevllm_tpu.models.spec import ModelSpec
+    from sparsevllm_tpu.parallel.mesh import build_mesh, set_current_mesh
+
+    spec = ModelSpec(
+        model_type="qwen3_moe", num_layers=1, hidden_size=32,
+        num_q_heads=4, num_kv_heads=2, head_dim=8, intermediate_size=64,
+        vocab_size=128, rms_norm_eps=1e-6, rope_theta=1e4,
+        max_position_embeddings=512, num_experts=8, num_experts_per_tok=2,
+        moe_intermediate_size=16,
+    )
+    rng = np.random.default_rng(0)
+    lp = {
+        "router": jnp.asarray(rng.normal(size=(32, 8)), jnp.float32),
+        "moe_w_gate": jnp.asarray(rng.normal(size=(8, 32, 16)) * 0.1,
+                                  jnp.float32),
+        "moe_w_up": jnp.asarray(rng.normal(size=(8, 32, 16)) * 0.1,
+                                jnp.float32),
+        "moe_w_down": jnp.asarray(rng.normal(size=(8, 16, 32)) * 0.1,
+                                  jnp.float32),
+    }
+    x = jnp.asarray(rng.normal(size=(2, 4, 32)), jnp.float32)  # t=8 | dp
+    mesh = build_mesh(tp=4, dp=2)
+    set_current_mesh(mesh)
+    try:
+        dense = tfm._moe(x, lp, spec)
+        ep = jax.jit(lambda x, lp: tfm._moe_sorted_ep(x, lp, spec))(x, lp)
+    finally:
+        set_current_mesh(None)
+    np.testing.assert_allclose(np.asarray(ep), np.asarray(dense), atol=1e-5)
 
 
 def test_moe_sorted_matches_dense_dispatch():
