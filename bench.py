@@ -133,9 +133,12 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
         sp = prompt_pages + 2
         sbits = {"int8": 8, "int4": 4, "bfloat16": 16}[staging]
         stage_b = l * sp * page * tok_b * sbits // 16
-        scale_b = (4 * l * sp * spec.num_kv_heads * page * 4
+        scale_b = (4 * l * sp * spec.num_kv_heads * page * 2  # f16 planes
                    if staging != "bfloat16" else 0)
-        budget = _hbm_gib() * 2**30 * 0.90
+        # 0.95: the staged attention's transient is one KV block + one
+        # score tile (block-scanned online softmax), not a whole-context
+        # scratch — workspace headroom is small
+        budget = _hbm_gib() * 2**30 * 0.95
         need = w_bytes + main_b + stage_b + scale_b
         if need > budget:
             print(f"staged plan needs {need/2**30:.1f} GiB > "

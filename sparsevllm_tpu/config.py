@@ -321,6 +321,13 @@ class Config:
                     "(kv_cache_dtype auto/bfloat16/float32): decode reads "
                     "dequantized compacted tokens from the main pool"
                 )
+            if self.chunk_prefill_size & (self.chunk_prefill_size - 1):
+                raise ValueError(
+                    "kv_staging_dtype requires a power-of-two "
+                    "chunk_prefill_size: the staged attention scans "
+                    "chunk-sized KV blocks and chunk starts must be "
+                    f"block-aligned (got {self.chunk_prefill_size})"
+                )
             if self.num_staging_pages is None:
                 # one max_model_len prompt in flight + margin
                 self.num_staging_pages = (

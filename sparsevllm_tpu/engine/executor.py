@@ -38,9 +38,12 @@ from ..layers.rope import apply_rope, rope_table
 from ..models.spec import ModelSpec
 from ..models import transformer as tfm
 from ..ops import attention as attn_ops
+from ..ops import attention_ref as ref_ops
 from ..ops import quant as quant_ops
 from ..utils.log import logger
 from ..utils.profiler import profiler
+
+NEG_INF = -1e30
 
 
 def _round_up_pow2(x: int, lo: int = 1) -> int:
@@ -322,8 +325,11 @@ class ModelExecutor:
                     jnp.int8,
                 )
                 self.v_stage = jnp.zeros_like(self.k_stage)
+                # f16 scale/zero planes: 0.24 GiB -> 0.12 GiB at 128K;
+                # dequant math upcasts to f32, the ~5e-4 relative scale
+                # error is far below int4's own quantization noise
                 self.stage_scales = jnp.ones(
-                    (4, l, sp_pages, spec.num_kv_heads, p), jnp.float32
+                    (4, l, sp_pages, spec.num_kv_heads, p), jnp.float16
                 )
             elif sd == "int8":
                 self.k_stage = jnp.zeros(
@@ -718,19 +724,27 @@ class ModelExecutor:
     def _get_staged_prefill_fn(self, sb: int, mp: int, mode: str,
                                nlp: int = -1, emit_obs: bool = True):
         """Mixed-precision staged prefill step (bs=1): quantize+store the
-        chunk into the staging pool, but run attention in bf16 over a
-        per-layer dequantized scratch of the WHOLE staged context. This
-        sidesteps the in-kernel int4 dequant VMEM cliff (PERF_NOTES #3/#4 —
-        int4 prefill ran at ~13% MFU) — the scratch dequant is one linear
-        sweep per layer while the attention re-streams the context once per
-        query block either way, so prefill runs at bf16-kernel speed.
+        chunk into the staging pool, run attention in bf16 as an
+        online-softmax ``lax.scan`` over chunk-sized KV BLOCKS, each
+        dequantized into a bounded scratch. This sidesteps BOTH the
+        in-kernel int4 dequant VMEM cliff (PERF_NOTES #3/#4 — int4 prefill
+        ran at ~13% MFU) and the whole-context dequant scratch of the
+        first staged design (0.6+ GiB transient at 128K, which tipped the
+        16 GiB chip into OOM next to the weights+staging+keep pools): peak
+        extra memory is one KV block (~35 MB) + one score tile, at any
+        context length. QK/PV einsums run in the model dtype with f32
+        accumulation (bf16 operands hit the MXU native rate).
 
-        Staging arrays are scan-INVARIANT: the chunk's quantized payload +
-        scales emit as scan ys and ONE batched scatter writes them after the
-        layer scan (an in-scan write read back by the gather would force a
-        whole-pool copy per layer — the PERF_NOTES #1 aliasing hazard). The
-        current chunk's attention therefore uses its EXACT bf16 K/V,
-        spliced into the scratch; earlier chunks read back quantized."""
+        The current chunk's block uses its EXACT bf16 K/V (chunk starts
+        are block-aligned: chunk_prefill_size is validated pow2 for staged
+        engines); earlier blocks read back quantized. Staging arrays are
+        scan-INVARIANT: the chunk's quantized payload + scales emit as
+        scan ys and ONE batched scatter writes them after the layer scan
+        (an in-scan write read back by the gather would force a whole-pool
+        copy per layer — the PERF_NOTES #1 aliasing hazard). SnapKV
+        observation scores run AFTER that write as the exact two-pass
+        blockwise op over the staging pool itself
+        (ref.prefill_obs_scores_blockwise), per layer."""
         key = ("prefill_staged", sb, mp, mode, nlp, emit_obs)
         fn = self._fn_cache.get(key)
         if fn is not None:
@@ -747,6 +761,11 @@ class ModelExecutor:
         obs_w = cfg.snapkv_obs_window if (
             emit_obs and rt.emit_prefill_scores) else 0
 
+        g = spec.gqa_groups
+        qb = min(256, sb)
+        bpb = sb // p  # staging pages per KV block (chunk-sized blocks)
+        nblk = (mp * p) // sb
+
         def step(params, ks, vs, ssc, tables, plan):
             tokens = plan["token_ids"]  # [1, S]
             positions = plan["positions"]
@@ -756,7 +775,7 @@ class ModelExecutor:
             # representative (asserted in kv_manager.alloc_prefill)
             pages_row = tables[0][row[0], :mp]  # [MP] staging page ids
             start = plan["chunk_start"]  # scalar: resident slot start
-            ident = jnp.arange(mp, dtype=jnp.int32)[None, :]
+            ctx_end = plan["ctx_lens"][0]  # start + new_len
 
             def body(carry, xs):
                 h = carry
@@ -775,49 +794,127 @@ class ModelExecutor:
                     store = (kq.reshape(sb, -1), vq.reshape(sb, -1),
                              ksc, vsc, kzr, vzr)
                     sc_l = jax.lax.dynamic_index_in_dim(ssc, li, 1, False)
-                    scr_k = quant_ops.gather_dequant_pages_u4(
-                        ks_l, sc_l[0], sc_l[2], pages_row, nkv, fdtype)
-                    scr_v = quant_ops.gather_dequant_pages_u4(
-                        vs_l, sc_l[1], sc_l[3], pages_row, nkv, fdtype)
                 elif sd == "int8":
                     kq, ksc = quant_ops.quantize_rows(kr)
                     vq, vsc = quant_ops.quantize_rows(vr)
                     store = (kq, vq, ksc, vsc)
                     sc_l = jax.lax.dynamic_index_in_dim(ssc, li, 1, False)
-                    scr_k = quant_ops.gather_dequant_pages(
-                        ks_l, sc_l[0], pages_row, fdtype)
-                    scr_v = quant_ops.gather_dequant_pages(
-                        vs_l, sc_l[1], pages_row, fdtype)
                 else:  # bf16 staging
                     store = (kr.astype(fdtype), vr.astype(fdtype))
-                    scr_k = ks_l[pages_row].astype(fdtype)
-                    scr_v = vs_l[pages_row].astype(fdtype)
-                # splice the current chunk's EXACT values over its slots
-                # (leading-dim merge/split reshapes are layout-free)
-                scr_k = jax.lax.dynamic_update_slice(
-                    scr_k.reshape(mp * p, nkv, dh),
-                    kr.astype(fdtype), (start, 0, 0),
-                ).reshape(mp, p, nkv, dh)
-                scr_v = jax.lax.dynamic_update_slice(
-                    scr_v.reshape(mp * p, nkv, dh),
-                    vr.astype(fdtype), (start, 0, 0),
-                ).reshape(mp, p, nkv, dh)
-                out, obs = attn_ops.prefill_attention(
-                    q, scr_k[None], scr_v[None], jnp.int32(0), ident,
-                    plan["ctx_lens"], plan["new_lens"],
-                    sm_scale=sm_scale, obs_window=obs_w,
-                    score_pooling=rt.score_pooling,
-                    kv_scales=None, impl=rt.impl,
-                )
+                    sc_l = None
+
+                def block_kv(bi):
+                    """Dequantize KV block ``bi`` (bpb staging pages)."""
+                    pages_b = jax.lax.dynamic_slice(
+                        pages_row, (bi * bpb,), (bpb,))
+                    if sd == "int4":
+                        kb = quant_ops.gather_dequant_pages_u4(
+                            ks_l, sc_l[0], sc_l[2], pages_b, nkv, fdtype)
+                        vb = quant_ops.gather_dequant_pages_u4(
+                            vs_l, sc_l[1], sc_l[3], pages_b, nkv, fdtype)
+                    elif sd == "int8":
+                        kb = quant_ops.gather_dequant_pages(
+                            ks_l, sc_l[0], pages_b, fdtype)
+                        vb = quant_ops.gather_dequant_pages(
+                            vs_l, sc_l[1], pages_b, fdtype)
+                    else:
+                        kb = ks_l[pages_b].astype(fdtype)
+                        vb = vs_l[pages_b].astype(fdtype)
+                    return (kb.reshape(sb, nkv, dh),
+                            vb.reshape(sb, nkv, dh))
+
+                # online-softmax over KV blocks; GQA-grouped einsums avoid
+                # materializing repeated KV heads
+                q4 = q.reshape(sb, nkv, g, dh)
+                acc0 = jnp.zeros((sb, nkv, g, dh), jnp.float32)
+                m0 = jnp.full((sb, nkv, g), NEG_INF, jnp.float32)
+                l0 = jnp.zeros((sb, nkv, g), jnp.float32)
+
+                def kv_block(carry2, bi):
+                    base = bi * sb
+
+                    def live(c):
+                        acc, m, l = c
+                        kb, vb = jax.lax.cond(
+                            base == start,
+                            lambda _: (kr.astype(fdtype),
+                                       vr.astype(fdtype)),
+                            lambda _: block_kv(bi),
+                            None,
+                        )
+                        kpos = base + jnp.arange(sb, dtype=jnp.int32)
+
+                        def qtile(c3, qi):
+                            acc, m, l = c3
+                            qs = jax.lax.dynamic_slice(
+                                q4, (qi * qb, 0, 0, 0), (qb, nkv, g, dh))
+                            st = jnp.einsum(
+                                "qngd,knd->qngk", qs, kb,
+                                preferred_element_type=jnp.float32,
+                            ) * sm_scale  # [qb, nkv, g, sb]
+                            qpos = (start + qi * qb
+                                    + jnp.arange(qb, dtype=jnp.int32))
+                            valid = (
+                                (kpos[None, :] <= qpos[:, None])
+                                & (kpos[None, :] < ctx_end)
+                            )[:, None, None, :]
+                            st = jnp.where(valid, st, NEG_INF)
+                            ms = jax.lax.dynamic_slice(
+                                m, (qi * qb, 0, 0), (qb, nkv, g))
+                            ls = jax.lax.dynamic_slice(
+                                l, (qi * qb, 0, 0), (qb, nkv, g))
+                            accs = jax.lax.dynamic_slice(
+                                acc, (qi * qb, 0, 0, 0), (qb, nkv, g, dh))
+                            m_new = jnp.maximum(ms, jnp.max(st, axis=-1))
+                            alpha = jnp.exp(ms - m_new)
+                            pj = jnp.exp(st - m_new[..., None])
+                            pj = jnp.where(valid, pj, 0.0)
+                            pv = jnp.einsum(
+                                "qngk,knd->qngd", pj.astype(vb.dtype), vb,
+                                preferred_element_type=jnp.float32,
+                            )
+                            accs = accs * alpha[..., None] + pv
+                            ls = ls * alpha + jnp.sum(pj, axis=-1)
+                            acc = jax.lax.dynamic_update_slice(
+                                acc, accs, (qi * qb, 0, 0, 0))
+                            m = jax.lax.dynamic_update_slice(
+                                m, m_new, (qi * qb, 0, 0))
+                            l = jax.lax.dynamic_update_slice(
+                                l, ls, (qi * qb, 0, 0))
+                            return (acc, m, l), None
+
+                        (acc, m, l), _ = jax.lax.scan(
+                            qtile, (acc, m, l),
+                            jnp.arange(sb // qb, dtype=jnp.int32))
+                        return acc, m, l
+
+                    # skip blocks past the context (bucket mp rounds up)
+                    out_c = jax.lax.cond(
+                        base < ctx_end, live, lambda c: c, carry2)
+                    return out_c, None
+
+                (acc, m, l), _ = jax.lax.scan(
+                    kv_block, (acc0, m0, l0),
+                    jnp.arange(nblk, dtype=jnp.int32))
+                l_safe = jnp.where(l <= 0.0, 1.0, l)
+                out = (acc / l_safe[..., None]).astype(fdtype)
+
                 attn_out = out.reshape(1, sb, spec.q_dim) @ tfm._w(
                     xs, "wo", (spec.q_dim, spec.hidden_size), x.dtype
                 )
                 h = h + attn_out
                 x2 = tfm.rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
                 h = h + tfm._ffn(x2, xs, spec, rt.moe_dispatch)
-                return h, (obs, store) if obs_w else (None, store)
+                if obs_w:
+                    # last obs_w valid queries (post-RoPE), for the obs
+                    # sweep AFTER the staging write
+                    o0 = jnp.maximum(plan["new_lens"][0] - obs_w, 0)
+                    q_obs = jax.lax.dynamic_slice(
+                        q, (0, o0, 0, 0), (1, obs_w, spec.num_q_heads, dh))
+                    return h, (q_obs, store)
+                return h, (None, store)
 
-            h, (obs, stores) = jax.lax.scan(
+            h, (q_obs_all, stores) = jax.lax.scan(
                 body, h, tfm._layer_xs(params, spec)
             )
             # ONE batched staging write for the whole step (all layers)
@@ -835,7 +932,31 @@ class ModelExecutor:
             if sd != "bfloat16":
                 for i, plane in enumerate(stores[2:]):
                     ssc = ssc.at[i, lix, pgb, :, offb].set(
-                        plane, mode="drop")
+                        plane.astype(ssc.dtype), mode="drop")
+            obs = None
+            if obs_w:
+                # exact two-pass blockwise SnapKV scores over the (just
+                # written) staging pool, per layer. Passing S=obs_w with
+                # new_lens=min(new,w) keeps query absolute positions
+                # (ctx - new + i) aligned with the tail of the chunk.
+                new_w = jnp.minimum(plan["new_lens"], obs_w)
+
+                def obs_layer(_, xs2):
+                    li2, q_obs_l = xs2
+                    ks_l2 = jax.lax.dynamic_index_in_dim(ks, li2, 0, False)
+                    lsc = (None if sd == "bfloat16" else
+                           jax.lax.dynamic_index_in_dim(ssc, li2, 1, False))
+                    sc_ = ref_ops.prefill_obs_scores_blockwise(
+                        q_obs_l, ks_l2, pages_row[None], plan["ctx_lens"],
+                        new_w, sm_scale=sm_scale, obs_window=obs_w,
+                        score_pooling=rt.score_pooling, kv_scales=lsc,
+                    )
+                    return None, sc_
+
+                _, obs = jax.lax.scan(
+                    obs_layer, None,
+                    (jnp.arange(l_num, dtype=jnp.int32), q_obs_all),
+                )
             hf = tfm.rms_norm(h, params["final_norm"], spec.rms_norm_eps)
             last_idx = jnp.maximum(plan["new_lens"] - 1, 0)
             last_h = jnp.take_along_axis(

@@ -58,14 +58,26 @@ class DeltaKVManager(KVCacheManager):
         return (raw // align) * align
 
     def admission_cost_pages(self, seq: Sequence) -> int:
-        # dense prefill peak (whole prompt resident on every layer)
         if self.compressible_tokens(seq) > self.cmax:
             raise ValueError(
                 f"prompt {seq.num_prompt_tokens}: compressible region "
                 f"{self.compressible_tokens(seq)} exceeds "
                 f"deltakv_max_compressed_tokens={self.cmax}"
             )
+        if getattr(seq, "streamed_prefill", False):
+            # host-archive long prefill (reference raw_kv_offload.py
+            # full-prefill plan, deltakv_base.py:305-399): the device ends
+            # up holding the FULL layers' dense rows (observation layers)
+            # plus the sparse layers' sink+recent raw — the middle region
+            # lives in latents/centers, not pages. Peak = full-layer rows.
+            return -(-(seq.num_prompt_tokens + 1) // self.P) + 2
+        # dense prefill peak (whole prompt resident on every layer)
         return super().admission_cost_pages(seq)
+
+    def prefill_step_cost_pages(self, seq: Sequence, chunk: int) -> int:
+        if getattr(seq, "streamed_prefill", False):
+            return 0  # chunk KV lives in the host archive
+        return super().prefill_step_cost_pages(seq, chunk)
 
     def plan_compression(self, seqs: list[Sequence]) -> dict | None:
         """Executor-facing plan for prefill-end compression."""

@@ -232,33 +232,6 @@ class SnapKVManager(KVCacheManager):
             "obs_window": self.obs_window,
         }
 
-    # ---------------------------------------------- streamed-prefill adoption
-
-    def plan_streamed_adoption(self, seq: Sequence, keep: "np.ndarray"):
-        """Allocate destination pages for a streamed sequence's compacted
-        rows (keep[l] tokens per layer); the executor scatters archived KV
-        into them (streamed_prefill.py _compact_and_sample)."""
-        new_pages = []
-        for l in range(self.L):
-            n = int(-(-int(keep[l]) // self.P))
-            new_pages.append(self._pop_pages(l, n))
-        return {"keep": keep, "new_pages": new_pages}
-
-    def commit_streamed_adoption(self, seq: Sequence, plan: dict) -> None:
-        row = self.seq_rows[seq.seq_id]
-        if int(self.row_lens[:, row].max()) != 0:
-            raise AssertionError(
-                "streamed sequence unexpectedly holds device pages"
-            )
-        for l in range(self.L):
-            pages = plan["new_pages"][l]
-            n = len(pages)
-            self.page_tables[l, row, :n] = pages
-            self.row_lens[l, row] = int(plan["keep"][l])
-            self._queue_update(
-                np.full(n, l), np.full(n, row), np.arange(n), pages
-            )
-
     def commit_compaction(self, seqs: list[Sequence], plan: dict) -> None:
         """Free old pages, adopt the new tables host-side (the device rows
         were rewritten by the executor's compact op)."""

@@ -292,13 +292,14 @@ class LLMEngine:
         tp = max(config.tensor_parallel_size, 1)
         budget = int(hbm * config.hbm_utilization) - weights // tp - act
         if config.kv_staging_dtype != "none":
-            # staging pool + the staged-prefill bf16 scratch (one layer's
-            # full-context dequantized KV, double-buffered by XLA)
+            # staging pool + the staged-prefill block scratch (ONE
+            # chunk-sized dequantized KV block — the attention is a
+            # block-scanned online softmax, executor._get_staged_prefill_fn)
             budget -= self._kv_bytes(
                 config.num_staging_pages, config.kv_staging_dtype
             ) // tp
             budget -= 2 * self._kv_bytes(
-                config.max_pages_per_seq, "bfloat16"
+                config.chunk_prefill_size // config.page_size + 1, "bfloat16"
             ) // max(getattr(self.spec, "num_kv_layers", self.spec.num_layers),
                      1) // tp
         page_bytes = max(self._kv_bytes(1) // tp, 1)

@@ -80,7 +80,8 @@ class Scheduler:
         if (
             thr
             and seq.num_prompt_tokens > thr
-            and getattr(self.config, "method", "") in ("snapkv", "pyramidkv")
+            and getattr(self.config, "method", "")
+            in ("snapkv", "pyramidkv", "deltakv")
         ):
             # Residency-aware routing: the archive path's H2D re-stream
             # costs ~ctx^2/(2*chunk) tokens of host-link traffic, while the

@@ -28,8 +28,10 @@ HBM. The cost is host-link bandwidth: total H2D traffic is ~ctx^2/(2*chunk)
 tokens of K/V; on a production host NIC/PCIe (~50 GiB/s) a 128K prefill
 streams in seconds, on the dev tunnel (~1.3 GiB/s) in minutes.
 
-Applies to methods whose decode residency is bounded by prefill-end
-compaction (snapkv / pyramidkv); consumed via
+Applies to methods whose decode residency is bounded at prefill end:
+snapkv / pyramidkv (score-select compaction) and deltakv (the middle
+region compresses into latents/centers straight from the archive — the
+reference's 512K tier, deltakv_base.py:305-399). Consumed via
 ``long_prefill_offload_threshold``.
 """
 
@@ -42,6 +44,8 @@ import numpy as np
 from ..layers import sampler as sampler_ops
 from ..layers.rope import apply_rope
 from ..models import transformer as tfm
+from ..ops import deltakv as dk_ops
+from ..utils import compressor as comp_ops
 from ..utils.log import logger
 from ..utils.profiler import profiler
 
@@ -352,6 +356,7 @@ class StreamedPrefillRunner:
         obs_ml: list[tuple] = []  # per layer (q_obs, m, l) when final
         kv_host: list[tuple[np.ndarray, np.ndarray]] = []
         w = cfg.snapkv_obs_window
+        dk_mode = getattr(cfg, "method", "") == "deltakv"
         for li in range(spec.num_layers):
             q, k, v = f_qkv(params, li, h, d_pos)
             acc = jnp.zeros((s, nq, dh), jnp.float32)
@@ -365,7 +370,7 @@ class StreamedPrefillRunner:
             # after the loop (a per-layer device_get forces a pipeline
             # sync per layer; one batched fetch overlaps all layers)
             kv_host.append((k[:chunk], v[:chunk]))
-            if final:
+            if final and not dk_mode:
                 # obs-query stats for the pass-2 score sweep
                 oidx = np.arange(max(chunk - w, 0), chunk)
                 obs_ml.append((q[oidx], m[oidx], l[oidx], k, oidx))
@@ -377,8 +382,11 @@ class StreamedPrefillRunner:
         if not final:
             return None
 
-        scores = self._obs_scores(arch, obs_ml, start, chunk)
-        token = self._compact_and_sample(seq, arch, scores, h, chunk)
+        if dk_mode:
+            token = self._compact_deltakv(seq, arch, h, chunk)
+        else:
+            scores = self._obs_scores(arch, obs_ml, start, chunk)
+            token = self._compact_and_sample(seq, arch, scores, h, chunk)
         del self._archives[seq.seq_id]
         return token
 
@@ -484,7 +492,16 @@ class StreamedPrefillRunner:
         kv.commit_streamed_adoption(seq, plan)
         ex.apply_table_updates(kv.drain_table_updates())
 
-        # first decode token from the final chunk's last hidden state
+        logger.info(
+            "streamed prefill done: seq=%s ctx=%d archived=%.2f GiB "
+            "kept<=%d/layer", seq.seq_id, ctx, arch.nbytes / 2**30,
+            int(keep.max()),
+        )
+        return self._sample_first_token(seq, h, chunk)
+
+    def _sample_first_token(self, seq, h, chunk):
+        """First decode token from the final chunk's last hidden state."""
+        ex = self.ex
         logits = self._f_logits()(ex.params, h, chunk - 1)
         sp = seq.sampling_params
         key = jax.random.fold_in(ex._base_key, ex._step_counter)
@@ -502,12 +519,118 @@ class StreamedPrefillRunner:
             jnp.asarray([sp.top_p], jnp.float32),
             key, mode=mode,
         )
-        logger.info(
-            "streamed prefill done: seq=%s ctx=%d archived=%.2f GiB "
-            "kept<=%d/layer", seq.seq_id, ctx, arch.nbytes / 2**30,
-            int(keep.max()),
-        )
         return int(np.asarray(tok)[0])
+
+    # ------------------------------------------------------ deltakv final
+
+    def _f_compress_block(self, cb: int):
+        """Jitted archive-block compression for one sparse layer (bs=1).
+
+        Same math as the executor's resident compress op (derope +
+        ops/deltakv.compress_layer); block boundaries are stride-aligned
+        so sequential blocks reproduce the one-shot compression exactly
+        (old centers are always-allowed causal fathers)."""
+        ex = self.ex
+        rt = ex._rt
+        cos, sin = ex.rope
+        comp_base = rt.dk_comp_base
+        stride = rt.dk_stride
+
+        key = ("dk_compress", cb)
+        f = self._fns.get(key)
+        if f is None:
+            def compress(dk, dk_comp, kb, vb, rows, counts, dest, si):
+                positions = (
+                    comp_base + dest[:, None]
+                    + jnp.arange(cb, dtype=jnp.int32)[None, :]
+                )
+                # archive K is post-RoPE; De-RoPE exactly before
+                # compressing (reference stores pre-RoPE K)
+                k_raw = dk_ops.derope(kb[None], positions, cos, sin)
+                comp_layer = comp_ops.layer_slice(dk_comp, si)
+                return dk_ops.compress_layer(
+                    dk, si, comp_layer, rt.dk_arch, k_raw, vb[None], rows,
+                    counts, stride=stride, latent_bits=rt.dk_latent_bits,
+                    latent_group=rt.dk_group, dest_offset=dest,
+                )
+            f = jax.jit(compress, donate_argnums=(0,))
+            self._fns[key] = f
+        return f
+
+    def _compact_deltakv(self, seq, arch, h, chunk):
+        """DeltaKV final sweep over the host archive (reference
+        full-prefill plan deltakv_base.py:305-399 + raw_kv_offload.py):
+        adopt FULL layers dense + sparse sink/recent raw into fresh
+        pages, then compress the middle region straight out of the
+        archive into latents/centers — the device never holds the middle
+        region's raw KV, so context is bounded by host RAM + latent
+        capacity, not HBM (reference 512K headline tier)."""
+        ex, spec, cfg = self.ex, self.spec, self.config
+        kv = ex.kv_manager
+        ctx = arch.tokens
+        comp_base = kv.comp_base
+        count = kv.compressible_tokens(seq)
+        tail_start = comp_base + count
+        full = set(kv.full_layers)
+        nl = spec.num_layers
+        keep = np.asarray(
+            [ctx if l in full else ctx - count for l in range(nl)],
+            np.int64,
+        )
+        plan = kv.plan_streamed_adoption(seq, keep)
+        p = cfg.page_size
+        bt = self.block_tokens
+        for li in range(nl):
+            if li in full:
+                idx = np.arange(ctx, dtype=np.int64)
+            else:
+                idx = np.concatenate([
+                    np.arange(comp_base, dtype=np.int64),
+                    np.arange(tail_start, ctx, dtype=np.int64),
+                ])
+            k_all, v_all = arch.layer_kv(li)
+            pages = plan["new_pages"][li]
+            for off in range(0, idx.shape[0], bt):
+                blk = idx[off : off + bt]
+                dst = off + np.arange(blk.shape[0])
+                slots = (pages[dst // p] * p + dst % p).astype(np.int32)
+                ex.store_rows_layer(
+                    li, jnp.asarray(k_all[blk]), jnp.asarray(v_all[blk]),
+                    jnp.asarray(slots),
+                )
+        kv.commit_streamed_adoption(seq, plan)
+        ex.apply_table_updates(kv.drain_table_updates())
+
+        # compress the middle region from the archive, block by block
+        row = int(kv.seq_rows[seq.seq_id])
+        stride = kv.stride
+        cb = max((bt // stride) * stride, stride)
+        sparse = [l for l in range(nl) if l not in full]
+        f_comp = self._f_compress_block(cb)
+        rows_d = jnp.asarray([row], jnp.int32)
+        for off in range(0, count, cb):
+            n = min(cb, count - off)
+            for si, li in enumerate(sparse):
+                k_all, v_all = arch.layer_kv(li)
+                kb = k_all[comp_base + off : comp_base + off + cb]
+                vb = v_all[comp_base + off : comp_base + off + cb]
+                if kb.shape[0] < cb:
+                    pad = ((0, cb - kb.shape[0]), (0, 0), (0, 0))
+                    kb, vb = np.pad(kb, pad), np.pad(vb, pad)
+                ex.dk_state = f_comp(
+                    ex.dk_state, ex.dk_comp, jax.device_put(kb),
+                    jax.device_put(vb), rows_d,
+                    jnp.asarray([n], jnp.int32),
+                    jnp.asarray([off], jnp.int32),
+                    jnp.asarray(si, jnp.int32),
+                )
+        kv.comp_counts[seq.seq_id] = count
+        logger.info(
+            "streamed deltakv prefill done: seq=%s ctx=%d compressed=%d "
+            "archived=%.2f GiB", seq.seq_id, ctx, count,
+            arch.nbytes / 2**30,
+        )
+        return self._sample_first_token(seq, h, chunk)
 
     def _f_logits(self):
         spec = self.spec

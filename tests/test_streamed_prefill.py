@@ -60,6 +60,49 @@ def prompt():
     return rng.integers(5, 500, size=CTX).tolist()
 
 
+def _dk_engine(threshold, pages=256):
+    # max_model_len 2048: the resident compress op buckets the region to
+    # the next pow2 (616 -> 1024 tokens), which must stay inside the
+    # context-page bucket ladder
+    return LLMEngine(
+        tiny_random=True,
+        dtype="float32",
+        page_size=8,
+        num_kv_pages=pages,
+        max_model_len=2048,
+        chunk_prefill_size=CHUNK,
+        max_num_batched_tokens=1024,
+        max_decoding_seqs=2,
+        max_num_seqs_in_batch=2,
+        method="deltakv",
+        full_attention_layers=(0,),
+        deltakv_compressor_arch="origin",
+        deltakv_cluster_ratio=0.25,
+        deltakv_max_compressed_tokens=1024,
+        decode_keep_tokens=64,
+        sink_keep_tokens=16,
+        recent_keep_tokens=64,
+        long_prefill_offload_threshold=threshold,
+        decode_context_bucket_base=64,
+        decode_steps_per_dispatch=4,
+    )
+
+
+def test_streamed_deltakv_matches_resident(prompt):
+    """DeltaKV's streamed tier (archive adoption for full/sink/recent +
+    block-wise compression straight from the archive) must be
+    token-identical to the resident prefill-end compression: blocks are
+    stride-aligned so sequential compression reproduces the one-shot
+    center/father assignment exactly."""
+    res = _generate(_dk_engine(threshold=0), list(prompt), steps=12)
+    # pool too small for dense admission (88 prompt pages + 88 compaction
+    # headroom) -> streams
+    eng_s = _dk_engine(threshold=CHUNK, pages=120)
+    st = _generate(eng_s, list(prompt), steps=12)
+    assert res.output_token_ids == st.output_token_ids
+    assert res.finish_reason == st.finish_reason
+
+
 def test_streamed_matches_resident(prompt):
     res = _generate(_engine(threshold=0), list(prompt), steps=12)
     # prompt > chunk AND dense admission exceeds the pool -> streamed
