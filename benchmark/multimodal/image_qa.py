@@ -77,6 +77,9 @@ def synthetic_rows(benchmark: str, n: int, seed: int = 0) -> list[dict]:
                 "question": "Is there a dog in the image?",
                 "answer": ans,
                 "context": f"The image shows {obj} in a park.",
+                # random pixels so vision adapters exercise the tower +
+                # splice path; text adapters ignore this field
+                "image": rng.random((32, 32, 3), np.float32),
             })
     else:
         shapes = ["circle", "square", "triangle", "star"]
@@ -99,10 +102,15 @@ def run(rows: list[dict], benchmark: str, adapter, art: Artifact) -> dict:
         if row.get("context"):
             parts.append(f"Description: {row['context']}")
         parts.append(f"Question: {row['question']}")
+        kw = {}
+        if row.get("image") is not None and getattr(
+            adapter, "accepts_images", False
+        ):
+            kw["image"] = row["image"]
         if yes_no:
             truth = str(row["answer"]).strip().lower()
             parts.append("Answer yes or no directly.")
-            text = adapter.generate(prompt="\n".join(parts))
+            text = adapter.generate(prompt="\n".join(parts), **kw)
             choice = first_yes_no(text)
         else:
             options = normalize_labeled_options(row["options"])
@@ -112,7 +120,7 @@ def run(rows: list[dict], benchmark: str, adapter, art: Artifact) -> dict:
                 "Answer with the option's letter from the given choices "
                 "directly."
             )
-            text = adapter.generate(prompt="\n".join(parts))
+            text = adapter.generate(prompt="\n".join(parts), **kw)
             choice = first_choice_letter(
                 text, valid=CHOICE_LETTERS[: len(options)]
             )

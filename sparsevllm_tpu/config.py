@@ -114,6 +114,11 @@ class Config:
     tiny_random: bool = False
     tiny_random_config: dict | None = None
     tiny_random_seed: int = 0
+    # multimodal: vocabulary id of the image-placeholder token. Requests may
+    # then pass ``mm_features`` (vision-projector rows, one per placeholder)
+    # to add_request; prefill splices them into the input embeddings
+    # (reference llava_ov_inference.py). None = text-only engine.
+    image_token_id: int | None = None
 
     # --- scheduler caps (reference defaults, config.py:583-599) ----------
     max_num_batched_tokens: int = 65536

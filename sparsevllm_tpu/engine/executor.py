@@ -691,6 +691,28 @@ class ModelExecutor:
             "step": np.asarray(self._step_counter, np.int32),
             "temps": temps, "top_k": top_k, "top_p": top_p,
         }
+        if any(getattr(s, "mm_features", None) is not None for s in seqs):
+            # multimodal splice rows for THIS chunk (image placeholders may
+            # straddle chunk boundaries; mm_positions is sorted, so the
+            # chunk's rows are a contiguous feature slice). Plans without
+            # these keys are a different pytree structure — jit keeps a
+            # separate text-only trace, so text batches pay nothing.
+            hidden = self.params["embed"].shape[-1]
+            mm_mask = np.zeros((bb, sb), bool)
+            mm_embeds = np.zeros((bb, sb, hidden), np.float32)
+            for i, (seq, c) in enumerate(zip(seqs, chunk_sizes)):
+                if getattr(seq, "mm_features", None) is None:
+                    continue
+                start = seq.num_prefilled_tokens
+                pos = seq.mm_positions
+                lo = int(np.searchsorted(pos, start))
+                hi = int(np.searchsorted(pos, start + c))
+                if hi > lo:
+                    rel = pos[lo:hi] - start
+                    mm_mask[i, rel] = True
+                    mm_embeds[i, rel] = seq.mm_features[lo:hi]
+            host_plan["mm_mask"] = mm_mask
+            host_plan["mm_embeds"] = mm_embeds
         if self._rt.quest:
             # pages whose K min/max metadata this chunk dirties
             # (padded entries hit trash page 0 — harmless recompute).

@@ -333,6 +333,7 @@ class LLMEngine:
         sampling_params: SamplingParams | None = None,
         prompt_token_ids: list[int] | None = None,
         request_id: str | None = None,
+        mm_features=None,  # np.ndarray [n_image_tokens, hidden]
     ) -> int:
         if prompt_token_ids is None:
             if prompt is None:
@@ -344,6 +345,38 @@ class LLMEngine:
             prompt_token_ids = self.tokenizer.encode(prompt)
         sp = sampling_params or SamplingParams()
         seq = Sequence(list(prompt_token_ids), sp, request_id=request_id)
+        if mm_features is not None:
+            img_id = self.config.image_token_id
+            if img_id is None:
+                raise ValueError(
+                    "mm_features given but the engine has no "
+                    "image_token_id configured"
+                )
+            feats = np.asarray(mm_features)
+            pos = np.flatnonzero(
+                np.asarray(prompt_token_ids, np.int64) == img_id
+            )
+            if feats.ndim != 2 or len(pos) != feats.shape[0]:
+                raise ValueError(
+                    f"mm_features rows ({feats.shape}) must match the "
+                    f"{len(pos)} image-placeholder tokens (id={img_id}) "
+                    f"in the prompt"
+                )
+            hidden = self.executor.params["embed"].shape[-1]
+            if feats.shape[1] != hidden:
+                raise ValueError(
+                    f"mm_features hidden dim {feats.shape[1]} != model "
+                    f"hidden {hidden} — run the vision projector first "
+                    f"(models/vision.encode_images)"
+                )
+            if self.config.enable_prefix_cache:
+                raise ValueError(
+                    "mm_features with enable_prefix_cache: prefix blocks "
+                    "are keyed by token ids, which do not identify image "
+                    "content — disable the prefix cache for multimodal"
+                )
+            seq.mm_features = feats
+            seq.mm_positions = pos
         self.scheduler.add(seq)
         self._seqs[seq.seq_id] = seq
         self._outputs[seq.seq_id] = RequestOutput(
@@ -595,6 +628,7 @@ class LLMEngine:
         prompts: list[str] | None = None,
         sampling_params: SamplingParams | list[SamplingParams] | None = None,
         prompt_token_ids: list[list[int]] | None = None,
+        mm_features: list | None = None,  # per-prompt projector rows
     ) -> list[RequestOutput]:
         inputs = prompts if prompts is not None else prompt_token_ids
         n = len(inputs)
@@ -603,16 +637,19 @@ class LLMEngine:
             if isinstance(sampling_params, list)
             else [sampling_params or SamplingParams()] * n
         )
+        mms = mm_features if mm_features is not None else [None] * n
         ids = []
         for i in range(n):
             if prompts is not None:
                 ids.append(self.add_request(prompt=prompts[i],
-                                            sampling_params=sps[i]))
+                                            sampling_params=sps[i],
+                                            mm_features=mms[i]))
             else:
                 ids.append(
                     self.add_request(
                         prompt_token_ids=prompt_token_ids[i],
                         sampling_params=sps[i],
+                        mm_features=mms[i],
                     )
                 )
         while self.scheduler.has_work:

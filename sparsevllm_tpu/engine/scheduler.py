@@ -72,6 +72,20 @@ class Scheduler:
         # staged mixed-precision prefill (kv_staging_dtype): long prompts
         # prefill into the quantized staging pool; takes precedence over
         # the host-archive streamed path (staging reads at HBM speed).
+        if seq.mm_features is not None:
+            # multimodal splice is implemented on the standard resident
+            # prefill path only; vision prompts are short (subtitles +
+            # patch rows), never long enough for staging/streaming.
+            thr_mm = getattr(
+                self.config, "long_prefill_offload_threshold", 0)
+            if thr_mm and seq.num_prompt_tokens > thr_mm:
+                raise ValueError(
+                    "multimodal prompts must prefill resident: prompt of "
+                    f"{seq.num_prompt_tokens} tokens exceeds "
+                    f"long_prefill_offload_threshold={thr_mm}"
+                )
+            self.waiting.append(seq)
+            return
         if hasattr(self.kv, "wants_staging") and self.kv.wants_staging(seq):
             seq.staged_prefill = True
             self.waiting.append(seq)

@@ -57,6 +57,12 @@ class Sequence:
     # streamed prefill vs quantized staging-pool prefill (kv_staging_dtype)
     streamed_prefill: bool = False
     staged_prefill: bool = False
+    # multimodal: projector rows spliced at image-placeholder positions
+    # (reference llava_ov_inference.py input-embeds path). mm_features is
+    # [n_image_tokens, text_hidden]; mm_positions the prompt indices of the
+    # placeholder tokens, in order.
+    mm_features: object | None = None  # np.ndarray
+    mm_positions: object | None = None  # np.ndarray [n_image_tokens]
 
     @property
     def num_prompt_tokens(self) -> int:

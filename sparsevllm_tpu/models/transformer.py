@@ -422,6 +422,12 @@ def prefill_forward(
     tokens = plan["token_ids"]  # [B, S]
     positions = plan["positions"]
     h = params["embed"][tokens]  # [B, S, H]
+    if "mm_embeds" in plan:
+        # multimodal splice (reference llava_ov_inference.py input-embeds
+        # path): image-placeholder token positions take their row from the
+        # vision projector output instead of the text embedding table.
+        h = jnp.where(plan["mm_mask"][..., None],
+                      plan["mm_embeds"].astype(h.dtype), h)
     sm_scale = spec.head_dim ** -0.5
     page_size = k_cache.shape[2]
 
