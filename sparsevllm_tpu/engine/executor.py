@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -784,7 +785,11 @@ class ModelExecutor:
             emit_obs and rt.emit_prefill_scores) else 0
 
         g = spec.gqa_groups
-        qb = min(256, sb)
+        # q-tile rows: 512 measured best at 3B shapes (each tile's QK is a
+        # [g*qb, dh] x [dh, sb] MXU matmul per kv head; 256 under-fills the
+        # MXU M dim, 1024 doubles the f32 score transient for no gain).
+        # Env override for scripts/profile_prefill_staged.py sweeps.
+        qb = min(int(os.environ.get("SPARSEVLLM_STAGED_QB", "512")), sb)
         bpb = sb // p  # staging pages per KV block (chunk-sized blocks)
         nblk = (mp * p) // sb
 
