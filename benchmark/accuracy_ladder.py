@@ -275,6 +275,7 @@ def method_configs(ctx: int):
                         recent_keep_tokens=64),
     }
     base["deltakv_id"] = dict(base["deltakv"])  # 1x-latent machinery lane
+    base["deltakv_half"] = dict(base["deltakv"])  # 2x-latent capacity probe
     # origin codec: NO learned compressor — payload is the exact
     # (K∥V − neighbor-ref) residual, int4-grouped (reference
     # no-compressor DELTA_ORIGIN configs). Needs no checkpoint; this is
@@ -397,7 +398,9 @@ def run_part_a(args, art):
     # oracle's V rows are token one-hots, deliberately incompressible, see
     # ACCURACY.md) and 1x "identity-capacity" (tests the cluster/latent/
     # reconstruct MACHINERY with a compressor that can be near-lossless).
-    dk_ckpts: dict[str, str | None] = {"deltakv": None, "deltakv_id": None}
+    dk_ckpts: dict[str, str | None] = {
+        "deltakv": None, "deltakv_id": None, "deltakv_half": None,
+    }
     try:
         from sparsevllm_tpu.deltakv import (
             collect_kv_residuals, train_compressors,
@@ -411,6 +414,7 @@ def run_part_a(args, art):
         res = collect_kv_residuals(params, spec, prompts, sparse, stride=4)
         for name, latent, steps in (
             ("deltakv", 2 * spec.kv_dim // 4, 300),
+            ("deltakv_half", 2 * spec.kv_dim // 2, 600),
             ("deltakv_id", 2 * spec.kv_dim, 600),
         ):
             comp, losses = train_compressors(
