@@ -456,11 +456,10 @@ class Config:
                     f"method {prof.name!r} requires full_attn_layers "
                     f"(observation/reference layers)"
                 )
-            if 0 not in self.full_attn_layers:
-                raise ValueError(
-                    f"method {prof.name!r} requires layer 0 in full_attn_layers "
-                    f"(first selection must come from a full layer)"
-                )
+            # "first layer must be full" is validated by the executor in
+            # LAYER space: layer 0 for flat decoders, the first
+            # full-attention layer for hybrid models (whose layer 0 is
+            # typically linear attention) — executor.py / hybrid_executor.py.
         if prof.name == registry.QUEST:
             if self.quest_page_size <= 0 or self.page_size % self.quest_page_size:
                 raise ValueError(

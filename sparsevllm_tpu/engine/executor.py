@@ -54,6 +54,79 @@ def _round_up_pow2(x: int, lo: int = 1) -> int:
     return v
 
 
+def init_deltakv_state(config, nkv: int, dh: int, num_attn_layers: int,
+                       full_set: set, max_rows: int, dtype):
+    """DeltaKV executor state shared by ModelExecutor and HybridExecutor.
+
+    ``num_attn_layers``/``full_set`` live in KV-LAYER space (for hybrid
+    models the KV slots of the full-attention layers; reference
+    deltakv_base.py:91-95 full/deltakv layer split). Returns
+    (sparse_layers np, sparse_slot device, dk_comp, dk_state, arch)."""
+    from ..ops import deltakv as dk_ops
+    from ..utils import compressor as comp_ops
+
+    sparse_layers = [
+        i for i in range(num_attn_layers) if i not in full_set
+    ]
+    slot = np.zeros(num_attn_layers, np.int32)
+    for si, li in enumerate(sparse_layers):
+        slot[li] = si
+    io_dim = 2 * nkv * dh
+    arch = config.deltakv_compressor_arch
+    if arch == "origin":
+        # no learned compressor: payload = exact K∥V−ref residual
+        latent_dim = io_dim
+        dk_comp = comp_ops.init_compressor_params(
+            len(sparse_layers), io_dim, io_dim, "origin", config.seed,
+        )
+    elif config.deltakv_checkpoint_path:
+        # checkpoint is the source of truth for latent_dim/arch
+        # (reference sync_deltakv_config_from_checkpoint,
+        # utils/loader.py:186-278 — synced BEFORE cache allocation)
+        dk_comp, meta = comp_ops.load_checkpoint(
+            config.deltakv_checkpoint_path
+        )
+        latent_dim = int(meta["latent_dim"])
+        arch = str(meta["arch"])
+    else:
+        latent_dim = config.deltakv_latent_dim or max(io_dim // 4, 16)
+        logger.warning(
+            "deltakv without checkpoint: RANDOM compressor "
+            "(latent_dim=%d) — reconstruction is untrained; pass "
+            "deltakv_checkpoint_path for real serving "
+            "(reference rejects this, docs fail-fast rule; kept "
+            "loud-but-runnable for pipeline tests)", latent_dim,
+        )
+        dk_comp = comp_ops.init_compressor_params(
+            len(sparse_layers), io_dim, latent_dim, arch, config.seed,
+        )
+    per_byte = 8 // config.deltakv_latent_bits
+    if latent_dim % per_byte:
+        raise ValueError(
+            f"deltakv latent_dim must be a multiple of {per_byte} "
+            f"for {config.deltakv_latent_bits}-bit packed latents"
+        )
+    if (config.deltakv_latent_group
+            and latent_dim % config.deltakv_latent_group):
+        raise ValueError(
+            f"deltakv_latent_group ({config.deltakv_latent_group}) "
+            f"must divide latent_dim ({latent_dim})"
+        )
+    # arch is static (rt.dk_arch); jitted fns take arrays only
+    dk_comp = {"down": dk_comp["down"], "up": dk_comp["up"]}
+    stride = max(int(round(1.0 / config.deltakv_cluster_ratio)), 1)
+    cmax = config.deltakv_max_compressed_tokens
+    dk_state = dk_ops.init_state(
+        len(sparse_layers), max_rows, cmax, -(-cmax // stride), nkv, dh,
+        latent_dim, dtype,
+        latent_bits=config.deltakv_latent_bits,
+        latent_group=config.deltakv_latent_group,
+        neighbors=config.deltakv_neighbor_count,
+    )
+    return (np.asarray(sparse_layers, np.int64), jnp.asarray(slot),
+            dk_comp, dk_state, arch)
+
+
 class ModelExecutor:
     # class-level defaults so subclasses with their own __init__
     # (HybridExecutor) stay attribute-compatible
@@ -223,6 +296,13 @@ class ModelExecutor:
             self.quest_meta = quest_ops.init_page_meta(
                 l, num_pages, spec.num_kv_heads, spec.head_dim, dtype
             )
+        if (self._rt.decode_select or self._rt.deltakv) \
+                and 0 not in set(config.full_attn_layers):
+            raise ValueError(
+                f"method {config.method!r} requires layer 0 in "
+                f"full_attn_layers (first selection must come from a "
+                f"full layer)"
+            )
         self._is_full_layer = (
             jnp.asarray(
                 [i in set(config.full_attn_layers)
@@ -235,79 +315,16 @@ class ModelExecutor:
         self.dk_comp = None
         self._sparse_slot = None
         if self._rt.deltakv:
-            from ..ops import deltakv as dk_ops
-            from ..utils import compressor as comp_ops
-
             full = set(config.full_attn_layers)
-            sparse_layers = [i for i in range(l) if i not in full]
-            self._dk_sparse_layers = np.asarray(sparse_layers, np.int64)
-            slot = np.zeros(l, np.int32)
-            for si, li in enumerate(sparse_layers):
-                slot[li] = si
-            self._sparse_slot = jnp.asarray(slot)
-            io_dim = 2 * spec.num_kv_heads * spec.head_dim
-            if config.deltakv_compressor_arch == "origin":
-                # no learned compressor: payload = exact K∥V−ref residual
-                latent_dim = io_dim
-                self.dk_comp = comp_ops.init_compressor_params(
-                    len(sparse_layers), io_dim, io_dim, "origin",
-                    config.seed,
-                )
-            elif config.deltakv_checkpoint_path:
-                # checkpoint is the source of truth for latent_dim/arch
-                # (reference sync_deltakv_config_from_checkpoint,
-                # utils/loader.py:186-278 — synced BEFORE cache allocation)
-                self.dk_comp, meta = comp_ops.load_checkpoint(
-                    config.deltakv_checkpoint_path
-                )
-                latent_dim = int(meta["latent_dim"])
-                arch = str(meta["arch"])
-                if arch != config.deltakv_compressor_arch:
-                    object.__setattr__(self._rt, "dk_arch", arch) if False                         else None
-                    self._rt = self._rt.__class__(
-                        **{**self._rt.__dict__, "dk_arch": arch}
-                    )
-            else:
-                latent_dim = config.deltakv_latent_dim or max(
-                    io_dim // 4, 16
-                )
-                logger.warning(
-                    "deltakv without checkpoint: RANDOM compressor "
-                    "(latent_dim=%d) — reconstruction is untrained; pass "
-                    "deltakv_checkpoint_path for real serving "
-                    "(reference rejects this, docs fail-fast rule; kept "
-                    "loud-but-runnable for pipeline tests)", latent_dim,
-                )
-                self.dk_comp = comp_ops.init_compressor_params(
-                    len(sparse_layers), io_dim, latent_dim,
-                    config.deltakv_compressor_arch, config.seed,
-                )
-            per_byte = 8 // config.deltakv_latent_bits
-            if latent_dim % per_byte:
-                raise ValueError(
-                    f"deltakv latent_dim must be a multiple of {per_byte} "
-                    f"for {config.deltakv_latent_bits}-bit packed latents"
-                )
-            if (config.deltakv_latent_group
-                    and latent_dim % config.deltakv_latent_group):
-                raise ValueError(
-                    f"deltakv_latent_group ({config.deltakv_latent_group}) "
-                    f"must divide latent_dim ({latent_dim})"
-                )
-            # arch is static (rt.dk_arch); jitted fns take arrays only
-            self.dk_comp = {
-                "down": self.dk_comp["down"], "up": self.dk_comp["up"],
-            }
-            stride = self._rt.dk_stride
-            cmax = config.deltakv_max_compressed_tokens
-            self.dk_state = dk_ops.init_state(
-                len(sparse_layers), max_rows, cmax,
-                -(-cmax // stride), spec.num_kv_heads, spec.head_dim,
-                latent_dim, dtype,
-                latent_bits=config.deltakv_latent_bits,
-                latent_group=config.deltakv_latent_group,
-                neighbors=config.deltakv_neighbor_count,
+            (self._dk_sparse_layers, self._sparse_slot, self.dk_comp,
+             self.dk_state, arch) = init_deltakv_state(
+                config, spec.num_kv_heads, spec.head_dim, l, full,
+                max_rows, dtype,
             )
+            if arch != self._rt.dk_arch:
+                self._rt = self._rt.__class__(
+                    **{**self._rt.__dict__, "dk_arch": arch}
+                )
         # mixed-precision staged prefill pool (config.kv_staging_dtype):
         # long prompts prefill QUANTIZED into this pool; attention runs bf16
         # over a per-layer dequantized scratch; compaction dequantizes the
@@ -496,7 +513,7 @@ class ModelExecutor:
         fn = self._fn_cache.get(key)
         if fn is not None:
             return fn
-        spec, rt, rope = self.spec, self._rt, self.rope
+        spec, rt = self.spec, self._rt
         if not emit_obs and rt.emit_prefill_scores:
             # observation scores only matter on a sequence's FINAL chunk
             # (SnapKV scores = last-W queries of the PROMPT); intermediate
@@ -505,7 +522,11 @@ class ModelExecutor:
 
             rt = dataclasses.replace(rt, emit_prefill_scores=False)
 
-        def step(params, kc, vc, meta, scales, tables, plan):
+        def step(params, kc, vc, meta, scales, tables, plan, rope):
+            # rope rides as an ARGUMENT: closed-over tables are baked into
+            # the HLO as constants — 67 MB of cos/sin per jit bucket, which
+            # bloats the persistent-cache entries to 100+ MB and slows the
+            # (remote) compile. Same for every step fn below.
             # per-layer tables + on-device dest derivation: layer page IDs
             # diverge once deltakv splices / pyramidkv compacts free pages
             # on a subset of layers (see prefill_forward docstring).
@@ -539,12 +560,12 @@ class ModelExecutor:
         fn = self._fn_cache.get(key)
         if fn is not None:
             return fn
-        spec, rt, rope = self.spec, self._rt, self.rope
+        spec, rt = self.spec, self._rt
         is_full = self._is_full_layer
         sparse_slot = self._sparse_slot
 
         def megastep(params, kc, vc, meta, scales, qcache, dk, dk_comp,
-                     tables, plan):
+                     tables, plan, rope):
             """k decode steps in one dispatch: sampled tokens feed back on
             device (lax.scan over steps); ONE token transfer per dispatch.
             This is the TPU answer to per-step CUDA-graph replay + the
@@ -730,7 +751,7 @@ class ModelExecutor:
             (self.k_cache, self.v_cache, self.quest_meta, self.kv_scales,
              tokens, obs, lps) = fn(
                 self.params, self.k_cache, self.v_cache, self.quest_meta,
-                self.kv_scales, self.tables, plan,
+                self.kv_scales, self.tables, plan, self.rope,
             )
         self.last_logprobs = None
         if lps is not None:
@@ -773,7 +794,6 @@ class ModelExecutor:
         if fn is not None:
             return fn
         spec, rt = self.spec, self._rt
-        cos, sin = self.rope
         cfg = self.config
         sd = cfg.kv_staging_dtype
         p = cfg.page_size
@@ -793,7 +813,8 @@ class ModelExecutor:
         bpb = sb // p  # staging pages per KV block (chunk-sized blocks)
         nblk = (mp * p) // sb
 
-        def step(params, ks, vs, ssc, tables, plan):
+        def step(params, ks, vs, ssc, tables, plan, rope):
+            cos, sin = rope
             tokens = plan["token_ids"]  # [1, S]
             positions = plan["positions"]
             h = params["embed"][tokens]
@@ -1080,7 +1101,7 @@ class ModelExecutor:
             (self.k_stage, self.v_stage, self.stage_scales,
              tokens, obs, lps) = fn(
                 self.params, self.k_stage, self.v_stage, self.stage_scales,
-                self.tables, plan,
+                self.tables, plan, self.rope,
             )
         self.last_logprobs = None
         if lps is not None:
@@ -1188,7 +1209,7 @@ class ModelExecutor:
              self.query_cache, ys) = fn(
                 self.params, self.k_cache, self.v_cache, self.quest_meta,
                 self.kv_scales, self.query_cache, self.dk_state,
-                self.dk_comp, self.tables, plan,
+                self.dk_comp, self.tables, plan, self.rope,
             )
         self.last_logprobs = None
         if nlp >= 0:
@@ -1219,13 +1240,16 @@ class ModelExecutor:
         from ..utils import compressor as comp_ops
 
         spec, rt = self.spec, self._rt
-        cos, sin = self.rope
         base = rt.dk_comp_base
         stride = rt.dk_stride
+        rot_dim = getattr(spec, "rotary_dim", 0)
+        if rot_dim >= spec.head_dim:
+            rot_dim = 0
         sparse_layers = jnp.asarray(self._dk_sparse_layers, jnp.int32)
 
         def compress(kc, vc, dk, dk_comp, tables, rows, counts,
-                     dest_offset, kv_scales):
+                     dest_offset, kv_scales, rope):
+            cos, sin = rope
             # table coords: the compressible region always starts at the
             # page-aligned sink boundary (prefill-end splices move the tail
             # down); ABSOLUTE positions shift by the already-compressed
@@ -1259,8 +1283,9 @@ class ModelExecutor:
                 k_raw = kg.transpose(0, 2, 1, 3)[:, base:base + cb]
                 v_raw = vg.transpose(0, 2, 1, 3)[:, base:base + cb]
                 # stored K is post-RoPE; De-RoPE exactly before compressing
-                # (reference stores pre-RoPE K, deltakv_base.py:681)
-                k_raw = dk_ops.derope(k_raw, positions, cos, sin)
+                # (reference stores pre-RoPE K, deltakv_base.py:681);
+                # hybrid models invert only the partial rotary width
+                k_raw = dk_ops.derope(k_raw, positions, cos, sin, rot_dim)
                 comp_layer = comp_ops.layer_slice(dk_comp, si)
                 dk = dk_ops.compress_layer(
                     dk, si, comp_layer, rt.dk_arch, k_raw, v_raw, rows,
@@ -1297,7 +1322,7 @@ class ModelExecutor:
             self.dk_state = fn(
                 self.k_cache, self.v_cache, self.dk_state, self.dk_comp,
                 self.tables, self._dev(plan["rows"]), self._dev(counts),
-                self._dev(dest), self.kv_scales,
+                self._dev(dest), self.kv_scales, self.rope,
             )
 
     def recompress_decode(self, plan: dict) -> None:

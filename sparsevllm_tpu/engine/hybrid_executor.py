@@ -30,11 +30,11 @@ from .executor import ModelExecutor, _round_up_pow2
 class HybridExecutor(ModelExecutor):
     def __init__(self, config, spec: qn.HybridSpec, params, num_pages: int,
                  max_rows: int, mesh=None):
-        if config.method:
+        if config.method not in ("", "deltakv"):
             raise NotImplementedError(
-                f"hybrid models support sparse_method='' (vanilla) in this "
-                f"round; got {config.method!r} (reference pairs qwen3_5 "
-                f"with vanilla/deltakv)"
+                f"hybrid models support sparse_method '' (vanilla) or "
+                f"'deltakv'; got {config.method!r} (reference pairs "
+                f"qwen3_5 with vanilla/deltakv, models/qwen3_5.py:399-857)"
             )
         self.config = config
         self.spec = spec
@@ -105,9 +105,69 @@ class HybridExecutor(ModelExecutor):
         self.steer_vec = None
         self.dk_state = None
         self.dk_comp = None
+        self._dk_cfg = None
+        if config.method == "deltakv":
+            self._init_hybrid_deltakv(config, spec, max_rows, dtype)
         # logprobs for hybrid decode are staged for a later round; the
         # engine reads this attribute after every step
         self.last_logprobs = None
+
+    def _init_hybrid_deltakv(self, config, spec, max_rows, dtype) -> None:
+        """hybrid x deltakv: full_attn_layers (MODEL-layer indices, must be
+        full-attention layers incl. the first one) map to KV slots; the
+        remaining KV slots become deltakv-compressed layers. Linear layers
+        are untouched (recurrent state, no KV)."""
+        from types import SimpleNamespace
+
+        from .executor import init_deltakv_state
+
+        full_model = sorted(set(config.full_attn_layers))
+        full_set = set(spec.full_layers)
+        bad = [i for i in full_model if i not in full_set]
+        if bad:
+            raise ValueError(
+                f"hybrid deltakv: full_attn_layers {bad} are not "
+                f"full-attention layers of this model (full layers: "
+                f"{sorted(full_set)})"
+            )
+        if spec.full_layers[0] not in full_model:
+            raise ValueError(
+                f"hybrid deltakv requires the FIRST full-attention layer "
+                f"({spec.full_layers[0]}) in full_attn_layers — the first "
+                f"selection must come from an observation layer"
+            )
+        slots = tuple(sorted(spec.kv_slot[i] for i in full_model))
+        # the cache manager plans in KV-slot space (kv_manager/deltakv.py)
+        config.full_attn_kv_slots = slots
+        (self._dk_sparse_layers, self._sparse_slot, self.dk_comp,
+         self.dk_state, arch) = init_deltakv_state(
+            config, spec.num_kv_heads, spec.head_dim, spec.num_kv_layers,
+            set(slots), max_rows, dtype,
+        )
+        comp_base = (
+            -(-config.num_sink_tokens // config.page_size)
+            * config.page_size
+        )
+        stride = max(int(round(1.0 / config.deltakv_cluster_ratio)), 1)
+        self._dk_cfg = qn.HybridDeltaKVConfig(
+            full_slots=slots,
+            sparse_slot_map=tuple(int(s) for s in
+                                  np.asarray(self._sparse_slot)),
+            topk=config.decode_keep_tokens,
+            comp_base=comp_base,
+            stride=stride,
+            arch=arch,
+            latent_bits=config.deltakv_latent_bits,
+            latent_group=config.deltakv_latent_group,
+        )
+        # compress_prefill/_get_dk_compress_fn (inherited from
+        # ModelExecutor) read these StepRuntime fields
+        self._rt = SimpleNamespace(
+            deltakv=True, dk_comp_base=comp_base, dk_stride=stride,
+            dk_arch=arch, dk_latent_bits=config.deltakv_latent_bits,
+            dk_group=config.deltakv_latent_group,
+            dk_nn=config.deltakv_neighbor_count,
+        )
 
     # ------------------------------------------------------------- step fns
 
@@ -116,9 +176,9 @@ class HybridExecutor(ModelExecutor):
         fn = self._fn_cache.get(key)
         if fn is not None:
             return fn
-        spec, rope, impl = self.spec, self.rope, self._impl
+        spec, impl = self.spec, self._impl
 
-        def step(params, kc, vc, conv, rec, tables, plan):
+        def step(params, kc, vc, conv, rec, tables, plan, rope):
             # zero recurrent state for rows starting a fresh prompt
             rows = plan["row_ids"]
             fresh = plan["fresh"]  # [B] bool
@@ -131,14 +191,23 @@ class HybridExecutor(ModelExecutor):
                 mode="drop",
             )
             inner = dict(plan)
-            # hybrid KV layers never free pages per-layer (no deltakv/
-            # pyramid compaction here), so their free stacks stay in
-            # lockstep and the layer-0 table is valid for every KV layer.
-            inner["page_table"] = tables[0][rows, :mp]
-            kc, vc, conv, rec, last_h = qn.prefill_forward(
-                params, kc, vc, conv, rec, inner, rope, spec=spec,
-                impl=impl, fp8_shapes=self._fp8_shapes,
-            )
+            if self._dk_cfg is not None:
+                # deltakv splices diverge KV layers after prefill end:
+                # per-slot tables + on-device dest (qn.prefill_forward)
+                kc, vc, conv, rec, last_h = qn.prefill_forward(
+                    params, kc, vc, conv, rec, inner, rope, spec=spec,
+                    impl=impl, fp8_shapes=self._fp8_shapes,
+                    tables=tables, mp=mp,
+                )
+            else:
+                # vanilla hybrid never frees pages per-layer, so the free
+                # stacks stay lockstep and layer-0's table serves all
+                # KV layers.
+                inner["page_table"] = tables[0][rows, :mp]
+                kc, vc, conv, rec, last_h = qn.prefill_forward(
+                    params, kc, vc, conv, rec, inner, rope, spec=spec,
+                    impl=impl, fp8_shapes=self._fp8_shapes,
+                )
             logits = qn.compute_logits(params, last_h, spec)
             k = jax.random.fold_in(self._base_key, plan["step"])
             tokens = sampler_ops.sample(
@@ -155,13 +224,15 @@ class HybridExecutor(ModelExecutor):
 
     def _get_decode_fn(self, bb: int, mp: int, k: int, mode: str,
                        mpr: int = 0):
-        key = ("decode", bb, mp, k, mode)
+        key = ("decode", bb, mp, k, mode, mpr)
         fn = self._fn_cache.get(key)
         if fn is not None:
             return fn
-        spec, rope, impl = self.spec, self.rope, self._impl
+        spec, impl = self.spec, self._impl
+        dk_cfg = self._dk_cfg
 
-        def megastep(params, kc, vc, conv, rec, tables, plan):
+        def megastep(params, kc, vc, conv, rec, dk, dk_comp, tables, plan,
+                     rope):
             base_key = jax.random.fold_in(self._base_key, plan["step"])
 
             def body(carry, t):
@@ -173,10 +244,14 @@ class HybridExecutor(ModelExecutor):
                     "dest_slot": plan["dest"][:, :, t],
                     "ctx_lens": plan["ctx_start"] + t + 1,
                 }
+                if dk_cfg is not None:
+                    p["comp_counts"] = plan["comp_counts"]
                 kc, vc, conv, rec, h = qn.decode_forward(
                     params, kc, vc, conv, rec, tables, p, rope,
                     spec=spec, impl=impl, mp_bucket=mp,
                     fp8_shapes=self._fp8_shapes,
+                    dk=dk, dk_comp=dk_comp, dk_cfg=dk_cfg,
+                    mpr_sparse=mpr,
                 )
                 logits = qn.compute_logits(params, h, spec)
                 tok2 = sampler_ops.sample(
@@ -263,7 +338,7 @@ class HybridExecutor(ModelExecutor):
             (self.k_cache, self.v_cache, self.conv_states, self.rec_states,
              tokens, obs) = fn(
                 self.params, self.k_cache, self.v_cache, self.conv_states,
-                self.rec_states, self.tables, plan,
+                self.rec_states, self.tables, plan, self.rope,
             )
         return np.asarray(tokens)[:b], obs
 
@@ -276,6 +351,16 @@ class HybridExecutor(ModelExecutor):
         bb, mp = self._decode_buckets(
             b, -(-max_ctx // self.config.page_size)
         )
+        mpr = 0
+        if self._dk_cfg is not None:
+            # raw-pages bucket for the SPLICED sparse rows (sink + tail)
+            sparse_max = int(ctx_start[self._dk_sparse_layers].max()) + k
+            mpr = min(
+                self.config.context_bucket_pages(
+                    max(-(-sparse_max // self.config.page_size), 1)
+                ),
+                mp,
+            )
         token_ids = np.zeros(bb, np.int32)
         positions = np.zeros(bb, np.int32)
         for i, seq in enumerate(seqs):
@@ -285,24 +370,27 @@ class HybridExecutor(ModelExecutor):
             )
             positions[i] = seq.num_tokens - 1
         temps, top_k, top_p, mode, _nlp = self._sampling_arrays(seqs, bb)
-        plan = self._put_plan(
-            {
-                "token_ids0": token_ids, "positions0": positions,
-                "row_ids": self._pad(row_ids, (bb,), fill=self.max_rows),
-                "dest": self._pad(dest_slots, (lkv, bb, k), fill=-1),
-                "ctx_start": self._pad(ctx_start, (lkv, bb)),
-                "step": np.asarray(self._step_counter, np.int32),
-                "temps": temps, "top_k": top_k, "top_p": top_p,
-            },
-            "decode",
-        )
+        host_plan = {
+            "token_ids0": token_ids, "positions0": positions,
+            "row_ids": self._pad(row_ids, (bb,), fill=self.max_rows),
+            "dest": self._pad(dest_slots, (lkv, bb, k), fill=-1),
+            "ctx_start": self._pad(ctx_start, (lkv, bb)),
+            "step": np.asarray(self._step_counter, np.int32),
+            "temps": temps, "top_k": top_k, "top_p": top_p,
+        }
+        if self._dk_cfg is not None:
+            host_plan["comp_counts"] = self._pad(
+                np.asarray(comp_counts, np.int32), (bb,)
+            )
+        plan = self._put_plan(host_plan, "decode")
         self._step_counter += 1
-        fn = self._get_decode_fn(bb, mp, k, mode)
+        fn = self._get_decode_fn(bb, mp, k, mode, mpr)
         with profiler.record("decode_step"):
             (self.k_cache, self.v_cache, self.conv_states, self.rec_states,
              tokens) = fn(
                 self.params, self.k_cache, self.v_cache, self.conv_states,
-                self.rec_states, self.tables, plan,
+                self.rec_states, self.dk_state, self.dk_comp,
+                self.tables, plan, self.rope,
             )
         tokens.copy_to_host_async()
         return np.asarray(tokens).T[:b]

@@ -26,7 +26,13 @@ from ..sequence import Sequence
 class DeltaKVManager(KVCacheManager):
     def __init__(self, config, num_kv_layers, num_pages, max_rows):
         super().__init__(config, num_kv_layers, num_pages, max_rows)
-        self.full_layers = sorted(set(config.full_attn_layers))
+        # hybrid models: the engine pre-maps full_attn_layers (model-layer
+        # indices) to KV SLOTS and stores them on the config
+        # (llm_engine.py; reference RuntimeLayout.layer_idx_to_kv_idx)
+        slots = getattr(config, "full_attn_kv_slots", None)
+        self.full_layers = sorted(set(
+            slots if slots is not None else config.full_attn_layers
+        ))
         self.sparse_layers = [
             i for i in range(num_kv_layers) if i not in self.full_layers
         ]

@@ -125,9 +125,9 @@ class StreamedPrefillRunner:
         return self._jit("embed", embed)
 
     def _f_qkv(self):
-        spec, rope = self.spec, self.ex.rope
+        spec = self.spec
 
-        def qkv(params, li, h, positions):
+        def qkv(params, li, h, positions, rope):
             lp = jax.tree_util.tree_map(
                 lambda x: jax.lax.dynamic_index_in_dim(
                     x, li, 0, keepdims=False
@@ -346,6 +346,7 @@ class StreamedPrefillRunner:
         d_pos = jnp.asarray(positions)
 
         f_embed, f_qkv, f_post = self._f_embed(), self._f_qkv(), self._f_post()
+        d_rope = ex.rope
         s_block = min(128, s)
         f_blk = self._f_attend_block(s_block)
         f_local = self._f_attend_local(s_block)
@@ -358,7 +359,7 @@ class StreamedPrefillRunner:
         w = cfg.snapkv_obs_window
         dk_mode = getattr(cfg, "method", "") == "deltakv"
         for li in range(spec.num_layers):
-            q, k, v = f_qkv(params, li, h, d_pos)
+            q, k, v = f_qkv(params, li, h, d_pos, d_rope)
             acc = jnp.zeros((s, nq, dh), jnp.float32)
             m = jnp.full((s, nq), NEG_INF, jnp.float32)
             l = jnp.zeros((s, nq), jnp.float32)
@@ -532,14 +533,15 @@ class StreamedPrefillRunner:
         (old centers are always-allowed causal fathers)."""
         ex = self.ex
         rt = ex._rt
-        cos, sin = ex.rope
         comp_base = rt.dk_comp_base
         stride = rt.dk_stride
 
         key = ("dk_compress", cb)
         f = self._fns.get(key)
         if f is None:
-            def compress(dk, dk_comp, kb, vb, rows, counts, dest, si):
+            def compress(dk, dk_comp, kb, vb, rows, counts, dest, si,
+                         rope):
+                cos, sin = rope
                 positions = (
                     comp_base + dest[:, None]
                     + jnp.arange(cb, dtype=jnp.int32)[None, :]
@@ -622,7 +624,7 @@ class StreamedPrefillRunner:
                     jax.device_put(vb), rows_d,
                     jnp.asarray([n], jnp.int32),
                     jnp.asarray([off], jnp.int32),
-                    jnp.asarray(si, jnp.int32),
+                    jnp.asarray(si, jnp.int32), ex.rope,
                 )
         kv.comp_counts[seq.seq_id] = count
         logger.info(

@@ -40,7 +40,30 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import attention as attn_ops
+from ..ops import attention_ref as ref_ops
 from ..ops import fp8 as fp8_ops
+
+
+@dataclass(frozen=True)
+class HybridDeltaKVConfig:
+    """Static deltakv wiring for hybrid decode (hashable: jit-key safe).
+
+    ``full_slots``/``sparse_slot`` live in KV-SLOT space (indices into the
+    hybrid model's full-attention KV layers). Reference: qwen3_5 + deltakv
+    pairing (models/qwen3_5.py:399-857, config.py:326-393)."""
+
+    full_slots: tuple[int, ...]
+    sparse_slot_map: tuple[int, ...]  # kv slot -> sparse-layer index
+    topk: int
+    comp_base: int
+    stride: int
+    arch: str
+    latent_bits: int
+    latent_group: int
+
+    @property
+    def sparse_slot(self):
+        return self.sparse_slot_map
 
 NEG_INF = -1e30
 
@@ -406,6 +429,9 @@ def prefill_forward(
     spec: HybridSpec,
     impl: str,
     fp8_shapes: tuple | None = None,
+    tables=None,  # [Lkv, R, MPt] PER-KV-SLOT tables (deltakv: layers
+    #   diverge after the prefill-end splice; see transformer.py docstring)
+    mp: int = 0,
 ):
     """One chunked-prefill step; linear-layer states resume from the row
     tables so multi-chunk prompts recur correctly. ``fp8_shapes`` (one
@@ -431,12 +457,25 @@ def prefill_forward(
         if spec.layer_types[li] == "full_attention":
             sl = spec.kv_slot[li]
             q, k, v, gate = full_attn_qkv(x, lp, spec, positions, cos, sin)
+            if tables is not None:
+                # per-KV-slot table + on-device dest (deltakv splices
+                # diverge the layers after a prior sequence's prefill)
+                p_sz = k_cache.shape[2]
+                table_l = tables[sl][rows, :mp]
+                pg = jnp.take_along_axis(table_l, positions // p_sz, axis=1)
+                dest = jnp.where(
+                    plan["dest_slot"] >= 0,
+                    pg * p_sz + positions % p_sz, -1,
+                )
+            else:
+                table_l = plan["page_table"]
+                dest = plan["dest_slot"]
             k_cache, v_cache = attn_ops.store_kv_layer(
-                k_cache, v_cache, sl, k, v, plan["dest_slot"]
+                k_cache, v_cache, sl, k, v, dest
             )
             out, _ = attn_ops.prefill_attention(
                 q, k_cache, v_cache, sl,
-                plan["page_table"], plan["ctx_lens"], plan["new_lens"],
+                table_l, plan["ctx_lens"], plan["new_lens"],
                 sm_scale=sm_scale, impl=impl,
             )
             out = out.reshape(b, s, spec.num_q_heads * spec.head_dim)
@@ -481,7 +520,17 @@ def decode_forward(
     impl: str,
     mp_bucket: int,
     fp8_shapes: tuple | None = None,
+    dk=None,  # DeltaKV latent/center state (ops/deltakv.init_state)
+    dk_comp=None,
+    dk_cfg=None,  # static HybridDeltaKVConfig (full KV slots, budgets)
+    mpr_sparse: int = 0,
 ):
+    """Hybrid decode; with ``dk_cfg`` the FULL-attention KV layers split
+    into observation layers (dense + score emission) and deltakv layers
+    (attention over [sink|tail raw ∥ reconstructed top-k latents]) —
+    hybrid x deltakv, reference models/qwen3_5.py:399-857 pairing the
+    hybrid arch with the sparse cache runtime. Linear-attention layers
+    are untouched (their state is recurrent, not KV)."""
     cos, sin = rope
     tokens = plan["token_ids"]
     positions = plan["positions"]
@@ -489,6 +538,15 @@ def decode_forward(
     h = params["embed"][tokens]  # [B, H]
     sm_scale = spec.head_dim ** -0.5
     b = tokens.shape[0]
+    topk = None
+    if dk_cfg is not None:
+        from ..ops import deltakv as dk_ops
+        from ..utils import compressor as comp_ops
+
+        dk_t = max(min(dk_cfg.topk, mp_bucket * k_cache.shape[2]), 1)
+        topk = jnp.zeros((b, dk_t), jnp.int32)
+        comp_counts = plan["comp_counts"]  # [B]
+        kfull = mp_bucket * k_cache.shape[2]
 
     for li in range(spec.num_layers):
         lp = params["layers"][li]
@@ -507,10 +565,53 @@ def decode_forward(
                 k_cache, v_cache, sl, k, v, plan["dest_slot"][sl]
             )
             table_l = tables[sl][rows, :mp_bucket]
-            out, _ = attn_ops.decode_attention(
-                q, k_cache, v_cache, sl, table_l, plan["ctx_lens"][sl],
-                sm_scale=sm_scale, impl=impl,
-            )
+            ctx_l = plan["ctx_lens"][sl]
+            if dk_cfg is None or sl in dk_cfg.full_slots:
+                out, scores = attn_ops.decode_attention(
+                    q, k_cache, v_cache, sl, table_l, ctx_l,
+                    sm_scale=sm_scale, impl=impl,
+                    emit_scores=dk_cfg is not None,
+                )
+                if dk_cfg is not None:
+                    # top-k compressed indices over the compressed region
+                    # (reference sparse_controller deltakv :1301-1330)
+                    pos = jnp.arange(kfull, dtype=jnp.int32)[None, :]
+                    in_comp = (pos >= dk_cfg.comp_base) & (
+                        pos < dk_cfg.comp_base + comp_counts[:, None]
+                    )
+                    cand = jnp.where(in_comp, scores, -1e30)
+                    _, idx = jax.lax.top_k(cand, dk_t)
+                    topk = (idx - dk_cfg.comp_base).astype(jnp.int32)
+            else:
+                # deltakv sparse layer: raw resident rows (sink + tail)
+                # + reconstructed top-k (per-layer ctx counts raw only —
+                # the manager spliced the compressed pages out)
+                kcl = k_cache[sl]
+                vcl = v_cache[sl]
+                tbl = table_l[:, :mpr_sparse]
+                raw_k = ref_ops.gather_pages(kcl, tbl).transpose(0, 2, 1, 3)
+                raw_v = ref_ops.gather_pages(vcl, tbl).transpose(0, 2, 1, 3)
+                kr_n = raw_k.shape[1]
+                raw_valid = (
+                    jnp.arange(kr_n, dtype=jnp.int32)[None, :]
+                    < ctx_l[:, None]
+                )
+                sl_sparse = dk_cfg.sparse_slot[sl]
+                comp_layer = comp_ops.layer_slice(dk_comp, sl_sparse)
+                k_hat, v_hat, hv = dk_ops.reconstruct(
+                    dk, sl_sparse, comp_layer, dk_cfg.arch, rows, topk,
+                    comp_counts,
+                    jnp.full((b,), dk_cfg.comp_base, jnp.int32),
+                    cos, sin,
+                    stride=dk_cfg.stride, nkv=spec.num_kv_heads,
+                    dh=spec.head_dim, latent_bits=dk_cfg.latent_bits,
+                    latent_group=dk_cfg.latent_group,
+                    rot_dim=spec.rotary_dim,
+                )
+                out = dk_ops.sparse_decode_attention(
+                    q, raw_k, raw_v, raw_valid, k_hat, v_hat, hv,
+                    sm_scale=sm_scale,
+                )
             out = out.reshape(b, spec.num_q_heads * spec.head_dim)
             out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(
                 out.dtype

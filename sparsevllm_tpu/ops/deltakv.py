@@ -35,12 +35,30 @@ NEG_INF = -1e30
 
 
 def derope(k: jax.Array, positions: jax.Array, cos: jax.Array,
-           sin: jax.Array) -> jax.Array:
+           sin: jax.Array, rot_dim: int = 0) -> jax.Array:
     """Exact inverse rotary embedding (reference reverse_rotary_emb,
-    layers/rotary_embedding.py:7-33): rotate by -theta*pos."""
+    layers/rotary_embedding.py:7-33): rotate by -theta*pos.
+
+    ``rot_dim`` > 0 inverts only the first rot_dim channels (hybrid
+    qwen3_next partial RoPE, models/qwen3_next.partial_rope)."""
     from ..layers.rope import apply_rope
 
+    if rot_dim and rot_dim < k.shape[-1]:
+        rot = apply_rope(k[..., :rot_dim], positions, cos, sin,
+                         reverse=True)
+        return jnp.concatenate([rot, k[..., rot_dim:]], axis=-1)
     return apply_rope(k, positions, cos, sin, reverse=True)
+
+
+def rerope(k: jax.Array, positions: jax.Array, cos: jax.Array,
+           sin: jax.Array, rot_dim: int = 0) -> jax.Array:
+    """Forward rotary at absolute positions (full or partial width)."""
+    from ..layers.rope import apply_rope
+
+    if rot_dim and rot_dim < k.shape[-1]:
+        rot = apply_rope(k[..., :rot_dim], positions, cos, sin)
+        return jnp.concatenate([rot, k[..., rot_dim:]], axis=-1)
+    return apply_rope(k, positions, cos, sin)
 
 
 def init_state(num_sparse: int, rows: int, cmax: int, ncmax: int,
@@ -189,10 +207,12 @@ def reconstruct(
     dh: int,
     latent_bits: int = 4,
     latent_group: int = 0,
+    rot_dim: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Rebuild K̂ (re-RoPE'd), V̂ for the selected compressed tokens.
 
     Returns (k_hat [B, T, Nkv, Dh], v_hat [B, T, Nkv, Dh], valid [B, T]).
+    ``rot_dim`` > 0 re-RoPEs only the partial rotary width (hybrid).
     """
     b, t = topk_idx.shape
     valid = (topk_idx >= 0) & (topk_idx < comp_counts[:, None])
@@ -224,10 +244,8 @@ def reconstruct(
     kv_hat = (residual + refs).reshape(b, t, nkv, 2 * dh)
     k_hat, v_hat = kv_hat[..., :dh], kv_hat[..., dh:]
     # Re-RoPE K at absolute positions
-    from ..layers.rope import apply_rope
-
     pos = base_pos[:, None] + topk_idx  # [B, T]
-    k_hat = apply_rope(k_hat, jnp.maximum(pos, 0), cos, sin)
+    k_hat = rerope(k_hat, jnp.maximum(pos, 0), cos, sin, rot_dim)
     return k_hat, v_hat, valid
 
 
