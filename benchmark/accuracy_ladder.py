@@ -259,6 +259,16 @@ def method_configs(ctx: int):
                           prefill_keep_tokens=keep, snapkv_obs_window=32,
                           sink_keep_tokens=32, recent_keep_tokens=64,
                           pyramidkv_beta=2),
+        # budget-equalized CONTROL (VERDICT r3 item 9): beta=1 -> flat
+        # per-layer budgets with the SAME total and the SAME pyramid
+        # machinery. control==snapkv isolates the 0.42 to the decay
+        # schedule on a 3-layer oracle (beta tuned for ~32-layer models),
+        # not to the compaction/eviction engine.
+        "pyramidkv_flat": dict(sparse_method="pyramidkv",
+                               prefill_keep_tokens=keep,
+                               snapkv_obs_window=32,
+                               sink_keep_tokens=32, recent_keep_tokens=64,
+                               pyramidkv_beta=1),
         "omnikv": dict(sparse_method="omnikv", full_attn_layers=(0, 1),
                        decode_keep_tokens=keep, sink_keep_tokens=32,
                        recent_keep_tokens=64),

@@ -108,6 +108,10 @@ def _fit(spec: P, shape: tuple[int, ...], mesh: Mesh, what: str) -> P:
         ax_size = mesh.shape[axis]
         if size % ax_size == 0:
             out.append(axis)
+        elif size == 1:
+            # a singleton dim (bs-1 staged prefill plans) can only be
+            # replicated; that is not a lost sharding — no warning.
+            out.append(None)
         else:
             logger.warning(
                 "%s dim %d (%d) not divisible by mesh axis %r (%d); "
