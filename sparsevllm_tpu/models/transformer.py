@@ -767,15 +767,25 @@ def decode_forward(
 
             def full_attn(q):
                 if rt.kv_quant:
-                    # KIVI full layers (reference full_layer_kivi decode):
-                    # dense + score emission over the quantized pool
-                    return ref_ops.decode_attention_ref(
-                        q,
-                        jax.lax.dynamic_index_in_dim(kc, li, 0, False),
-                        jax.lax.dynamic_index_in_dim(vc, li, 0, False),
-                        table_l, ctx, sm_scale=sm_scale, emit_scores=True,
-                        kv_scales=_patched_lsc(),
+                    # KIVI full layers (reference full_layer_kivi fused
+                    # decode, deltakv_kernels.py:676-1144): dense + score
+                    # emission over the quantized pool IN-KERNEL. The
+                    # current token is excluded (ctx-1: its scales
+                    # batch-write after the layer scan) and merged exactly
+                    # from its dequantized values — its score is never
+                    # needed (top-k runs over the compressed region, which
+                    # ends far before ctx-1).
+                    out_h, scores, m_h, l_h = attn_ops.decode_attention(
+                        q, kc, vc, li, table_l, ctx - 1,
+                        sm_scale=sm_scale, emit_scores=True,
+                        return_stats=True, kv_scales=kv_scales,
+                        impl=rt.impl,
                     )
+                    out = attn_ops.merge_token_attention(
+                        out_h, m_h, l_h, q, k_cur, v_cur,
+                        sm_scale=sm_scale,
+                    )
+                    return out, scores
                 out, scores = attn_ops.decode_attention(
                     q, kc, vc, li, table_l, ctx,
                     sm_scale=sm_scale, emit_scores=True, impl=rt.impl,

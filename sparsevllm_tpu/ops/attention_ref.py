@@ -316,6 +316,11 @@ def decode_attention_ref(
         l_safe = jnp.where(l <= 0.0, 1.0, l)
         out = jnp.einsum("bhk,bhkd->bhd", e / l_safe[:, :, None],
                          vals.astype(jnp.float32)).astype(q.dtype)
+        if emit_scores:
+            # combined mode (full-layer-KIVI decode): normalized token
+            # scores AND the stats for an exact outside token merge
+            token_scores = jnp.sum(e / l_safe[:, :, None], axis=1)
+            return out, token_scores, m, l
         return out, m, l
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhk,bhkd->bhd", probs, vals.astype(jnp.float32))

@@ -448,6 +448,7 @@ def _decode_pallas_impl(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, select_mask,
     page_pos=None, kv_scales=None, k_ch_scales=None, *, sm_scale,
     interpret=False, return_stats=False, emit_raw=False,
+    emit_raw_stats=False,
 ):
     if emit_raw:
         return_stats = True
@@ -619,6 +620,11 @@ def _decode_pallas_impl(
         scores = jnp.einsum(
             "binp,bin->bip", raw, corr / l_safe[:, None, :]
         ).reshape(b, mp * p)
+        if emit_raw_stats:
+            # (out, scores, m, l): the full-layer-KIVI decode excludes the
+            # current token (its scales batch-write after the layer scan)
+            # and merges it outside via these stats (merge_token_attention)
+            return out, scores, m1, l1
         return out, scores
     if return_stats:
         out, m, l = res
@@ -628,17 +634,19 @@ def _decode_pallas_impl(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "interpret", "return_stats", "emit_raw"),
+    static_argnames=("sm_scale", "interpret", "return_stats", "emit_raw",
+                     "emit_raw_stats"),
 )
 def _decode_pallas_nomask(
     q, k_cache, v_cache, layer_idx, page_table, ctx_lens, page_pos=None,
     kv_scales=None, k_ch_scales=None, *, sm_scale, interpret=False,
-    return_stats=False, emit_raw=False,
+    return_stats=False, emit_raw=False, emit_raw_stats=False,
 ):
     return _decode_pallas_impl(
         q, k_cache, v_cache, layer_idx, page_table, ctx_lens, None,
         page_pos, kv_scales, k_ch_scales, sm_scale=sm_scale,
         interpret=interpret, return_stats=return_stats, emit_raw=emit_raw,
+        emit_raw_stats=emit_raw_stats,
     )
 
 
@@ -673,26 +681,32 @@ def decode_attention_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if emit_scores:
-        assert not return_stats
         if k_ch_scales is not None:
             raise NotImplementedError(
                 "KIVI-2 caches do not serve observation layers "
                 "(int2 is scoped to vanilla/streamingllm/omnikv "
                 "non-obs reads)"
             )
-        if kv_scales is None and select_mask is None and page_pos is None:
+        if select_mask is None and page_pos is None:
             # single-sweep score emission: per-page raw expsums + late
-            # normalization (obs layers; replaces the ref-path gather)
+            # normalization (obs layers; replaces the ref-path gather).
+            # Works for bf16 AND int8/int4 caches (in-kernel dequant) —
+            # the full-layer-KIVI decode of the reference's fused
+            # deltakv_kernels.py:676-1144; with return_stats the caller
+            # merges the excluded current token exactly.
             return _decode_pallas_nomask(
                 q, k_cache, v_cache, layer_idx, page_table, ctx_lens,
-                None, None, sm_scale=sm_scale, interpret=interpret,
-                emit_raw=True,
+                None, kv_scales, None, sm_scale=sm_scale,
+                interpret=interpret, emit_raw=True,
+                emit_raw_stats=return_stats,
             )
         if page_pos is not None:
             raise NotImplementedError(
                 "emit_scores with a compacted table (page_pos) has no "
                 "ref fallback — obs layers always read the dense table"
             )
+        assert not return_stats
+
         def _layer(c):
             return jax.lax.dynamic_index_in_dim(c, layer_idx, 0,
                                                 keepdims=False)
