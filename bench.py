@@ -95,7 +95,8 @@ def _hbm_gib() -> float:
 def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
             smoke: bool = False, kv_dtype: str = "bfloat16", page: int = 128,
             method: str = "snapkv", chunk: int = 8192,
-            staging: str = "int4") -> dict:
+            staging: str = "int4", model_class: str = "auto",
+            weight_quant: str = "none") -> dict:
     """Honest prompt-in -> tokens-out measurement through LLMEngine."""
     import jax
 
@@ -103,7 +104,16 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
     from sparsevllm_tpu.models.weights import init_params
     from sparsevllm_tpu.sampling_params import SamplingParams
 
-    name, spec = _smoke_spec() if smoke else _pick_spec(_hbm_gib())
+    if smoke:
+        name, spec = _smoke_spec()
+    elif model_class == "auto":
+        name, spec = _pick_spec(_hbm_gib())
+    else:
+        # explicit class override (north-star lane: 7b-class + fp8
+        # weights fits a 16 GiB chip; BASELINE.md target config)
+        name, spec = _pick_spec({"7b": 32.0, "3b": 14.0, "1b": 8.0}[
+            model_class
+        ])
     params = init_params(spec, seed=0, dtype="bfloat16",
                          distribution="zeros")
 
@@ -149,6 +159,12 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
     elif method == "snapkv":
         # one full prompt in flight + every row's compacted remainder
         num_pages = prompt_pages + (batch + 1) * keep_pages + 8
+    elif method == "deltakv":
+        # per-layer pool demand: full (observation) layers hold every
+        # row's whole prompt; sparse layers hold one in-flight prompt
+        # (resident dense prefill, bs=1 long bucket) + sink/tail
+        num_pages = batch * prompt_pages + prompt_pages \
+            + batch * (-(-growth // page) + 8) + 8
     else:
         # full residency per row (vanilla/omnikv keep everything)
         num_pages = batch * (prompt_pages + -(-growth // page)) + 8
@@ -158,11 +174,31 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
     elif method == "omnikv":
         extra["full_attn_layers"] = (0, 1)
         extra["decode_keep_tokens"] = keep
+    elif method == "deltakv":
+        # the reference's flagship config family (deltakv + KIVI-4 pool,
+        # BASELINE.md north star): 2 observation layers, top-k over int4
+        # latents, fixed-stride centers. Compressor weights are random
+        # (linear io->io/4): throughput is weight-value-independent, and
+        # the accuracy story lives in ACCURACY.md's trained/origin lanes.
+        io = 2 * spec.num_kv_heads * spec.head_dim
+        extra["full_attn_layers"] = (
+            (0,) if spec.num_layers <= 2 else (0, spec.num_layers // 2)
+        )
+        extra["decode_keep_tokens"] = keep
+        extra["deltakv_cluster_ratio"] = 1.0 / 16
+        extra["deltakv_max_compressed_tokens"] = ctx
+        extra["deltakv_latent_dim"] = io // 4
+        extra["deltakv_latent_group"] = min(64, io // 4)
+        # resident dense prefill (int4 pallas prefill kernel); the host
+        # archive tier only pays off beyond-HBM (512K+)
+        extra["long_prefill_offload_threshold"] = ctx + page
     if use_staging:
         extra["kv_staging_dtype"] = staging
         extra["num_staging_pages"] = prompt_pages + 2
     if streamed:
         extra["long_prefill_offload_threshold"] = chunk
+    if weight_quant != "none":
+        extra["weight_quantization"] = weight_quant
     mode = "staged" if use_staging else (
         "streamed" if streamed else "resident")
     print(f"model={name} method={method} kv={kv_dtype} prefill={mode} "
@@ -361,10 +397,15 @@ def main() -> None:
     ap.add_argument("--page", type=int, default=128)
     ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("--method", default="snapkv",
-                    help="snapkv | omnikv | vanilla")
+                    help="snapkv | omnikv | vanilla | deltakv")
     ap.add_argument("--kv-dtype", default="bfloat16",
                     help="bfloat16 (default; int4-staged prefill keeps "
                          "decode residency tiny) | int8 | int4")
+    ap.add_argument("--model-class", default="auto",
+                    help="auto (fit to HBM) | 7b | 3b | 1b")
+    ap.add_argument("--weight-quant", default="none",
+                    help="none | fp8 (block-scaled fp8 weight storage; "
+                         "the 7b-class north-star lane needs it on 16 GiB)")
     ap.add_argument("--staging", default="int4",
                     help="staged-prefill pool dtype for snapkv "
                          "(int4 | int8 | bfloat16 | none). Only applies "
@@ -397,7 +438,8 @@ def main() -> None:
                     args.batch, args.steps, args.ctx, args.keep, impl,
                     smoke=args.smoke, kv_dtype=args.kv_dtype,
                     page=args.page, method=args.method, chunk=args.chunk,
-                    staging=staging)
+                    staging=staging, model_class=args.model_class,
+                    weight_quant=args.weight_quant)
             break
         except Exception as e:  # noqa: BLE001
             last_err = e
