@@ -111,6 +111,11 @@ def main():
     # int4 (KIVI-4) fused dequant
     ok &= run_case_int4(L=2, pages=64, P=64, Nkv=8, Dh=128, Nq=24, B=4,
                         MP=16, S=128)
+    # int4 fused score emission (full-layer-KIVI decode)
+    ok &= run_case_int4_scores(L=2, pages=64, P=128, Nkv=8, Dh=128, Nq=24,
+                               B=2, MP=8)
+    # slab-combine staged-prefill attention (ops/slab_flash.py)
+    ok &= run_case_slab(sb=1024, nkv=8, g=3, dh=128, nblk=3)
     print("ALL OK" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
 
@@ -154,6 +159,76 @@ def run_case_int4(L, pages, P, Nkv, Dh, Nq, B, MP, S):
         kv_scales=scales[:, 0])
     ok &= check(f"prefill int4 P{P} Nkv{Nkv}", out_p, out_r, 2e-2)
     return ok
+
+
+def run_case_int4_scores(L, pages, P, Nkv, Dh, Nq, B, MP):
+    """NEW r4: emit_scores over an int4 cache (in-kernel dequant + raw
+    expsum fold + stats) vs the ref path — the deltakv full-layer decode."""
+    import numpy as _np
+    from sparsevllm_tpu.ops import quant as _q
+
+    rng = _np.random.default_rng(3)
+    kc = jnp.zeros((L, pages, P, Nkv * (Dh // 2)), jnp.int8)
+    vc = jnp.zeros_like(kc)
+    scales = jnp.ones((4, L, pages, Nkv, P), jnp.float32)
+    k_new = jnp.asarray(rng.normal(size=(pages * P, Nkv, Dh)), jnp.float32)
+    v_new = jnp.asarray(rng.normal(size=(pages * P, Nkv, Dh)), jnp.float32)
+    dest = jnp.arange(pages * P, dtype=jnp.int32)
+    for li in range(L):
+        kc, vc, scales = _q.store_kv_quant_layer_u4(
+            kc, vc, scales, li, k_new, v_new, dest)
+    table = jnp.asarray(rng.integers(1, pages, size=(B, MP)), jnp.int32)
+    ctx = jnp.asarray(rng.integers(P, MP * P + 1, size=(B,)), jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, Nq, Dh)), jnp.float32)
+    sm = Dh ** -0.5
+    out_p, sc_p, m_p, l_p = pd.decode_attention_pallas(
+        q, kc, vc, 1, table, ctx, sm_scale=sm, kv_scales=scales,
+        emit_scores=True, return_stats=True, interpret=False)
+    out_r, sc_r, m_r, l_r = ref.decode_attention_ref(
+        q, kc[1], vc[1], table, ctx, sm_scale=sm, kv_scales=scales[:, 1],
+        emit_scores=True, return_stats=True)
+    ok = check(f"int4 scores out P{P}", out_p, out_r, 2e-2)
+    ok &= check(f"int4 scores sc  P{P}", sc_p, sc_r, 1e-2)
+    return ok
+
+
+def run_case_slab(sb, nkv, g, dh, nblk):
+    """Slab-combine flash (staged prefill) vs f32 reference attention."""
+    import numpy as _np
+    from sparsevllm_tpu.ops import slab_flash
+
+    rng = _np.random.default_rng(5)
+    start = (nblk - 1) * sb  # last slab slot unused (cond-skipped)
+    q = jnp.asarray(rng.normal(size=(sb, nkv * g, dh)), jnp.bfloat16)
+    kr = jnp.asarray(rng.normal(size=(sb, nkv, dh)), jnp.bfloat16)
+    vr = jnp.asarray(rng.normal(size=(sb, nkv, dh)), jnp.bfloat16)
+    ks = jnp.asarray(rng.normal(size=(nblk, nkv, sb, dh)), jnp.bfloat16)
+    vs = jnp.asarray(rng.normal(size=(nblk, nkv, sb, dh)), jnp.bfloat16)
+    sm = dh ** -0.5
+
+    out = slab_flash.staged_slab_attention(
+        q, kr, vr, lambda bi: (ks[bi], vs[bi]),
+        jnp.asarray(start, jnp.int32),
+        nblk=nblk, sb=sb, nkv=nkv, groups=g, sm_scale=sm,
+    )
+    # f32 reference: past = slabs [0, start), chunk causal
+    k_past = jnp.concatenate(
+        [ks[i].transpose(1, 0, 2) for i in range(nblk - 1)], axis=0
+    )  # [start, nkv, dh]
+    v_past = jnp.concatenate(
+        [vs[i].transpose(1, 0, 2) for i in range(nblk - 1)], axis=0
+    )
+    keys = jnp.concatenate([k_past, kr], 0).astype(jnp.float32)
+    vals = jnp.concatenate([v_past, vr], 0).astype(jnp.float32)
+    qf = q.astype(jnp.float32).reshape(sb, nkv, g, dh)
+    kk = keys.shape[0]
+    st = jnp.einsum("qngd,knd->qngk", qf, keys) * sm
+    kpos = jnp.arange(kk)[None, :]
+    qpos = start + jnp.arange(sb)[:, None]
+    st = jnp.where((kpos <= qpos)[:, None, None, :], st, -1e30)
+    p = jax.nn.softmax(st, axis=-1)
+    want = jnp.einsum("qngk,knd->qngd", p, vals).reshape(sb, nkv * g, dh)
+    return check(f"slab flash sb{sb} nblk{nblk}", out, want, 3e-2)
 
 
 if __name__ == "__main__" and "--roofline" not in __import__("sys").argv:

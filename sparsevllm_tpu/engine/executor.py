@@ -462,6 +462,23 @@ class ModelExecutor:
 
         return jax.device_put(np.asarray(x), replicated(self.mesh))
 
+    def _fetch(self, arr) -> np.ndarray:
+        """Device -> host for step OUTPUTS (sampled tokens, logprobs).
+
+        Under a MULTI-PROCESS mesh (jax.distributed: one controller per
+        host, SURVEY §7 stage 8) a data-sharded output has non-addressable
+        shards on every host; all-gather it so each host's engine loop
+        sees the full batch and takes identical scheduling decisions —
+        the multi-host determinism contract (every host runs the same
+        schedule; reference model_runner.py SHM RPC is replaced by
+        same-program-everywhere)."""
+        if jax.process_count() > 1 and self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            arr = jax.jit(lambda a: a, out_shardings=rep)(arr)
+        return np.asarray(arr)
+
     def _put_plan(self, plan: dict, phase: str) -> dict:
         """Host step plan -> device (DP batch-sharded under a mesh)."""
         if self.mesh is None:
@@ -768,11 +785,11 @@ class ModelExecutor:
         if lps is not None:
             lp, tids, tlps = lps
             self.last_logprobs = {
-                "lp": np.asarray(lp)[:b],  # [B]
-                "top_ids": np.asarray(tids)[:b],  # [B, N]
-                "top_lps": np.asarray(tlps)[:b],
+                "lp": self._fetch(lp)[:b],  # [B]
+                "top_ids": self._fetch(tids)[:b],  # [B, N]
+                "top_lps": self._fetch(tlps)[:b],
             }
-        return np.asarray(tokens)[:b], obs
+        return self._fetch(tokens)[:b], obs
 
     # ------------------------------------------------- staged long prefill
 
@@ -1118,11 +1135,11 @@ class ModelExecutor:
         if lps is not None:
             lp, tids, tlps = lps
             self.last_logprobs = {
-                "lp": np.asarray(lp)[:1],
-                "top_ids": np.asarray(tids)[:1],
-                "top_lps": np.asarray(tlps)[:1],
+                "lp": self._fetch(lp)[:1],
+                "top_ids": self._fetch(tids)[:1],
+                "top_lps": self._fetch(tlps)[:1],
             }
-        return np.asarray(tokens)[:1], obs
+        return self._fetch(tokens)[:1], obs
 
     def compact_rows_staged(self, plan: dict, obs_scores) -> None:
         """Prefill-end compaction OUT of the staging pool: top-k select over
@@ -1227,14 +1244,14 @@ class ModelExecutor:
             tokens, lp, tids, tlps = ys
             tokens.copy_to_host_async()
             self.last_logprobs = {
-                "lp": np.asarray(lp).T[:b],  # [B, k]
-                "top_ids": np.asarray(tids).transpose(1, 0, 2)[:b],
-                "top_lps": np.asarray(tlps).transpose(1, 0, 2)[:b],
+                "lp": self._fetch(lp).T[:b],  # [B, k]
+                "top_ids": self._fetch(tids).transpose(1, 0, 2)[:b],
+                "top_lps": self._fetch(tlps).transpose(1, 0, 2)[:b],
             }
         else:
             tokens = ys
             tokens.copy_to_host_async()
-        return np.asarray(tokens).T[:b]  # [B, k]
+        return self._fetch(tokens).T[:b]  # [B, k]
 
     # ---------------------------------------------------- deltakv compression
 

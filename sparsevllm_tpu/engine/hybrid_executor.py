@@ -340,7 +340,7 @@ class HybridExecutor(ModelExecutor):
                 self.params, self.k_cache, self.v_cache, self.conv_states,
                 self.rec_states, self.tables, plan, self.rope,
             )
-        return np.asarray(tokens)[:b], obs
+        return self._fetch(tokens)[:b], obs
 
     def run_decode(self, seqs, dest_slots, ctx_start, row_ids,
                    comp_counts=None):
@@ -393,4 +393,4 @@ class HybridExecutor(ModelExecutor):
                 self.tables, plan, self.rope,
             )
         tokens.copy_to_host_async()
-        return np.asarray(tokens).T[:b]
+        return self._fetch(tokens).T[:b]
