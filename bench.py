@@ -160,11 +160,11 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
         # one full prompt in flight + every row's compacted remainder
         num_pages = prompt_pages + (batch + 1) * keep_pages + 8
     elif method == "deltakv":
-        # per-layer pool demand: full (observation) layers hold every
-        # row's whole prompt; sparse layers hold one in-flight prompt
-        # (resident dense prefill, bs=1 long bucket) + sink/tail
-        num_pages = batch * prompt_pages + prompt_pages \
-            + batch * (-(-growth // page) + 8) + 8
+        # per-layer pool demand = max over layers: full (observation)
+        # layers hold every row's whole prompt + decode growth; the
+        # sparse layers' in-flight dense-prefill peak (one prompt, bs=1
+        # long bucket) is <= that for batch >= 1
+        num_pages = batch * (prompt_pages + -(-growth // page) + 2) + 8
     else:
         # full residency per row (vanilla/omnikv keep everything)
         num_pages = batch * (prompt_pages + -(-growth // page)) + 8
