@@ -1275,13 +1275,18 @@ class ModelExecutor:
             rot_dim = 0
         sparse_layers = jnp.asarray(self._dk_sparse_layers, jnp.int32)
 
-        def compress(kc, vc, dk, dk_comp, tables, rows, counts,
+        def compress(kc, vc, dk, dk_comp, win_pages, rows, counts,
                      dest_offset, kv_scales, rope):
+            # win_pages [B, Cb/P]: THIS BLOCK's page window (host-sliced
+            # from the sparse-layer table, which is lockstep across sparse
+            # layers both pre-splice and post-splice). Gathering only the
+            # window keeps the transient at O(Cb), not O(context): the
+            # one-shot 128K compress materialized a [C, NCmax] f32 scoring
+            # matrix (4.3 GiB) plus full-context f32 KV and OOM'd the chip.
             cos, sin = rope
-            # table coords: the compressible region always starts at the
-            # page-aligned sink boundary (prefill-end splices move the tail
-            # down); ABSOLUTE positions shift by the already-compressed
-            # count (= dest_offset) for decode-tail re-compression.
+            # ABSOLUTE positions shift by the already-compressed count
+            # + block offset (= dest_offset) for blocks and the decode
+            # tail alike.
             positions = (
                 base + dest_offset[:, None]
                 + jnp.arange(cb, dtype=jnp.int32)[None, :]
@@ -1289,9 +1294,6 @@ class ModelExecutor:
 
             def body(dk, si):
                 li = sparse_layers[si]
-                table_l = jax.lax.dynamic_index_in_dim(
-                    tables, li, 0, keepdims=False
-                )[rows, :mp]
                 kcl = jax.lax.dynamic_index_in_dim(kc, li, 0, False)
                 vcl = jax.lax.dynamic_index_in_dim(vc, li, 0, False)
                 if kv_scales is not None:
@@ -1299,17 +1301,17 @@ class ModelExecutor:
                                                        False)
                     if lsc.shape[0] == 4:
                         kg = ref_ops.gather_dequant_u4(
-                            kcl, lsc[0], lsc[2], table_l)
+                            kcl, lsc[0], lsc[2], win_pages)
                         vg = ref_ops.gather_dequant_u4(
-                            vcl, lsc[1], lsc[3], table_l)
+                            vcl, lsc[1], lsc[3], win_pages)
                     else:
-                        kg = ref_ops.gather_dequant(kcl, lsc[0], table_l)
-                        vg = ref_ops.gather_dequant(vcl, lsc[1], table_l)
+                        kg = ref_ops.gather_dequant(kcl, lsc[0], win_pages)
+                        vg = ref_ops.gather_dequant(vcl, lsc[1], win_pages)
                 else:
-                    kg = ref_ops.gather_pages(kcl, table_l)  # [B,Nkv,K,Dh]
-                    vg = ref_ops.gather_pages(vcl, table_l)
-                k_raw = kg.transpose(0, 2, 1, 3)[:, base:base + cb]
-                v_raw = vg.transpose(0, 2, 1, 3)[:, base:base + cb]
+                    kg = ref_ops.gather_pages(kcl, win_pages)  # [B,Nkv,Cb,Dh]
+                    vg = ref_ops.gather_pages(vcl, win_pages)
+                k_raw = kg.transpose(0, 2, 1, 3)
+                v_raw = vg.transpose(0, 2, 1, 3)
                 # stored K is post-RoPE; De-RoPE exactly before compressing
                 # (reference stores pre-RoPE K, deltakv_base.py:681);
                 # hybrid models invert only the partial rotary width
@@ -1334,24 +1336,52 @@ class ModelExecutor:
                     b, cb, mp)
         return fn
 
+    # largest per-block compress transient: [CB, NCmax] f32 scores +
+    # [CB, io] f32 KV — ~300 MB at CB=8192 / 128K context (vs 4.3 GiB
+    # one-shot, which OOM'd the chip at the first 128K deltakv bench)
+    DK_COMPRESS_BLOCK = 8192
+
     def compress_prefill(self, plan: dict) -> None:
         b = len(plan["seqs"])
-        counts = plan["counts"]
-        cb = _round_up_pow2(int(counts.max()), lo=self.config.page_size)
-        max_ctx = plan["comp_base"] + cb
-        mp = self.config.context_bucket_pages(
-            max(-(-max_ctx // self.config.page_size), 1)
+        counts = np.asarray(plan["counts"], np.int64)
+        p = self.config.page_size
+        stride = int(plan["stride"])
+        align = int(np.lcm(p, stride))
+        cb_full = max(
+            (self.DK_COMPRESS_BLOCK // align) * align, align
         )
-        dest = plan.get("dest_offset")
-        if dest is None:
-            dest = np.zeros(b, np.int32)
-        fn = self._get_dk_compress_fn(b, cb, mp)
-        with profiler.record("dk_compress"):
-            self.dk_state = fn(
-                self.k_cache, self.v_cache, self.dk_state, self.dk_comp,
-                self.tables, self._dev(plan["rows"]), self._dev(counts),
-                self._dev(dest), self.kv_scales, self.rope,
+        total = int(counts.max())
+        dest0 = plan.get("dest_offset")
+        if dest0 is None:
+            dest0 = np.zeros(b, np.int64)
+        dest0 = np.asarray(dest0, np.int64)
+        base = int(plan["comp_base"])
+        kvm = self.kv_manager
+        sl0 = int(self._dk_sparse_layers[0])
+        rows = np.asarray(plan["rows"], np.int64)
+        for off in range(0, total, cb_full):
+            blk = np.clip(counts - off, 0, cb_full).astype(np.int32)
+            if blk.max() <= 0:
+                break
+            cb = cb_full if total - off >= cb_full else max(
+                -(-int(blk.max()) // align) * align, align
             )
+            cbp = cb // p
+            # block page window from the sparse-layer host table (source
+            # of truth; lockstep across sparse layers — see compress fn)
+            win = np.zeros((b, cbp), np.int32)
+            for i, r in enumerate(rows):
+                ps = (base + off) // p
+                row_pages = kvm.page_tables[sl0, r, ps:ps + cbp]
+                win[i, : len(row_pages)] = row_pages
+            fn = self._get_dk_compress_fn(b, cb, 0)
+            with profiler.record("dk_compress"):
+                self.dk_state = fn(
+                    self.k_cache, self.v_cache, self.dk_state,
+                    self.dk_comp, self._dev(win), self._dev(rows),
+                    self._dev(blk), self._dev(dest0 + off),
+                    self.kv_scales, self.rope,
+                )
 
     def recompress_decode(self, plan: dict) -> None:
         """Decode-tail re-compression (reference: the LessMemory runtime
