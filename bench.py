@@ -160,11 +160,28 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
         # one full prompt in flight + every row's compacted remainder
         num_pages = prompt_pages + (batch + 1) * keep_pages + 8
     elif method == "deltakv":
-        # per-layer pool demand = max over layers: full (observation)
-        # layers hold every row's whole prompt + decode growth; the
-        # sparse layers' in-flight dense-prefill peak (one prompt, bs=1
-        # long bucket) is <= that for batch >= 1
-        num_pages = batch * (prompt_pages + -(-growth // page) + 2) + 8
+        full_n = 1 if spec.num_layers <= 2 else 2
+        sparse_n = spec.num_layers - full_n
+        growthp = -(-growth // page) + 2
+        # beyond ~192K the dense resident-prefill peak (L x prompt pages)
+        # cannot fit next to the weights: route through the STREAMED tier
+        # (host KV archive; device holds only the full observation layers
+        # + each sparse layer's sink/recent) over the GLOBAL page pool —
+        # the reference's raw-kv-offload posture at its 512K headline
+        # (plot_throughput_chart.py:18).
+        deltakv_streamed = ctx > 196608
+        if deltakv_streamed:
+            sparse_cost = 1 + -(-512 // page) + growthp + 4
+            num_pages = (
+                batch * full_n * (prompt_pages + growthp)
+                + batch * sparse_n * sparse_cost + 16
+            )
+        else:
+            # per-layer pool demand = max over layers: full (observation)
+            # layers hold every row's whole prompt + decode growth; the
+            # sparse layers' in-flight dense-prefill peak (one prompt,
+            # bs=1 long bucket) is <= that for batch >= 1
+            num_pages = batch * (prompt_pages + -(-growth // page) + 2) + 8
     else:
         # full residency per row (vanilla/omnikv keep everything)
         num_pages = batch * (prompt_pages + -(-growth // page)) + 8
@@ -185,13 +202,19 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
             (0,) if spec.num_layers <= 2 else (0, spec.num_layers // 2)
         )
         extra["decode_keep_tokens"] = keep
-        extra["deltakv_cluster_ratio"] = 1.0 / 16
+        extra["deltakv_cluster_ratio"] = 1.0 / 32  # centers = bf16 raw
+        # KV at 1/stride density: stride 32 keeps the 128K center pool at
+        # ~0.4 GiB next to weights+pool+latents on a 16 GiB chip
         extra["deltakv_max_compressed_tokens"] = ctx
         extra["deltakv_latent_dim"] = io // 4
         extra["deltakv_latent_group"] = min(64, io // 4)
-        # resident dense prefill (int4 pallas prefill kernel); the host
-        # archive tier only pays off beyond-HBM (512K+)
-        extra["long_prefill_offload_threshold"] = ctx + page
+        if deltakv_streamed:
+            extra["global_kv_pool"] = True
+            extra["long_prefill_offload_threshold"] = max(chunk * 2, 16384)
+        else:
+            # resident dense prefill (int4 pallas prefill kernel); the
+            # host archive tier only pays off beyond-HBM (256K+)
+            extra["long_prefill_offload_threshold"] = ctx + page
     if use_staging:
         extra["kv_staging_dtype"] = staging
         extra["num_staging_pages"] = prompt_pages + 2
@@ -442,7 +465,10 @@ def main() -> None:
                     weight_quant=args.weight_quant)
             break
         except Exception as e:  # noqa: BLE001
-            last_err = e
+            # stringify: keeping the exception's traceback pins the failed
+            # attempt's device buffers (frames -> jit operands) and OOMs
+            # the retry at engine init
+            last_err = RuntimeError(f"{type(e).__name__}: {e}")
             print(f"bench attempt {attempt} (impl={impl}) failed: {e!r}",
                   file=sys.stderr)
             time.sleep(10)

@@ -138,6 +138,13 @@ class Config:
     # --- KV cache / memory (TPU analytic sizing) --------------------------
     page_size: int = 64  # tokens per KV page; multiple of TPU sublane tile
     num_kv_pages: int | None = None  # explicit page count; None = derive
+    # ONE page id space shared by all layers (reference deltakv_base.py's
+    # separate full/sparse pools, generalized): each layer's table points
+    # into the same physical pool, so a method whose layers hold wildly
+    # different residencies (deltakv: 2 observation layers keep the whole
+    # prompt, 26 compressed layers keep sink+tail) pays for TOTAL pages,
+    # not max-per-layer x num_layers. Scoped to deltakv (validated).
+    global_kv_pool: bool = False
     hbm_utilization: float = 0.9  # fraction of per-chip HBM usable
     hbm_bytes_per_chip: int | None = None  # None = query device
     kv_cache_dtype: str = "auto"  # auto | bfloat16 | int8 | int4 (KIVI)
@@ -460,6 +467,12 @@ class Config:
             # LAYER space: layer 0 for flat decoders, the first
             # full-attention layer for hybrid models (whose layer 0 is
             # typically linear attention) — executor.py / hybrid_executor.py.
+        if self.global_kv_pool and prof.name != registry.DELTAKV:
+            raise ValueError(
+                "global_kv_pool is scoped to sparse_method='deltakv' "
+                "(the per-layer-residency-asymmetric method; other "
+                "methods keep the per-layer pool fast paths)"
+            )
         if prof.name == registry.QUEST:
             if self.quest_page_size <= 0 or self.page_size % self.quest_page_size:
                 raise ValueError(

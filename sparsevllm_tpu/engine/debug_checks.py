@@ -137,20 +137,27 @@ def check_page_accounting(kv, live_seq_ids) -> None:
             f"diagnostics)"
         )
     staged_sids = set(getattr(kv, "_stage_held", {}) or {})
-    for l in range(kv.L):
+    gp = bool(getattr(kv, "GP", False))
+    # global pool: ONE stack/refcount plane covers all layers — audit the
+    # union of every layer's held pages against stack 0
+    for l in ([None] if gp else range(kv.L)):
         free = set(
-            int(x) for x in kv._free[l, : int(kv._free_top[l])]
+            int(x) for x in kv._free[0 if gp else l,
+                                     : int(kv._free_top[0 if gp else l])]
         )
+        layers = range(kv.L) if gp else [l]
         held: set[int] = set()
         for sid, row in kv.seq_rows.items():
             if sid in staged_sids:
                 continue  # row holds STAGING page ids (separate audit)
-            n = int(-(-kv.row_lens[l, row] // kv.P))
-            held.update(int(x) for x in kv.page_tables[l, row, :n])
+            for ll in layers:
+                n = int(-(-kv.row_lens[ll, row] // kv.P))
+                held.update(int(x) for x in kv.page_tables[ll, row, :n])
         cached: set[int] = set()
         if kv.prefix_index is not None:
             for node in kv.prefix_index._nodes.values():
-                cached.add(int(node.pages[l]))
+                for ll in layers:
+                    cached.add(int(node.pages[ll]))
         overlap = free & (held | cached)
         if overlap:
             raise SlotLeakError(

@@ -61,7 +61,8 @@ def init_deltakv_state(config, nkv: int, dh: int, num_attn_layers: int,
     ``num_attn_layers``/``full_set`` live in KV-LAYER space (for hybrid
     models the KV slots of the full-attention layers; reference
     deltakv_base.py:91-95 full/deltakv layer split). Returns
-    (sparse_layers np, sparse_slot device, dk_comp, dk_state, arch)."""
+    (sparse_layers np, sparse_slot device, dk_comp, dk_state, arch,
+    latent_dim)."""
     from ..ops import deltakv as dk_ops
     from ..utils import compressor as comp_ops
 
@@ -124,7 +125,7 @@ def init_deltakv_state(config, nkv: int, dh: int, num_attn_layers: int,
         neighbors=config.deltakv_neighbor_count,
     )
     return (np.asarray(sparse_layers, np.int64), jnp.asarray(slot),
-            dk_comp, dk_state, arch)
+            dk_comp, dk_state, arch, latent_dim)
 
 
 class ModelExecutor:
@@ -171,6 +172,10 @@ class ModelExecutor:
         self.kv_dtype = jnp.int8 if kv_quant else dtype
 
         l, p = spec.num_layers, config.page_size
+        # global pool (config.global_kv_pool): ONE page id space shared by
+        # all layers — cache arrays get a singleton layer dim; per-layer
+        # page TABLES still route each layer to its own pages
+        lc = 1 if config.global_kv_pool else l
         # token-major within a page (ops/attention_ref.py docstring);
         # int4 packs two elements per byte (split-half), int2 four
         # (split-quarter along lanes) — ops/quant.py. int4 uses the
@@ -181,9 +186,9 @@ class ModelExecutor:
         # (ops/quant.py int4 section docstring).
         cdh = spec.head_dim // (8 // kv_bits) if kv_quant else spec.head_dim
         if kv_bits == 4:
-            kv_shape = (l, num_pages, p, spec.num_kv_heads * cdh)
+            kv_shape = (lc, num_pages, p, spec.num_kv_heads * cdh)
         else:
-            kv_shape = (l, num_pages, p, spec.num_kv_heads, cdh)
+            kv_shape = (lc, num_pages, p, spec.num_kv_heads, cdh)
         self.k_cache = jnp.zeros(kv_shape, self.kv_dtype)
         self.v_cache = jnp.zeros(kv_shape, self.kv_dtype)
         # per-slot dequant params (int8: k/v scales; int4: + k/v zeros),
@@ -206,7 +211,7 @@ class ModelExecutor:
             )
         else:
             self.kv_scales = (
-                jnp.ones((4 if kv_bits == 4 else 2, l, num_pages,
+                jnp.ones((4 if kv_bits == 4 else 2, lc, num_pages,
                           spec.num_kv_heads, p), jnp.float32)
                 if kv_quant else None
             )
@@ -259,6 +264,7 @@ class ModelExecutor:
             # mesh: expert-parallel sorted dispatch (shard_map +
             # ragged_dot over each device's contiguous expert range) when
             # experts divide the model axis; single device: sorted.
+            global_pool=config.global_kv_pool,
             moe_dispatch=(
                 "sorted" if mesh is None else
                 "sorted_ep"
@@ -318,14 +324,14 @@ class ModelExecutor:
         if self._rt.deltakv:
             full = set(config.full_attn_layers)
             (self._dk_sparse_layers, self._sparse_slot, self.dk_comp,
-             self.dk_state, arch) = init_deltakv_state(
+             self.dk_state, arch, latent_dim) = init_deltakv_state(
                 config, spec.num_kv_heads, spec.head_dim, l, full,
                 max_rows, dtype,
             )
-            if arch != self._rt.dk_arch:
-                self._rt = self._rt.__class__(
-                    **{**self._rt.__dict__, "dk_arch": arch}
-                )
+            self._rt = self._rt.__class__(
+                **{**self._rt.__dict__, "dk_arch": arch,
+                   "dk_latent_dim": latent_dim}
+            )
         # mixed-precision staged prefill pool (config.kv_staging_dtype):
         # long prompts prefill QUANTIZED into this pool; attention runs bf16
         # over a per-layer dequantized scratch; compaction dequantizes the
@@ -447,9 +453,10 @@ class ModelExecutor:
                     return kc, vc, scales
             fn = jax.jit(impl, donate_argnums=(0, 1, 2))
             self._fn_cache[key] = fn
+        cli = 0 if self.config.global_kv_pool else layer_idx
         self.k_cache, self.v_cache, self.kv_scales = fn(
             self.k_cache, self.v_cache, self.kv_scales,
-            jnp.asarray(layer_idx, jnp.int32), k_rows, v_rows, slots,
+            jnp.asarray(cli, jnp.int32), k_rows, v_rows, slots,
         )
 
     # ---------------------------------------------------- device placement
@@ -1294,10 +1301,11 @@ class ModelExecutor:
 
             def body(dk, si):
                 li = sparse_layers[si]
-                kcl = jax.lax.dynamic_index_in_dim(kc, li, 0, False)
-                vcl = jax.lax.dynamic_index_in_dim(vc, li, 0, False)
+                cli = li * 0 if getattr(rt, "global_pool", False) else li
+                kcl = jax.lax.dynamic_index_in_dim(kc, cli, 0, False)
+                vcl = jax.lax.dynamic_index_in_dim(vc, cli, 0, False)
                 if kv_scales is not None:
-                    lsc = jax.lax.dynamic_index_in_dim(kv_scales, li, 1,
+                    lsc = jax.lax.dynamic_index_in_dim(kv_scales, cli, 1,
                                                        False)
                     if lsc.shape[0] == 4:
                         kg = ref_ops.gather_dequant_u4(
@@ -1320,7 +1328,8 @@ class ModelExecutor:
                 dk = dk_ops.compress_layer(
                     dk, si, comp_layer, rt.dk_arch, k_raw, v_raw, rows,
                     counts, stride=stride, latent_bits=rt.dk_latent_bits,
-                    latent_group=rt.dk_group, dest_offset=dest_offset,
+                    latent_group=rt.dk_group, neighbors=rt.dk_nn,
+                    dest_offset=dest_offset,
                 )
                 return dk, None
 

@@ -30,6 +30,11 @@ from .executor import ModelExecutor, _round_up_pow2
 class HybridExecutor(ModelExecutor):
     def __init__(self, config, spec: qn.HybridSpec, params, num_pages: int,
                  max_rows: int, mesh=None):
+        if config.global_kv_pool:
+            raise NotImplementedError(
+                "global_kv_pool is not wired for hybrid executors (their "
+                "KV pools already cover only the full-attention layers)"
+            )
         if config.method not in ("", "deltakv"):
             raise NotImplementedError(
                 f"hybrid models support sparse_method '' (vanilla) or "
@@ -140,7 +145,7 @@ class HybridExecutor(ModelExecutor):
         # the cache manager plans in KV-slot space (kv_manager/deltakv.py)
         config.full_attn_kv_slots = slots
         (self._dk_sparse_layers, self._sparse_slot, self.dk_comp,
-         self.dk_state, arch) = init_deltakv_state(
+         self.dk_state, arch, latent_dim) = init_deltakv_state(
             config, spec.num_kv_heads, spec.head_dim, spec.num_kv_layers,
             set(slots), max_rows, dtype,
         )
@@ -159,6 +164,8 @@ class HybridExecutor(ModelExecutor):
             arch=arch,
             latent_bits=config.deltakv_latent_bits,
             latent_group=config.deltakv_latent_group,
+            latent_dim=latent_dim,
+            neighbors=config.deltakv_neighbor_count,
         )
         # compress_prefill/_get_dk_compress_fn (inherited from
         # ModelExecutor) read these StepRuntime fields

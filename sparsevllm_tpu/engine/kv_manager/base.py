@@ -82,13 +82,20 @@ class KVCacheManager:
         self.max_rows = max_rows
         self.MP = config.max_pages_per_seq
 
+        # global pool (config.global_kv_pool): ONE physical page id space
+        # shared by every layer — one free stack, one refcount plane; the
+        # per-layer page TABLES below still route each layer to its own
+        # pages (reference deltakv_base.py's separate full/sparse pools,
+        # generalized). num_pages then means TOTAL pages across layers.
+        self.GP = bool(getattr(config, "global_kv_pool", False))
+        n_stacks = 1 if self.GP else self.L
         # page 0 reserved as trash page (padded stores/table entries hit it).
         usable = np.arange(num_pages - 1, 0, -1, dtype=np.int32)  # stack
-        self._free = np.broadcast_to(usable, (self.L, usable.size)).copy()
-        self._free_top = np.full(self.L, usable.size, dtype=np.int64)
+        self._free = np.broadcast_to(usable, (n_stacks, usable.size)).copy()
+        self._free_top = np.full(n_stacks, usable.size, dtype=np.int64)
         # per-page reference counts: a page returns to the free stack only at
         # refcount 0 (owner seq + prefix-cache + each attached seq hold one).
-        self._page_refs = np.zeros((self.L, num_pages), np.int32)
+        self._page_refs = np.zeros((n_stacks, num_pages), np.int32)
 
         # block-level radix prefix cache (engine wires the index when
         # config.enable_prefix_cache; block == page, see prefix_cache.py).
@@ -143,7 +150,11 @@ class KVCacheManager:
 
     # ----------------------------------------------------------------- pages
 
+    def _stk(self, layer: int) -> int:
+        return 0 if self.GP else layer
+
     def _pop_pages(self, layer: int, n: int) -> np.ndarray:
+        layer = self._stk(layer)
         top = self._free_top[layer]
         if n > top and self.prefix_index is not None:
             # reclaim unreferenced prefix-cache blocks (1 page/layer each).
@@ -160,6 +171,7 @@ class KVCacheManager:
         return pages
 
     def _push_pages(self, layer: int, pages: np.ndarray) -> None:
+        layer = self._stk(layer)
         top = self._free_top[layer]
         n = len(pages)
         self._free[layer, top : top + n] = pages[::-1]
@@ -168,6 +180,7 @@ class KVCacheManager:
     def _release_pages(self, layer: int, pages: np.ndarray) -> None:
         """Decrement refcounts; pages hitting 0 return to the free stack."""
         pages = np.asarray(pages)
+        layer = self._stk(layer)
         self._page_refs[layer, pages] -= 1
         refs = self._page_refs[layer, pages]
         if np.any(refs < 0):
@@ -267,7 +280,7 @@ class KVCacheManager:
         reference semantics and the fallback. Prefix-cache configurations
         stay on the Python path (it can evict cache blocks on demand).
         """
-        if self.prefix_index is None:
+        if self.prefix_index is None and not self.GP:
             from . import native
 
             rows = np.asarray(
@@ -350,8 +363,13 @@ class KVCacheManager:
         return len(self._free_rows)
 
     def admission_cost_pages(self, seq: Sequence) -> int:
-        """Dense: the whole prompt plus one decode token must fit."""
-        return -(-(seq.num_prompt_tokens + 1) // self.P)
+        """Dense: the whole prompt plus one decode token must fit.
+
+        Per-layer pools: cost is pages PER LAYER (every layer draws the
+        same count from its own stack). Global pool: cost is TOTAL pages
+        (all layers draw from one stack)."""
+        per_layer = -(-(seq.num_prompt_tokens + 1) // self.P)
+        return per_layer * self.L if self.GP else per_layer
 
     def can_admit(self, seq: Sequence) -> bool:
         return (
@@ -361,23 +379,30 @@ class KVCacheManager:
 
     def prefill_step_cost_pages(self, seq: Sequence, chunk: int) -> int:
         start = seq.num_prefilled_tokens
-        return -(-(start + chunk) // self.P) - (start + self.P - 1) // self.P
+        per_layer = (
+            -(-(start + chunk) // self.P) - (start + self.P - 1) // self.P
+        )
+        return per_layer * self.L if self.GP else per_layer
 
     def decode_step_cost_pages(self, seq: Sequence, k: int = 1) -> int:
-        """Worst-case new pages over all layers for a k-step decode."""
+        """Worst-case new pages for a k-step decode: max over layers for
+        per-layer pools, SUM over layers for the global pool."""
         row = self.seq_rows.get(seq.seq_id)
         if row is None:
-            return -(-k // self.P) + 1
+            base = -(-k // self.P) + 1
+            return base * self.L if self.GP else base
         lens = self.row_lens[:, row]
         have = -(-lens // self.P)
         need = (lens + k - 1) // self.P + 1
-        return int((need - have).max())
+        d = need - have
+        return int(d.sum()) if self.GP else int(d.max())
 
     def seq_resident_pages(self, seq: Sequence) -> int:
         row = self.seq_rows.get(seq.seq_id)
         if row is None:
             return 0
-        return int(np.max(-(-self.row_lens[:, row] // self.P)))
+        per_layer = -(-self.row_lens[:, row] // self.P)
+        return int(per_layer.sum()) if self.GP else int(np.max(per_layer))
 
     # ------------------------------------------------------- prefix cache
 
@@ -406,7 +431,7 @@ class KVCacheManager:
         n = len(blocks)
         pages = np.stack([b.pages for b in blocks], axis=1)  # [L, n]
         for l in range(self.L):
-            self._page_refs[l, pages[l]] += 1
+            self._page_refs[self._stk(l), pages[l]] += 1
             self.page_tables[l, row, :n] = pages[l]
             self._queue_update(
                 np.full(n, l), np.full(n, row), np.arange(n), pages[l]
@@ -438,7 +463,7 @@ class KVCacheManager:
         self._invalidate_reclaim_cache()
         for node in created:
             for l in range(self.L):
-                self._page_refs[l, node.pages[l]] += 1
+                self._page_refs[self._stk(l), node.pages[l]] += 1
         return created
 
     # ---------------------------------------------- streamed-prefill adoption

@@ -76,7 +76,20 @@ class DeltaKVManager(KVCacheManager):
             # up holding the FULL layers' dense rows (observation layers)
             # plus the sparse layers' sink+recent raw — the middle region
             # lives in latents/centers, not pages. Peak = full-layer rows.
-            return -(-(seq.num_prompt_tokens + 1) // self.P) + 2
+            per_layer = -(-(seq.num_prompt_tokens + 1) // self.P) + 2
+            if self.GP:
+                # global pool: only the FULL layers pay the prompt; the
+                # sparse layers pay sink + recent + slack. This asymmetry
+                # is exactly why deltakv wants global_kv_pool — a
+                # per-layer pool must size EVERY layer at the full-layer
+                # demand (256K: ~8 GiB wasted on a 16 GiB chip).
+
+                sparse_cost = (
+                    self.sink_pages + -(-self.recent_tokens // self.P) + 2
+                )
+                return (len(self.full_layers) * per_layer
+                        + len(self.sparse_layers) * sparse_cost)
+            return per_layer
         # dense prefill peak (whole prompt resident on every layer)
         return super().admission_cost_pages(seq)
 

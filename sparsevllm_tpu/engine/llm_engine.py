@@ -260,8 +260,9 @@ class LLMEngine:
             per_slot = s.head_dim * (
                 2 if self.config.dtype != "float32" else 4
             )
+        layers = 1 if self.config.global_kv_pool else lkv
         return (
-            2 * lkv * num_pages * s.num_kv_heads
+            2 * layers * num_pages * s.num_kv_heads
             * self.config.page_size * per_slot
         )
 

@@ -553,7 +553,8 @@ class StreamedPrefillRunner:
                 return dk_ops.compress_layer(
                     dk, si, comp_layer, rt.dk_arch, k_raw, vb[None], rows,
                     counts, stride=stride, latent_bits=rt.dk_latent_bits,
-                    latent_group=rt.dk_group, dest_offset=dest,
+                    latent_group=rt.dk_group, neighbors=rt.dk_nn,
+                    dest_offset=dest,
                 )
             f = jax.jit(compress, donate_argnums=(0,))
             self._fns[key] = f

@@ -60,6 +60,8 @@ class HybridDeltaKVConfig:
     arch: str
     latent_bits: int
     latent_group: int
+    latent_dim: int = 0
+    neighbors: int = 4
 
     @property
     def sparse_slot(self):
@@ -607,6 +609,8 @@ def decode_forward(
                     dh=spec.head_dim, latent_bits=dk_cfg.latent_bits,
                     latent_group=dk_cfg.latent_group,
                     rot_dim=spec.rotary_dim,
+                    latent_dim=dk_cfg.latent_dim,
+                    neighbors=dk_cfg.neighbors,
                 )
                 out = dk_ops.sparse_decode_attention(
                     q, raw_k, raw_v, raw_valid, k_hat, v_hat, hv,

@@ -90,12 +90,18 @@ class StepRuntime:
     dk_latent_bits: int = 4  # 4 (int4 packed latents) | 2 (int2)
     dk_nn: int = 4  # nearest-center neighbors per token reference
     dk_group: int = 0  # latent quant group (0 = per-token scale)
+    dk_latent_dim: int = 0  # latent width (record layout, ops/deltakv.py)
     # SkipKV activation steering: per-layer vector added to the decode
     # hidden state, alpha-scaled (reference activation_controller.py:55-232).
     steer_alpha: float = 0.0
     # MoE dispatch: 'sorted' (ragged grouped GEMM, single-device) or
     # 'dense' (dense-over-experts einsum whose E axis GSPMD-shards).
     moe_dispatch: str = "dense"
+    # ONE page id space shared by all layers (config.global_kv_pool): the
+    # cache arrays have a singleton layer dim and every cache access
+    # indexes layer 0, while the per-layer page TABLES still route each
+    # layer to its own pages. Deltakv-scoped (config validation).
+    global_pool: bool = False
 
 
 def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
@@ -434,6 +440,9 @@ def prefill_forward(
     def body(carry, xs):
         h, kc, vc, meta, scales = carry
         li = xs["_layer_idx"]
+        # cache-layer index: a global pool stores every layer at cache
+        # index 0 (per-layer TABLES still route pages; rt.global_pool)
+        cli = li * 0 if rt.global_pool else li
         if tables is not None:
             table_l = jax.lax.dynamic_index_in_dim(
                 tables, li, 0, keepdims=False
@@ -508,16 +517,16 @@ def prefill_forward(
         elif rt.kv_quant:
             if rt.kv_quant_bits == 4:
                 kc, vc, scales = quant_ops.store_kv_quant_layer_u4(
-                    kc, vc, scales, li, k, v, dest
+                    kc, vc, scales, cli, k, v, dest
                 )
             else:
                 kc, vc, scales = quant_ops.store_kv_quant_layer(
-                    kc, vc, scales, li, k, v, dest
+                    kc, vc, scales, cli, k, v, dest
                 )
             att_scales = scales
         else:
             kc, vc = attn_ops.store_kv_layer(
-                kc, vc, li, k, v, dest
+                kc, vc, cli, k, v, dest
             )
         if rt.quest:
             # quest never frees per-layer (no compaction), so its stacks
@@ -527,7 +536,7 @@ def prefill_forward(
                 meta, kc, li, plan["touched_pages"].reshape(-1)
             )
         out, obs = attn_ops.prefill_attention(
-            q, kc, vc, li,
+            q, kc, vc, cli,
             table_l, plan["ctx_lens"], plan["new_lens"],
             sm_scale=sm_scale,
             obs_window=rt.obs_window if rt.emit_prefill_scores else 0,
@@ -617,6 +626,9 @@ def decode_forward(
     def body(carry, xs):
         h, kc, vc, sel, have_sel, meta, qcache, topk = carry
         li = xs["_layer_idx"]
+        # cache-layer index (global pool: all layers at cache index 0;
+        # tables still per-layer — see StepRuntime.global_pool)
+        cli = li * 0 if rt.global_pool else li
         ctx = xs["_ctx"]  # [B]
         table_l = jax.lax.dynamic_index_in_dim(
             tables, li, 0, keepdims=False
@@ -705,10 +717,10 @@ def decode_forward(
                 v_cur = quant_ops.dequantize_rows(vq, vs).astype(q.dtype)
                 step_scales = (ks, vs)
             kc, vc = quant_ops.store_kv_quant_payload(
-                kc, vc, li, kq, vq, xs["_dest"]
+                kc, vc, cli, kq, vq, xs["_dest"]
             )
         else:
-            kc, vc = attn_ops.store_kv_layer(kc, vc, li, k, v, xs["_dest"])
+            kc, vc = attn_ops.store_kv_layer(kc, vc, cli, k, v, xs["_dest"])
             k_cur = v_cur = None
             step_scales = None
 
@@ -717,7 +729,7 @@ def decode_forward(
             merge (kv_scales is scan-INVARIANT: no in-scan writes)."""
             if not rt.kv_quant:
                 out, _ = attn_ops.decode_attention(
-                    q, kc, vc, li, table_a, ctx_a, sm_scale=sm_scale,
+                    q, kc, vc, cli, table_a, ctx_a, sm_scale=sm_scale,
                     select_mask=select_mask, page_pos=page_pos,
                     kv_scales=None, impl=rt.impl,
                 )
@@ -727,7 +739,7 @@ def decode_forward(
                 # (incl. current token) merges via the (m, l) stats
                 prev_q = (ctx_a - 1) // page_size * page_size
                 out_h, m_h, l_h = attn_ops.decode_attention(
-                    q, kc, vc, li, table_a, prev_q, sm_scale=sm_scale,
+                    q, kc, vc, cli, table_a, prev_q, sm_scale=sm_scale,
                     select_mask=select_mask, page_pos=page_pos,
                     kv_scales=vsc, k_ch_scales=kch, impl=rt.impl,
                     return_stats=True,
@@ -737,7 +749,7 @@ def decode_forward(
                     sm_scale=sm_scale,
                 )
             out_h, m_h, l_h = attn_ops.decode_attention(
-                q, kc, vc, li, table_a, ctx_a - 1, sm_scale=sm_scale,
+                q, kc, vc, cli, table_a, ctx_a - 1, sm_scale=sm_scale,
                 select_mask=select_mask, page_pos=page_pos,
                 kv_scales=kv_scales, impl=rt.impl, return_stats=True,
             )
@@ -751,20 +763,6 @@ def decode_forward(
             kfull = table_l.shape[1] * page_size
             comp_counts = plan["comp_counts"]  # [B]
 
-            def _patched_lsc():
-                """This layer's scale planes with the CURRENT token's
-                scales patched in (the big scales array is batch-written
-                only after the layer scan; see scatter_scales_batch)."""
-                dest = xs["_dest"]
-                pg = jnp.where(dest >= 0, dest // page_size, -1)
-                off = dest % page_size
-                lsc = jax.lax.dynamic_index_in_dim(kv_scales, li, 1, False)
-                for _i, _v in enumerate(step_scales):
-                    # lsc is [planes, pages, Nkv, P]; advanced dims (pg,
-                    # off) straddle the Nkv slice -> result dims lead: [B, Nkv]
-                    lsc = lsc.at[_i, pg, :, off].set(_v, mode="drop")
-                return lsc
-
             def full_attn(q):
                 if rt.kv_quant:
                     # KIVI full layers (reference full_layer_kivi fused
@@ -776,7 +774,7 @@ def decode_forward(
                     # needed (top-k runs over the compressed region, which
                     # ends far before ctx-1).
                     out_h, scores, m_h, l_h = attn_ops.decode_attention(
-                        q, kc, vc, li, table_l, ctx - 1,
+                        q, kc, vc, cli, table_l, ctx - 1,
                         sm_scale=sm_scale, emit_scores=True,
                         return_stats=True, kv_scales=kv_scales,
                         impl=rt.impl,
@@ -787,37 +785,23 @@ def decode_forward(
                     )
                     return out, scores
                 out, scores = attn_ops.decode_attention(
-                    q, kc, vc, li, table_l, ctx,
+                    q, kc, vc, cli, table_l, ctx,
                     sm_scale=sm_scale, emit_scores=True, impl=rt.impl,
                 )
                 return out, scores
 
             def sparse_attn(q):
-                kcl = jax.lax.dynamic_index_in_dim(kc, li, 0, False)
-                vcl = jax.lax.dynamic_index_in_dim(vc, li, 0, False)
+                # raw resident window (sink + tail) through the SAME paged
+                # kernel as every other read; the previous XLA gather of
+                # this tiny window made layout assignment COPY the whole
+                # int4 pool inside the scan (1.78 GiB temp at 128K).
+                # kv_quant: exclude the current token (its scales land
+                # after the layer scan) and merge it exactly at the end.
                 tbl = table_l[:, :mpr_sparse]
-                if rt.kv_quant:
-                    lsc = _patched_lsc()
-                    if rt.kv_quant_bits == 4:
-                        raw_k = ref_ops.gather_dequant_u4(
-                            kcl, lsc[0], lsc[2], tbl)
-                        raw_v = ref_ops.gather_dequant_u4(
-                            vcl, lsc[1], lsc[3], tbl)
-                    else:
-                        raw_k = ref_ops.gather_dequant(kcl, lsc[0], tbl)
-                        raw_v = ref_ops.gather_dequant(vcl, lsc[1], tbl)
-                else:
-                    raw_k = ref_ops.gather_pages(kcl, tbl)  # [B,Nkv,Kr,Dh]
-                    raw_v = ref_ops.gather_pages(vcl, tbl)
-                raw_k = raw_k.transpose(0, 2, 1, 3)  # [B,Kr,Nkv,Dh]
-                raw_v = raw_v.transpose(0, 2, 1, 3)
-                kr = raw_k.shape[1]
-                # NOTE: ctx here is the PER-LAYER resident length
-                # (alloc_decode returns row_lens-based ctx_start), i.e.
-                # for a spliced sparse row it already counts only raw
-                # tokens — do NOT subtract comp_counts again.
-                raw_valid = (
-                    jnp.arange(kr, dtype=jnp.int32)[None, :] < ctx[:, None]
+                ctx_r = ctx - 1 if rt.kv_quant else ctx
+                out_r, m_r, l_r = attn_ops.decode_attention(
+                    q, kc, vc, cli, tbl, ctx_r, sm_scale=sm_scale,
+                    return_stats=True, kv_scales=kv_scales, impl=rt.impl,
                 )
                 comp_layer = comp_ops.layer_slice(dk_comp, sl)
                 k_hat, v_hat, hv = dk_ops.reconstruct(
@@ -828,11 +812,19 @@ def decode_forward(
                     stride=rt.dk_stride, nkv=spec.num_kv_heads,
                     dh=spec.head_dim, latent_bits=rt.dk_latent_bits,
                     latent_group=rt.dk_group,
+                    latent_dim=rt.dk_latent_dim, neighbors=rt.dk_nn,
                 )
-                out = dk_ops.sparse_decode_attention(
-                    q, raw_k, raw_v, raw_valid, k_hat, v_hat, hv,
-                    sm_scale=sm_scale,
+                out_h, m_h, l_h = dk_ops.reconstructed_attention_stats(
+                    q, k_hat, v_hat, hv, sm_scale=sm_scale,
                 )
+                out, m_all, l_all = attn_ops.merge_attention_stats(
+                    out_r, m_r, l_r, out_h, m_h, l_h
+                )
+                if rt.kv_quant:
+                    out = attn_ops.merge_token_attention(
+                        out, m_all, l_all, q, k_cur, v_cur,
+                        sm_scale=sm_scale,
+                    )
                 return out, jnp.zeros((b, kfull), jnp.float32)
 
             out, scores = jax.lax.cond(is_full, full_attn, sparse_attn, q)
@@ -883,32 +875,29 @@ def decode_forward(
             )
 
             def obs_attn(q):
-                """Observation (full) layer: dense + score emission (XLA
-                ref path; obs layers are a small static subset)."""
+                """Observation (full) layer: dense + score emission in the
+                SAME kernel sweep (per-page raw expsums + late
+                normalization, ops/paged_decode.py). kv_quant: the kernel
+                dequantizes in-kernel over ctx-1 (the current token's
+                scales batch-write after the layer scan) and the token
+                merges exactly outside; its score is irrelevant (the
+                recent window is force-kept by selection anyway). The old
+                in-scan whole-array scale patch forced a padded-layout
+                scales copy per layer (see deltakv sparse_attn note)."""
                 if rt.kv_quant:
-                    # patch the current token's scales into the gathered
-                    # layer slice (the big array's entries for this step
-                    # are written only after the layer scan).
-                    dest = xs["_dest"]
-                    pg = jnp.where(dest >= 0, dest // page_size, -1)
-                    off = dest % page_size
-                    lsc = jax.lax.dynamic_index_in_dim(
-                        kv_scales, li, 1, False)
-                    for _i, _v in enumerate(step_scales):
-                        # [planes, pages, Nkv, P]: see _patched_lsc note
-                        lsc = lsc.at[_i, pg, :, off].set(_v, mode="drop")
-                    return ref_ops.decode_attention_ref(
-                        q,
-                        jax.lax.dynamic_index_in_dim(kc, li, 0, False),
-                        jax.lax.dynamic_index_in_dim(vc, li, 0, False),
-                        table_l, ctx, sm_scale=sm_scale, emit_scores=True,
-                        kv_scales=lsc,
+                    out_h, scores, m_h, l_h = attn_ops.decode_attention(
+                        q, kc, vc, cli, table_l, ctx - 1,
+                        sm_scale=sm_scale, emit_scores=True,
+                        return_stats=True, kv_scales=kv_scales,
+                        impl=rt.impl,
                     )
-                # pallas impl emits scores in the SAME sweep (per-page raw
-                # expsums + late normalization, ops/paged_decode.py) —
-                # replaces the ref-path gather that dominated OmniKV decode.
+                    out = attn_ops.merge_token_attention(
+                        out_h, m_h, l_h, q, k_cur, v_cur,
+                        sm_scale=sm_scale,
+                    )
+                    return out, scores
                 return attn_ops.decode_attention(
-                    q, kc, vc, li, table_l, ctx,
+                    q, kc, vc, cli, table_l, ctx,
                     sm_scale=sm_scale, emit_scores=True, impl=rt.impl,
                 )
 

@@ -202,3 +202,22 @@ def merge_tail_attention(
     den = a * l_h + jnp.sum(p, axis=-1)
     den = jnp.where(den <= 0.0, 1.0, den)
     return (num / den[..., None]).astype(out_h.dtype)
+
+
+def merge_attention_stats(o1, m1, l1, o2, m2, l2):
+    """Exactly merge two stats-form attention results over DISJOINT key
+    sets (softmax decomposition; both inputs are (normalized out, running
+    max, sumexp)). Returns the merged (out, m, l) in stats form so further
+    merges (e.g. the deferred current token) stay exact."""
+    import jax.numpy as jnp
+
+    m = jnp.maximum(m1, m2)
+    a1 = jnp.exp(m1 - m) * l1
+    a2 = jnp.exp(m2 - m) * l2
+    l = a1 + a2
+    l_safe = jnp.where(l <= 0.0, 1.0, l)
+    out = (
+        o1.astype(jnp.float32) * (a1 / l_safe)[..., None]
+        + o2.astype(jnp.float32) * (a2 / l_safe)[..., None]
+    )
+    return out.astype(o1.dtype), m, l

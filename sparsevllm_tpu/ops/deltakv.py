@@ -61,28 +61,64 @@ def rerope(k: jax.Array, positions: jax.Array, cos: jax.Array,
     return apply_rope(k, positions, cos, sin)
 
 
+def _record_geometry(latent_dim: int, latent_bits: int, latent_group: int,
+                     neighbors: int):
+    """Byte offsets of the per-token RECORD row.
+
+    ALL per-token compressed state (packed latent, f32 scale/zero per
+    group, int32 fathers) lives in ONE uint8 row of the latents array,
+    padded to a 128-lane multiple. Separate [.., Cmax, G<=8] /
+    [.., G, Cmax] planes were a tile-padding/relayout bomb: XLA chose
+    transposed G-minor layouts (16-32x padding) and kept 1.6 GiB remat
+    copies of each plane inside the decode megastep — the 128K deltakv
+    bench OOM (PERF_NOTES rule 4). A single record row gathers exactly
+    like the payload (sublane-axis gather, 128-multiple lanes): one
+    gather, no relayouts."""
+    per_byte = 8 // latent_bits
+    g = latent_group or latent_dim
+    ngrp = latent_dim // g
+    lat_b = latent_dim // per_byte
+    sc_off = lat_b
+    zr_off = sc_off + 4 * ngrp  # f32 scales
+    fa_off = zr_off + 4 * ngrp  # f32 zeros
+    end = fa_off + 4 * neighbors  # int32 fathers
+    rec = -(-end // 128) * 128
+    return ngrp, lat_b, sc_off, zr_off, fa_off, rec
+
+
+def _f32_to_u8(x):  # [..., N] f32 -> [..., 4N] u8 (little-endian lanes)
+    u8 = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint8)
+    return u8.reshape(*x.shape[:-1], x.shape[-1] * 4)
+
+
+def _u8_to_f32(x):  # [..., 4N] u8 -> [..., N] f32
+    quads = x.reshape(*x.shape[:-1], x.shape[-1] // 4, 4)
+    return jax.lax.bitcast_convert_type(quads, jnp.float32)
+
+
+def _i32_to_u8(x):
+    u8 = jax.lax.bitcast_convert_type(x.astype(jnp.int32), jnp.uint8)
+    return u8.reshape(*x.shape[:-1], x.shape[-1] * 4)
+
+
+def _u8_to_i32(x):
+    quads = x.reshape(*x.shape[:-1], x.shape[-1] // 4, 4)
+    return jax.lax.bitcast_convert_type(quads, jnp.int32)
+
+
 def init_state(num_sparse: int, rows: int, cmax: int, ncmax: int,
                nkv: int, dh: int, latent_dim: int, dtype,
                latent_bits: int = 4, latent_group: int = 0,
                neighbors: int = 4) -> dict:
-    per_byte = 8 // latent_bits  # int4 -> 2 values/byte, int2 -> 4
-    g = latent_group or latent_dim
+    *_, rec = _record_geometry(latent_dim, latent_bits, latent_group,
+                               neighbors)
     return {
-        "latents": jnp.zeros(
-            (num_sparse, rows, cmax, latent_dim // per_byte), jnp.uint8
-        ),
-        "lat_scale": jnp.ones(
-            (num_sparse, rows, cmax, latent_dim // g), jnp.float32),
-        "lat_zero": jnp.zeros(
-            (num_sparse, rows, cmax, latent_dim // g), jnp.float32),
+        # per-token RECORD rows: packed latent ∥ f32 scales ∥ f32 zeros ∥
+        # int32 nearest-causal-center fathers (reference _cluster_refs +
+        # token_father_idx, cache_pipeline.py:433-481 — positional
+        # j//stride refs measured 0.33 oracle recall vs 1.00 exact)
+        "latents": jnp.zeros((num_sparse, rows, cmax, rec), jnp.uint8),
         "centers": jnp.zeros((num_sparse, rows, ncmax, nkv, 2 * dh), dtype),
-        # per-token nearest-center (father) indices: each compressed
-        # token's reference is the MEAN of its `neighbors` nearest causal
-        # centers by content (reference _cluster_refs + token_father_idx,
-        # cache_pipeline.py:433-481) — positional j//stride assignment
-        # measured 0.33 recall on the induction oracle vs 1.00 exact.
-        "fathers": jnp.zeros(
-            (num_sparse, rows, cmax, neighbors), jnp.int32),
     }
 
 
@@ -99,6 +135,7 @@ def compress_layer(
     stride: int,
     latent_bits: int = 4,
     latent_group: int = 0,
+    neighbors: int = 4,
     dest_offset: jax.Array | None = None,  # [B] write position (tail
     #   re-compression appends at the current compressed count; must be a
     #   multiple of ``stride`` so cluster boundaries stay aligned)
@@ -153,7 +190,7 @@ def compress_layer(
         (j >= 0) & (j * stride <= tok) & (j * stride < counts[:, None, None])
     )
     scores = jnp.where(allowed, scores, NEG_INF)
-    nn = dk["fathers"].shape[-1]
+    nn = neighbors
     k_sel = min(nn, ncmax)
     vals, fathers = jax.lax.top_k(scores, k_sel)  # [B, C, NN]
     # early tokens have fewer than NN causal centers: replace disallowed
@@ -175,20 +212,23 @@ def compress_layer(
     else:
         packed, scale, zero = quant.pack_int4_groups(latent, group=g)
 
-    # 4) scatter at (row, dest_offset + j); invalid lanes drop past cmax
+    # 4) ONE record scatter at (row, dest_offset + j); invalid lanes drop
+    # past cmax (record geometry: _record_geometry docstring)
+    rec = dk["latents"].shape[3]
+    record = jnp.concatenate([
+        packed.astype(jnp.uint8),
+        _f32_to_u8(scale),
+        _f32_to_u8(zero),
+        _i32_to_u8(fathers.astype(jnp.int32)),
+    ], axis=-1)
+    record = jnp.pad(
+        record, ((0, 0), (0, 0), (0, rec - record.shape[-1]))
+    )
     cidx = dest_offset[:, None] + jnp.arange(c)[None, :]  # [B, C]
     cidx = jnp.where(valid, cidx, cmax)
     ridx = jnp.broadcast_to(rows[:, None], (b, c))
-    latents = dk["latents"].at[sl, ridx, cidx].set(packed, mode="drop")
-    lat_scale = dk["lat_scale"].at[sl, ridx, cidx].set(scale, mode="drop")
-    lat_zero = dk["lat_zero"].at[sl, ridx, cidx].set(zero, mode="drop")
-    fathers_arr = dk["fathers"].at[sl, ridx, cidx].set(
-        fathers.astype(jnp.int32), mode="drop")
-    return {
-        "latents": latents, "lat_scale": lat_scale,
-        "lat_zero": lat_zero, "centers": centers_arr,
-        "fathers": fathers_arr,
-    }
+    latents = dk["latents"].at[sl, ridx, cidx].set(record, mode="drop")
+    return {"latents": latents, "centers": centers_arr}
 
 
 def reconstruct(
@@ -208,6 +248,8 @@ def reconstruct(
     latent_bits: int = 4,
     latent_group: int = 0,
     rot_dim: int = 0,
+    latent_dim: int = 0,
+    neighbors: int = 4,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Rebuild K̂ (re-RoPE'd), V̂ for the selected compressed tokens.
 
@@ -218,23 +260,24 @@ def reconstruct(
     valid = (topk_idx >= 0) & (topk_idx < comp_counts[:, None])
     idx = jnp.clip(topk_idx, 0, dk["latents"].shape[2] - 1)
     lat_sl = jax.lax.dynamic_index_in_dim(dk["latents"], sl, 0, False)
-    sc_sl = jax.lax.dynamic_index_in_dim(dk["lat_scale"], sl, 0, False)
-    zr_sl = jax.lax.dynamic_index_in_dim(dk["lat_zero"], sl, 0, False)
     ce_sl = jax.lax.dynamic_index_in_dim(dk["centers"], sl, 0, False)
-    fa_sl = jax.lax.dynamic_index_in_dim(dk["fathers"], sl, 0, False)
-    packed = lat_sl[rows[:, None], idx]  # [B, T, latent//per_byte]
-    scale = sc_sl[rows[:, None], idx]  # [B, T, G]
-    zero = zr_sl[rows[:, None], idx]
-    per_byte = 4 if latent_bits == 2 else 2
-    ld = packed.shape[-1] * per_byte
-    g = latent_group or ld
+    if not latent_dim:
+        raise ValueError("reconstruct requires latent_dim (record layout)")
+    ngrp, lat_b, sc_off, zr_off, fa_off, _rec = _record_geometry(
+        latent_dim, latent_bits, latent_group, neighbors
+    )
+    record = lat_sl[rows[:, None], idx]  # [B, T, REC] — ONE gather
+    packed = record[..., :lat_b]
+    scale = _u8_to_f32(record[..., sc_off:zr_off])  # [B, T, G]
+    zero = _u8_to_f32(record[..., zr_off:fa_off])
+    fathers = _u8_to_i32(record[..., fa_off:fa_off + 4 * neighbors])
+    g = latent_group or latent_dim
     unpack = (quant.unpack_int2_groups if latent_bits == 2
               else quant.unpack_int4_groups)
     latent = unpack(packed, scale, zero, group=g)  # [B, T, latent]
     residual = comp_ops.reconstruct_up(
         comp_layer["up"], arch, latent
     )  # [B, T, io]
-    fathers = fa_sl[rows[:, None], idx]  # [B, T, NN]
     kvdim = nkv * 2 * dh
     ncmax = ce_sl.shape[1]
     cen = ce_sl[rows[:, None], :].reshape(b, ncmax, kvdim)
@@ -277,3 +320,42 @@ def sparse_decode_attention(
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhgk,bkhd->bhgd", p, vals)
     return out.reshape(b, nq, dh).astype(q.dtype)
+
+
+def reconstructed_attention_stats(
+    q: jax.Array,  # [B, Nq, Dh]
+    k_hat: jax.Array,  # [B, T, Nkv, Dh] (re-RoPE'd)
+    v_hat: jax.Array,
+    hat_valid: jax.Array,  # [B, T]
+    *,
+    sm_scale: float,
+):
+    """Stats-form attention over ONLY the reconstructed top-k keys.
+
+    The caller merges it with the raw-window result from the paged decode
+    KERNEL (ops/attention.merge_attention_stats): concatenating raw+hat
+    keys in XLA forced a whole-pool gather whose layout assignment COPIED
+    the int4 cache inside the decode scan (1.78 GiB temp at 128K)."""
+    b, nq, dh = q.shape
+    nkv = k_hat.shape[2]
+    g = nq // nkv
+    qf = q.astype(jnp.float32).reshape(b, nkv, g, dh)
+    s = jnp.einsum(
+        "bhgd,bkhd->bhgk", qf, k_hat.astype(jnp.float32)
+    ) * sm_scale
+    s = jnp.where(hat_valid[:, None, None, :], s, NEG_INF)
+    m = jnp.max(s, axis=-1)  # [B, Nkv, G]
+    e = jnp.where(
+        hat_valid[:, None, None, :], jnp.exp(s - m[..., None]), 0.0
+    )
+    l = jnp.sum(e, axis=-1)
+    l_safe = jnp.where(l <= 0.0, 1.0, l)
+    out = jnp.einsum(
+        "bhgk,bkhd->bhgd", e / l_safe[..., None],
+        v_hat.astype(jnp.float32),
+    )
+    return (
+        out.reshape(b, nq, dh).astype(q.dtype),
+        m.reshape(b, nq),
+        l.reshape(b, nq),
+    )

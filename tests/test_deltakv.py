@@ -414,3 +414,64 @@ def test_deltakv_int2_latents_runs(tmp_path, hf_model):
                                        ignore_eos=True),
     )
     assert len(out.output_token_ids) == 6
+
+
+def test_deltakv_global_pool_lossless_and_accounted(tmp_path, hf_model):
+    """config.global_kv_pool (r4): ONE page id space shared by all layers
+    (per-layer tables route; cache arrays have a singleton layer dim) —
+    the residency-honest pool for deltakv's asymmetric layers (observation
+    layers keep the whole prompt, compressed layers keep sink+tail).
+    Must be token-identical to dense HF at identity-codec settings, across
+    TWO sequences (the second reuses the first's spliced global pages),
+    with clean page accounting."""
+    import os as _os
+
+    from sparsevllm_tpu.engine import debug_checks
+
+    cfg, model = hf_model
+    engine = LLM(
+        sparse_method="deltakv",
+        full_attention_layers=(0,),
+        deltakv_checkpoint_path=_identity_ckpt(tmp_path),
+        deltakv_cluster_ratio=1.0,
+        deltakv_max_compressed_tokens=256,
+        decode_keep_tokens=256,
+        sink_keep_tokens=8, recent_keep_tokens=16,
+        global_kv_pool=True,
+        # global pool: num_kv_pages is TOTAL pages across layers
+        **{**BASE, "num_kv_pages": 2 * 512},
+    )
+    rng = np.random.default_rng(13)
+    for trial in range(2):
+        prompt = rng.integers(3, 500, 120).tolist()
+        (out,) = engine.generate(
+            prompt_token_ids=[prompt],
+            sampling_params=SamplingParams(temperature=0.0, max_tokens=6,
+                                           ignore_eos=True),
+        )
+        assert_hf_consistent(model, prompt, out.output_token_ids)
+        debug_checks.check_page_accounting(engine.kv, [])
+
+
+def test_deltakv_global_pool_total_page_costs(tmp_path, hf_model):
+    """Global-pool admission accounts TOTAL pages (all layers draw from
+    one stack): a prompt needing more than num_kv_pages/L per layer must
+    admit under GP sizing and the non-GP manager must reject the same
+    pool size."""
+    cfg, _ = hf_model
+    kw = dict(
+        sparse_method="deltakv",
+        full_attention_layers=(0,),
+        deltakv_checkpoint_path=_identity_ckpt(tmp_path),
+        deltakv_cluster_ratio=1.0,
+        deltakv_max_compressed_tokens=256,
+        decode_keep_tokens=256,
+        sink_keep_tokens=8, recent_keep_tokens=16,
+    )
+    eng = LLM(global_kv_pool=True, **kw, **{**BASE, "num_kv_pages": 256})
+    seq_cost = eng.kv.admission_cost_pages(
+        type("S", (), {"num_prompt_tokens": 120,
+                       "streamed_prefill": False})()
+    )
+    assert seq_cost == 2 * -(-(121) // 8)  # L=2 layers x per-layer pages
+    eng.exit()
