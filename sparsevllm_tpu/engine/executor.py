@@ -392,12 +392,25 @@ class ModelExecutor:
 
     @staticmethod
     def _update_tables_impl(tables, l_idx, r_idx, i_idx, pages):
-        return tables.at[l_idx, r_idx, i_idx].set(pages)
+        # padded entries carry an out-of-range row -> dropped
+        return tables.at[l_idx, r_idx, i_idx].set(pages, mode="drop")
 
     def apply_table_updates(self, updates) -> None:
         if updates is None:
             return
         l_idx, r_idx, i_idx, pages = updates
+        # pad to a pow2 length bucket: every distinct update length is a
+        # fresh jit compile (traced: 688 ms host stalls inside the decode
+        # loop whenever a new length appeared)
+        n = len(l_idx)
+        nb = _round_up_pow2(max(n, 1))
+        if nb != n:
+            pad = nb - n
+            l_idx = np.pad(l_idx, (0, pad))
+            r_idx = np.pad(r_idx, (0, pad),
+                           constant_values=self.tables.shape[1])
+            i_idx = np.pad(i_idx, (0, pad))
+            pages = np.pad(pages, (0, pad))
         self.tables = self._update_fn(
             self.tables, self._dev(l_idx), self._dev(r_idx),
             self._dev(i_idx), self._dev(pages),

@@ -16,9 +16,9 @@ deltakv_base.py + deltakv_less_memory.py + triton_kernel/deltakv_kernels.py):
     over [sink | recent | reconstructed top-k] (reference
     deltakv_kernels.py:2568-3488 reconstruct+writeback + sparse decode).
 
-State pytree ``dk`` (executor-owned, scan carry):
-    latents   [Ls, R, Cmax, latent//2] uint8 (int4-packed)
-    lat_scale [Ls, R, Cmax] f32, lat_zero [Ls, R, Cmax] f32
+State pytree ``dk`` (executor-owned, read-only in decode):
+    latents   [Ls, R, Cmax, REC/4] f32-typed RECORD rows — packed latent ∥
+              f32 group scales/zeros ∥ int32 fathers (_record_geometry)
     centers   [Ls, R, NC, Nkv, 2*Dh] compute-dtype (pre-RoPE K ∥ V)
 """
 
@@ -116,8 +116,14 @@ def init_state(num_sparse: int, rows: int, cmax: int, ncmax: int,
         # per-token RECORD rows: packed latent ∥ f32 scales ∥ f32 zeros ∥
         # int32 nearest-causal-center fathers (reference _cluster_refs +
         # token_father_idx, cache_pipeline.py:433-481 — positional
-        # j//stride refs measured 0.33 oracle recall vs 1.00 exact)
-        "latents": jnp.zeros((num_sparse, rows, cmax, rec), jnp.uint8),
+        # j//stride refs measured 0.33 oracle recall vs 1.00 exact).
+        # STORED f32-TYPED (opaque 4-byte payload words): u8 storage made
+        # every reader bitcast the WHOLE table (XLA materializes the
+        # (4,1)-tiled u8 -> f32 relayout, ~1 ms/layer/step in the decode
+        # scan); f32 words take_along at full gather speed and only the
+        # gathered rows bitcast back to bytes.
+        "latents": jnp.zeros((num_sparse, rows, cmax, rec // 4),
+                             jnp.float32),
         "centers": jnp.zeros((num_sparse, rows, ncmax, nkv, 2 * dh), dtype),
     }
 
@@ -213,8 +219,9 @@ def compress_layer(
         packed, scale, zero = quant.pack_int4_groups(latent, group=g)
 
     # 4) ONE record scatter at (row, dest_offset + j); invalid lanes drop
-    # past cmax (record geometry: _record_geometry docstring)
-    rec = dk["latents"].shape[3]
+    # past cmax (record geometry: _record_geometry docstring; rows are
+    # f32-typed payload words — see init_state)
+    rec4 = dk["latents"].shape[3]
     record = jnp.concatenate([
         packed.astype(jnp.uint8),
         _f32_to_u8(scale),
@@ -222,12 +229,15 @@ def compress_layer(
         _i32_to_u8(fathers.astype(jnp.int32)),
     ], axis=-1)
     record = jnp.pad(
-        record, ((0, 0), (0, 0), (0, rec - record.shape[-1]))
+        record, ((0, 0), (0, 0), (0, 4 * rec4 - record.shape[-1]))
+    )
+    record_f32 = jax.lax.bitcast_convert_type(
+        record.reshape(b, c, rec4, 4), jnp.float32
     )
     cidx = dest_offset[:, None] + jnp.arange(c)[None, :]  # [B, C]
     cidx = jnp.where(valid, cidx, cmax)
     ridx = jnp.broadcast_to(rows[:, None], (b, c))
-    latents = dk["latents"].at[sl, ridx, cidx].set(record, mode="drop")
+    latents = dk["latents"].at[sl, ridx, cidx].set(record_f32, mode="drop")
     return {"latents": latents, "centers": centers_arr}
 
 
@@ -266,7 +276,16 @@ def reconstruct(
     ngrp, lat_b, sc_off, zr_off, fa_off, _rec = _record_geometry(
         latent_dim, latent_bits, latent_group, neighbors
     )
-    record = lat_sl[rows[:, None], idx]  # [B, T, REC] — ONE gather
+    # ONE record gather (f32 payload words, take_along_axis): the
+    # advanced-index u8 form lowered to a 5 ms gather on TPU (x26 layers
+    # x32 lane steps = 4.3 s/dispatch, the 7 tok/s first deltakv bench),
+    # and a per-read whole-table u8->f32 bitcast materialized a relayout
+    # copy — hence f32-typed STORAGE (init_state).
+    rec4 = lat_sl.shape[-1]
+    got = jnp.take_along_axis(lat_sl[rows], idx[..., None], axis=1)
+    record = jax.lax.bitcast_convert_type(
+        got, jnp.uint8
+    ).reshape(b, t, 4 * rec4)  # [B, T, REC]
     packed = record[..., :lat_b]
     scale = _u8_to_f32(record[..., sc_off:zr_off])  # [B, T, G]
     zero = _u8_to_f32(record[..., zr_off:fa_off])
@@ -275,16 +294,34 @@ def reconstruct(
     unpack = (quant.unpack_int2_groups if latent_bits == 2
               else quant.unpack_int4_groups)
     latent = unpack(packed, scale, zero, group=g)  # [B, T, latent]
+    # up-projection in the COMPUTE dtype (bf16 on chip: native MXU rate;
+    # f32 on the CPU parity tests keeps the identity codec exact)
+    mm_dtype = ce_sl.dtype
     residual = comp_ops.reconstruct_up(
-        comp_layer["up"], arch, latent
-    )  # [B, T, io]
+        jax.tree_util.tree_map(lambda w: w.astype(mm_dtype),
+                               comp_layer["up"]),
+        arch, latent.astype(mm_dtype),
+    ).astype(jnp.float32)  # [B, T, io]
     kvdim = nkv * 2 * dh
     ncmax = ce_sl.shape[1]
     cen = ce_sl[rows[:, None], :].reshape(b, ncmax, kvdim)
-    refs = cen[
-        jnp.arange(b)[:, None, None], jnp.clip(fathers, 0, ncmax - 1)
-    ].astype(jnp.float32).mean(axis=2)  # [B, T, KV]
-    kv_hat = (residual + refs).reshape(b, t, nkv, 2 * dh)
+    # refs = mean of NN father centers — as a ONE-HOT MATMUL against the
+    # (small, VMEM-friendly) centers table instead of a row gather: the
+    # gather+convert+mean chain traced at 1.27 ms/layer/step (the whole
+    # deltakv decode wall); [T, NC] x [NC, KV] runs on the MXU at ~0.2 ms.
+    # Duplicate fathers (early tokens) contribute multiple 1/NN weights —
+    # identical semantics to the mean over the gathered rows.
+    nnb = fathers.shape[-1]
+    fa = jnp.clip(fathers, 0, ncmax - 1)
+    onehot = (
+        fa[..., None]
+        == jnp.arange(ncmax, dtype=jnp.int32)[None, None, None, :]
+    )
+    a_mean = onehot.astype(cen.dtype).sum(axis=2) / nnb  # [B, T, NC]
+    refs = jnp.einsum(
+        "btn,bnk->btk", a_mean, cen, preferred_element_type=jnp.float32
+    )  # [B, T, KV]
+    kv_hat = (residual + refs).reshape(b, t, nkv, 2 * dh).astype(mm_dtype)
     k_hat, v_hat = kv_hat[..., :dh], kv_hat[..., dh:]
     # Re-RoPE K at absolute positions
     pos = base_pos[:, None] + topk_idx  # [B, T]
@@ -339,9 +376,10 @@ def reconstructed_attention_stats(
     b, nq, dh = q.shape
     nkv = k_hat.shape[2]
     g = nq // nkv
-    qf = q.astype(jnp.float32).reshape(b, nkv, g, dh)
+    qf = q.reshape(b, nkv, g, dh)
     s = jnp.einsum(
-        "bhgd,bkhd->bhgk", qf, k_hat.astype(jnp.float32)
+        "bhgd,bkhd->bhgk", qf, k_hat.astype(q.dtype),
+        preferred_element_type=jnp.float32,
     ) * sm_scale
     s = jnp.where(hat_valid[:, None, None, :], s, NEG_INF)
     m = jnp.max(s, axis=-1)  # [B, Nkv, G]
@@ -351,8 +389,8 @@ def reconstructed_attention_stats(
     l = jnp.sum(e, axis=-1)
     l_safe = jnp.where(l <= 0.0, 1.0, l)
     out = jnp.einsum(
-        "bhgk,bkhd->bhgd", e / l_safe[..., None],
-        v_hat.astype(jnp.float32),
+        "bhgk,bkhd->bhgd", (e / l_safe[..., None]).astype(q.dtype),
+        v_hat.astype(q.dtype), preferred_element_type=jnp.float32,
     )
     return (
         out.reshape(b, nq, dh).astype(q.dtype),
