@@ -313,14 +313,28 @@ def reconstruct(
     # identical semantics to the mean over the gathered rows.
     nnb = fathers.shape[-1]
     fa = jnp.clip(fathers, 0, ncmax - 1)
-    onehot = (
-        fa[..., None]
-        == jnp.arange(ncmax, dtype=jnp.int32)[None, None, None, :]
-    )
-    a_mean = onehot.astype(cen.dtype).sum(axis=2) / nnb  # [B, T, NC]
-    refs = jnp.einsum(
-        "btn,bnk->btk", a_mean, cen, preferred_element_type=jnp.float32
-    )  # [B, T, KV]
+    if ncmax <= 2048:
+        # small center tables: one-hot MXU matmul
+        onehot = (
+            fa[..., None]
+            == jnp.arange(ncmax, dtype=jnp.int32)[None, None, None, :]
+        )
+        a_mean = onehot.astype(cen.dtype).sum(axis=2) / nnb  # [B, T, NC]
+        refs = jnp.einsum(
+            "btn,bnk->btk", a_mean, cen,
+            preferred_element_type=jnp.float32,
+        )  # [B, T, KV]
+    else:
+        # big center tables (128K+): the matmul is O(T*NC*KV) and loses;
+        # NN separate row gathers summed — no [T, NN, KV] intermediate
+        # (the fused gather+convert+mean materialized 134 MB f32 per
+        # layer-step), context-free cost
+        bidx = jnp.arange(b)[:, None]
+        acc = None
+        for j in range(nnb):
+            gj = cen[bidx, fa[:, :, j]].astype(jnp.float32)  # [B, T, KV]
+            acc = gj if acc is None else acc + gj
+        refs = acc / nnb
     kv_hat = (residual + refs).reshape(b, t, nkv, 2 * dh).astype(mm_dtype)
     k_hat, v_hat = kv_hat[..., :dh], kv_hat[..., dh:]
     # Re-RoPE K at absolute positions
