@@ -170,10 +170,20 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
         # the reference's raw-kv-offload posture at its 512K headline
         # (plot_throughput_chart.py:18).
         deltakv_streamed = ctx > 196608
+        sparse_cost = 1 + -(-512 // page) + growthp + 4
         if deltakv_streamed:
-            sparse_cost = 1 + -(-512 // page) + growthp + 4
             num_pages = (
                 batch * full_n * (prompt_pages + growthp)
+                + batch * sparse_n * sparse_cost + 16
+            )
+        elif batch > 1:
+            # batch >1 resident: GLOBAL pool — one in-flight dense prefill
+            # (all layers) + every other row's full-layer residency +
+            # sparse tails. A per-layer pool would cost
+            # batch x prompt_pages on EVERY layer.
+            num_pages = (
+                spec.num_layers * (prompt_pages + growthp)
+                + (batch - 1) * full_n * (prompt_pages + growthp)
                 + batch * sparse_n * sparse_cost + 16
             )
         else:
@@ -211,6 +221,9 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
         if deltakv_streamed:
             extra["global_kv_pool"] = True
             extra["long_prefill_offload_threshold"] = max(chunk * 2, 16384)
+        elif batch > 1:
+            extra["global_kv_pool"] = True
+            extra["long_prefill_offload_threshold"] = ctx + page
         else:
             # resident dense prefill (int4 pallas prefill kernel); the
             # host archive tier only pays off beyond-HBM (256K+)

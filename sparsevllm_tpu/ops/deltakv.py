@@ -282,7 +282,12 @@ def reconstruct(
     # and a per-read whole-table u8->f32 bitcast materialized a relayout
     # copy — hence f32-typed STORAGE (init_state).
     rec4 = lat_sl.shape[-1]
-    got = jnp.take_along_axis(lat_sl[rows], idx[..., None], axis=1)
+    # flattened single gather: ``lat_sl[rows]`` materialized the WHOLE
+    # [Cmax, REC/4] table slice per layer-step (50 MB x26 at 128K, traced
+    # 5 ms/step); a flat row-take touches only the selected rows
+    flat = lat_sl.reshape(-1, rec4)
+    gidx = rows[:, None] * lat_sl.shape[1] + idx  # [B, T]
+    got = jnp.take(flat, gidx, axis=0)  # [B, T, REC/4]
     record = jax.lax.bitcast_convert_type(
         got, jnp.uint8
     ).reshape(b, t, 4 * rec4)  # [B, T, REC]
@@ -304,7 +309,6 @@ def reconstruct(
     ).astype(jnp.float32)  # [B, T, io]
     kvdim = nkv * 2 * dh
     ncmax = ce_sl.shape[1]
-    cen = ce_sl[rows[:, None], :].reshape(b, ncmax, kvdim)
     # refs = mean of NN father centers — as a ONE-HOT MATMUL against the
     # (small, VMEM-friendly) centers table instead of a row gather: the
     # gather+convert+mean chain traced at 1.27 ms/layer/step (the whole
@@ -315,6 +319,7 @@ def reconstruct(
     fa = jnp.clip(fathers, 0, ncmax - 1)
     if ncmax <= 2048:
         # small center tables: one-hot MXU matmul
+        cen = ce_sl[rows].reshape(b, ncmax, kvdim)
         onehot = (
             fa[..., None]
             == jnp.arange(ncmax, dtype=jnp.int32)[None, None, None, :]
@@ -326,13 +331,15 @@ def reconstruct(
         )  # [B, T, KV]
     else:
         # big center tables (128K+): the matmul is O(T*NC*KV) and loses;
-        # NN separate row gathers summed — no [T, NN, KV] intermediate
-        # (the fused gather+convert+mean materialized 134 MB f32 per
-        # layer-step), context-free cost
-        bidx = jnp.arange(b)[:, None]
+        # NN separate FLAT row takes summed — no [T, NN, KV] intermediate
+        # and no whole-table slice copies, context-free cost
+        cen_flat = ce_sl.reshape(-1, kvdim)
+        base_row = rows[:, None] * ncmax
         acc = None
         for j in range(nnb):
-            gj = cen[bidx, fa[:, :, j]].astype(jnp.float32)  # [B, T, KV]
+            gj = jnp.take(
+                cen_flat, base_row + fa[:, :, j], axis=0
+            ).astype(jnp.float32)  # [B, T, KV]
             acc = gj if acc is None else acc + gj
         refs = acc / nnb
     kv_hat = (residual + refs).reshape(b, t, nkv, 2 * dh).astype(mm_dtype)
