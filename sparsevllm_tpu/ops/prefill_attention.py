@@ -472,6 +472,12 @@ def prefill_attention_pallas(
     # exceeds the VMEM budget and fails Mosaic compile).
     quantized = kv_scales is not None
     block_s = min(s, 512)
+    # VMEM scratch scales with block_s * Nq rows: the 512-tile budget was
+    # sized at Nq=24 (3B-class); 28-head (7B-class) int4 exceeded the
+    # 100 MB scoped limit by 8 MB — cap rows at the 512x24 envelope.
+    nq_ = q.shape[2]
+    while block_s > 64 and block_s * nq_ > 512 * 24:
+        block_s //= 2
     while s % block_s:
         block_s //= 2
     out = _prefill_pallas(
