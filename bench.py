@@ -256,6 +256,10 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
         decode_steps_per_dispatch=k_disp,
         **extra,
     )
+    # drop the host-side params reference: under weight_quantization the
+    # executor holds the fp8 copy and the ORIGINAL bf16 tree (15 GiB at
+    # 7B) must be freeable
+    del params
     try:
         return _drive_e2e(engine, spec, name, batch, steps, ctx, keep,
                           kv_dtype, method, warmup_disp, k_disp, mode)
