@@ -92,17 +92,16 @@ def _hbm_gib() -> float:
     return hbm / 2**30
 
 
-def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
-            smoke: bool = False, kv_dtype: str = "bfloat16", page: int = 128,
-            method: str = "snapkv", chunk: int = 8192,
-            staging: str = "int4", model_class: str = "auto",
-            weight_quant: str = "none") -> dict:
-    """Honest prompt-in -> tokens-out measurement through LLMEngine."""
-    import jax
-
+def build_engine(batch: int, steps: int, ctx: int, keep: int, impl: str,
+                 smoke: bool = False, kv_dtype: str = "bfloat16",
+                 page: int = 128, method: str = "snapkv", chunk: int = 8192,
+                 staging: str = "int4", model_class: str = "auto",
+                 weight_quant: str = "none"):
+    """Construct the bench engine (shared by the run and by
+    scripts/hbm_ledger.py's AOT memory accounting). Returns
+    (engine, spec, name, mode, k_disp, warmup_disp)."""
     from sparsevllm_tpu.engine.llm_engine import LLMEngine
     from sparsevllm_tpu.models.weights import init_params
-    from sparsevllm_tpu.sampling_params import SamplingParams
 
     if smoke:
         name, spec = _smoke_spec()
@@ -260,6 +259,19 @@ def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
     # executor holds the fp8 copy and the ORIGINAL bf16 tree (15 GiB at
     # 7B) must be freeable
     del params
+    return engine, spec, name, mode, k_disp, warmup_disp
+
+
+def run_e2e(batch: int, steps: int, ctx: int, keep: int, impl: str,
+            smoke: bool = False, kv_dtype: str = "bfloat16", page: int = 128,
+            method: str = "snapkv", chunk: int = 8192,
+            staging: str = "int4", model_class: str = "auto",
+            weight_quant: str = "none") -> dict:
+    """Honest prompt-in -> tokens-out measurement through LLMEngine."""
+    engine, spec, name, mode, k_disp, warmup_disp = build_engine(
+        batch, steps, ctx, keep, impl, smoke=smoke, kv_dtype=kv_dtype,
+        page=page, method=method, chunk=chunk, staging=staging,
+        model_class=model_class, weight_quant=weight_quant)
     try:
         return _drive_e2e(engine, spec, name, batch, steps, ctx, keep,
                           kv_dtype, method, warmup_disp, k_disp, mode)

@@ -493,10 +493,21 @@ class ModelExecutor:
         schedule; reference model_runner.py SHM RPC is replaced by
         same-program-everywhere)."""
         if jax.process_count() > 1 and self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
+            # ONE jitted replicating identity reused across steps: a
+            # fresh jax.jit per call would recompile the cross-host
+            # all-gather for every output array of every dispatch
+            # (ADVICE r4 medium), re-adding the per-step compile latency
+            # the megastep design exists to remove. The single jit
+            # object caches per input aval, so tokens + logprob arrays
+            # each compile once.
+            fetch = self.__dict__.get("_fetch_replicate_jit")
+            if fetch is None:
+                from jax.sharding import NamedSharding, PartitionSpec
 
-            rep = NamedSharding(self.mesh, PartitionSpec())
-            arr = jax.jit(lambda a: a, out_shardings=rep)(arr)
+                rep = NamedSharding(self.mesh, PartitionSpec())
+                fetch = jax.jit(lambda a: a, out_shardings=rep)
+                self._fetch_replicate_jit = fetch
+            arr = fetch(arr)
         return np.asarray(arr)
 
     def _put_plan(self, plan: dict, phase: str) -> dict:
@@ -518,7 +529,11 @@ class ModelExecutor:
         # genuinely shard over DP (VERDICT r3 weak#4: bs-1/odd-batch plans
         # silently lost the data axis behind a replication-warning wall);
         # padded lanes carry out-of-range rows and drop their writes.
-        bb = _round_up_pow2(max(b, self._dp_size))
+        # pow2 rounding alone only guarantees divisibility for pow2 data
+        # axes — round up to an explicit dp multiple for e.g. dp=3
+        # (ADVICE r4 low #2).
+        dp = self._dp_size
+        bb = -(-_round_up_pow2(max(b, dp)) // dp) * dp
         sb = min(
             _round_up_pow2(s, lo=min(16, self.config.chunk_prefill_size)),
             max(self.config.chunk_prefill_size, s),
@@ -549,7 +564,9 @@ class ModelExecutor:
         dp = self._dp_size
         if not self.config.decode_bucketed_jit:
             return -(-b // dp) * dp, max(max_ctx_pages, 1)
-        bb = self.config.batch_bucket(max(b, dp))
+        # explicit dp-multiple round-up: pow2 buckets only divide pow2
+        # data axes (ADVICE r4 low #2)
+        bb = -(-self.config.batch_bucket(max(b, dp)) // dp) * dp
         mp = self.config.context_bucket_pages(max(max_ctx_pages, 1))
         return bb, mp
 

@@ -122,8 +122,6 @@ class HybridExecutor(ModelExecutor):
         full-attention layers incl. the first one) map to KV slots; the
         remaining KV slots become deltakv-compressed layers. Linear layers
         are untouched (recurrent state, no KV)."""
-        from types import SimpleNamespace
-
         from .executor import init_deltakv_state
 
         full_model = sorted(set(config.full_attn_layers))
@@ -168,12 +166,20 @@ class HybridExecutor(ModelExecutor):
             neighbors=config.deltakv_neighbor_count,
         )
         # compress_prefill/_get_dk_compress_fn (inherited from
-        # ModelExecutor) read these StepRuntime fields
-        self._rt = SimpleNamespace(
+        # ModelExecutor) read these StepRuntime fields. A REAL StepRuntime
+        # (not a SimpleNamespace) keeps the executor's shared helpers on a
+        # uniform runtime contract: any inherited path reading other
+        # fields (impl, kv_quant, global_pool, ...) sees the defaults
+        # instead of AttributeError (ADVICE r4 low #3).
+        from ..models.transformer import StepRuntime
+
+        self._rt = StepRuntime(
             deltakv=True, dk_comp_base=comp_base, dk_stride=stride,
             dk_arch=arch, dk_latent_bits=config.deltakv_latent_bits,
             dk_group=config.deltakv_latent_group,
             dk_nn=config.deltakv_neighbor_count,
+            dk_latent_dim=latent_dim,
+            dk_topk=config.decode_keep_tokens,
         )
 
     # ------------------------------------------------------------- step fns

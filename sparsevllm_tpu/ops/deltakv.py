@@ -324,11 +324,16 @@ def reconstruct(
             fa[..., None]
             == jnp.arange(ncmax, dtype=jnp.int32)[None, None, None, :]
         )
-        a_mean = onehot.astype(cen.dtype).sum(axis=2) / nnb  # [B, T, NC]
+        # father COUNTS (small ints, exact in bf16) feed the MXU matmul;
+        # the 1/NN mean divides AFTER, in the f32 accumulator — for
+        # non-pow2 NN a bf16 pre-divide weight is not representable and
+        # this path would diverge from the large-table branch (which
+        # averages flat f32 takes) exactly at the ncmax==2048 boundary.
+        a_cnt = onehot.astype(cen.dtype).sum(axis=2)  # [B, T, NC]
         refs = jnp.einsum(
-            "btn,bnk->btk", a_mean, cen,
+            "btn,bnk->btk", a_cnt, cen,
             preferred_element_type=jnp.float32,
-        )  # [B, T, KV]
+        ) / nnb  # [B, T, KV] f32
     else:
         # big center tables (128K+): the matmul is O(T*NC*KV) and loses;
         # NN separate FLAT row takes summed — no [T, NN, KV] intermediate
