@@ -115,6 +115,25 @@ def build_engine(batch: int, steps: int, ctx: int, keep: int, impl: str,
         ])
     params = init_params(spec, seed=0, dtype="bfloat16",
                          distribution="zeros")
+    if weight_quant == "fp8":
+        # build the fp8 tree DIRECTLY (zeros quantize to zeros): reading
+        # the synthetic bf16 zeros tree to quantize it commits ~14 GiB at
+        # 7B that the axon allocator never reclaims after free — the r4
+        # 7B-lane first-prefill OOM (ops/fp8.py quantize_param_tree_zeros)
+        from sparsevllm_tpu.ops import fp8 as fp8_ops
+
+        params = dict(params)
+        params["layers"], _ = fp8_ops.quantize_param_tree_zeros(
+            params["layers"])
+        if "lm_head" in params:
+            *lead, i, o = params["lm_head"].shape
+            import jax.numpy as jnp
+
+            ip, op = -(-i // 128) * 128, -(-o // 128) * 128
+            params["lm_head"] = jnp.zeros(
+                (*lead, ip, op), jnp.float8_e4m3fn)
+            params["lm_head_sinv"] = jnp.ones(
+                (*lead, ip // 128, op // 128), jnp.float32)
 
     warmup_disp = 4
     k_disp = 32 if not smoke else 4

@@ -244,6 +244,17 @@ class Config:
     # fold the raw decode tail into latents every N tokens (0 = never;
     # reference tail re-compression — without it the tail grows raw forever)
     deltakv_recompress_interval: int = 1024
+    # incremental reconstruction cache (ops/deltakv.py "reconstruction
+    # cache"): persistent per-sparse-layer scratch of reconstructed top-k
+    # KV; each decode step re-reconstructs only the selection drift. The
+    # TPU-native equivalent of the reference's fused reconstruct+writeback
+    # kernels (deltakv_kernels.py:2568-3488). "auto" enables it when the
+    # scratch (<= rows * sparse_layers * topk * kv_dim * 2B) stays under
+    # ~1.5 GiB; "on"/"off" force it.
+    deltakv_recon_cache: str = "auto"
+    # per-step drift budget of the cache (newly-entering tokens handled
+    # incrementally; larger drift falls back to a full rebuild step)
+    deltakv_recon_pad: int = 512
     kivi_group_size: int = 32
     kivi_residual_tokens: int = 32
 
@@ -525,6 +536,13 @@ class Config:
                 )
             if self.deltakv_neighbor_count < 1:
                 raise ValueError("deltakv_neighbor_count must be >= 1")
+            if self.deltakv_recon_cache not in ("auto", "on", "off"):
+                raise ValueError(
+                    "deltakv_recon_cache must be 'auto', 'on' or 'off' "
+                    f"(got {self.deltakv_recon_cache!r})"
+                )
+            if self.deltakv_recon_pad < 1:
+                raise ValueError("deltakv_recon_pad must be >= 1")
             if self.deltakv_latent_group < 0:
                 raise ValueError("deltakv_latent_group must be >= 0")
             if self.deltakv_max_compressed_tokens % self.page_size:

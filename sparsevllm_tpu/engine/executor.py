@@ -133,6 +133,7 @@ class ModelExecutor:
     # (HybridExecutor) stay attribute-compatible
     kv_manager = None
     _streamed = None
+    dk_recon = None
 
     def __init__(
         self,
@@ -149,10 +150,15 @@ class ModelExecutor:
             from ..ops import fp8 as fp8_ops
 
             params = dict(params)
-            params["layers"], _ = fp8_ops.quantize_param_tree(
-                params["layers"]
-            )
-            if "lm_head" in params:
+            # pre-quantized trees (synthetic zeros lanes build fp8
+            # directly — quantizing a lazy-zeros bf16 tree leaks its
+            # committed HBM on this backend, fp8.quantize_param_tree_zeros
+            # docstring) pass through untouched.
+            if not any(k.endswith("_sinv") for k in params["layers"]):
+                params["layers"], _ = fp8_ops.quantize_param_tree(
+                    params["layers"]
+                )
+            if "lm_head" in params and "lm_head_sinv" not in params:
                 w8, sinv = fp8_ops.quantize(params["lm_head"])
                 params["lm_head"] = w8
                 params["lm_head_sinv"] = sinv
@@ -320,7 +326,9 @@ class ModelExecutor:
         )
         self.dk_state = None
         self.dk_comp = None
+        self.dk_recon = None
         self._sparse_slot = None
+        self._group_ids = None
         if self._rt.deltakv:
             full = set(config.full_attn_layers)
             (self._dk_sparse_layers, self._sparse_slot, self.dk_comp,
@@ -332,6 +340,38 @@ class ModelExecutor:
                 **{**self._rt.__dict__, "dk_arch": arch,
                    "dk_latent_dim": latent_dim}
             )
+            # selection group per layer: index of the most recent full
+            # (observation) layer at or before it — all sparse layers of a
+            # group share one top-k selection (and one recon-cache slot
+            # assignment)
+            fl = sorted(full)
+            gids = np.zeros(l, np.int32)
+            gi = -1
+            for i in range(l):
+                if i in full:
+                    gi += 1
+                gids[i] = max(gi, 0)
+            self._group_ids = gids
+            ns = len(self._dk_sparse_layers)
+            kvdim = 2 * spec.num_kv_heads * spec.head_dim
+            rc_bytes = (ns * max_rows * config.decode_keep_tokens
+                        * kvdim * 2)
+            use_rc = config.deltakv_recon_cache == "on" or (
+                config.deltakv_recon_cache == "auto"
+                and rc_bytes <= (1536 << 20)
+            )
+            if use_rc and ns:
+                from ..ops import deltakv as dk_ops
+
+                self.dk_recon = dk_ops.init_recon_cache(
+                    ns, len(fl), max_rows, config.decode_keep_tokens,
+                    spec.num_kv_heads, spec.head_dim, dtype,
+                )
+                self._rt = self._rt.__class__(
+                    **{**self._rt.__dict__, "dk_recon": True,
+                       "dk_recon_pad": min(config.deltakv_recon_pad,
+                                           config.decode_keep_tokens)}
+                )
         # mixed-precision staged prefill pool (config.kv_staging_dtype):
         # long prompts prefill QUANTIZED into this pool; attention runs bf16
         # over a per-layer dequantized scratch; compaction dequantizes the
@@ -629,8 +669,11 @@ class ModelExecutor:
         is_full = self._is_full_layer
         sparse_slot = self._sparse_slot
 
+        group_ids = (jnp.asarray(self._group_ids)
+                     if rt.dk_recon else None)
+
         def megastep(params, kc, vc, meta, scales, qcache, dk, dk_comp,
-                     tables, plan, rope):
+                     dkrc, tables, plan, rope):
             """k decode steps in one dispatch: sampled tokens feed back on
             device (lax.scan over steps); ONE token transfer per dispatch.
             This is the TPU answer to per-step CUDA-graph replay + the
@@ -638,7 +681,7 @@ class ModelExecutor:
             base_key = jax.random.fold_in(self._base_key, plan["step"])
 
             def body(carry, t):
-                kc, vc, meta, scales, qcache, tok = carry
+                kc, vc, meta, scales, qcache, dkrc, tok = carry
                 p = {
                     "token_ids": tok,
                     "positions": plan["positions0"] + t,
@@ -650,12 +693,14 @@ class ModelExecutor:
                     p["qslot"] = (plan["qslot0"] + t) % qcache.shape[2]
                 if rt.deltakv:
                     p["comp_counts"] = plan["comp_counts"]
-                kc, vc, h, meta, scales, qcache = tfm.decode_forward(
+                (kc, vc, h, meta, scales, qcache,
+                 dkrc) = tfm.decode_forward(
                     params, kc, vc, tables, p, rope,
                     spec=spec, rt=rt, mp_bucket=mp, is_full_layer=is_full,
                     quest_meta=meta, kv_scales=scales, query_cache=qcache,
                     steer_vec=self.steer_vec, dk=dk, dk_comp=dk_comp,
                     sparse_slot=sparse_slot, mpr_sparse=mpr,
+                    dk_recon=dkrc, group_ids=group_ids,
                 )
                 logits = tfm.compute_logits(params, h, spec)
                 tok2 = sampler_ops.sample(
@@ -666,14 +711,15 @@ class ModelExecutor:
                 if nlp >= 0:
                     ys = (tok2,) + sampler_ops.token_logprobs(
                         logits, tok2, nlp)
-                return (kc, vc, meta, scales, qcache, tok2), ys
+                return (kc, vc, meta, scales, qcache, dkrc, tok2), ys
 
-            (kc, vc, meta, scales, qcache, _), toks = jax.lax.scan(
+            (kc, vc, meta, scales, qcache, dkrc, _), toks = jax.lax.scan(
                 body,
-                (kc, vc, meta, scales, qcache, plan["token_ids0"]),
+                (kc, vc, meta, scales, qcache, dkrc, plan["token_ids0"]),
                 jnp.arange(k, dtype=jnp.int32),
             )
-            return kc, vc, meta, scales, qcache, toks  # [k, B] (+ lp ys)
+            # [k, B] (+ lp ys)
+            return kc, vc, meta, scales, qcache, dkrc, toks
 
         donate = [1, 2]
         if rt.quest:
@@ -682,6 +728,8 @@ class ModelExecutor:
             donate.append(4)
         if rt.record_queries:
             donate.append(5)
+        if rt.dk_recon:
+            donate.append(8)
         fn = jax.jit(megastep, donate_argnums=tuple(donate))
         self._fn_cache[key] = fn
         logger.info("compiled decode megastep bucket B=%d MP=%d k=%d",
@@ -1271,10 +1319,10 @@ class ModelExecutor:
         fn = self._get_decode_fn(bb, mp, k, mode, mpr, nlp)
         with profiler.record("decode_step"):
             (self.k_cache, self.v_cache, self.quest_meta, self.kv_scales,
-             self.query_cache, ys) = fn(
+             self.query_cache, self.dk_recon, ys) = fn(
                 self.params, self.k_cache, self.v_cache, self.quest_meta,
                 self.kv_scales, self.query_cache, self.dk_state,
-                self.dk_comp, self.tables, plan, self.rope,
+                self.dk_comp, self.dk_recon, self.tables, plan, self.rope,
             )
         self.last_logprobs = None
         if nlp >= 0:
@@ -1421,6 +1469,16 @@ class ModelExecutor:
                     self._dev(blk), self._dev(dest0 + off),
                     self.kv_scales, self.rope,
                 )
+        if self.dk_recon is not None:
+            # invalidate the reconstruction cache for the compressed rows:
+            # a fresh compression (dest 0) rewrites records; appends only
+            # extend the table, but one full-rebuild step is cheap and the
+            # blanket reset keeps the invariant trivially airtight
+            self.dk_recon = dict(
+                self.dk_recon,
+                slot_tok=self.dk_recon["slot_tok"]
+                .at[:, jnp.asarray(rows, jnp.int32)].set(-1),
+            )
 
     def recompress_decode(self, plan: dict) -> None:
         """Decode-tail re-compression (reference: the LessMemory runtime

@@ -91,6 +91,10 @@ class StepRuntime:
     dk_nn: int = 4  # nearest-center neighbors per token reference
     dk_group: int = 0  # latent quant group (0 = per-token scale)
     dk_latent_dim: int = 0  # latent width (record layout, ops/deltakv.py)
+    # incremental reconstruction cache (ops/deltakv.py): persistent
+    # reconstructed-top-k scratch; per-step work = selection drift only.
+    dk_recon: bool = False
+    dk_recon_pad: int = 512
     # SkipKV activation steering: per-layer vector added to the decode
     # hidden state, alpha-scaled (reference activation_controller.py:55-232).
     steer_alpha: float = 0.0
@@ -593,10 +597,12 @@ def decode_forward(
     dk_comp: dict | None = None,  # stacked compressor params [Ls, ...]
     sparse_slot: jax.Array | None = None,  # [L] sparse-layer slot index
     mpr_sparse: int = 0,  # static raw-pages bucket for sparse rows
+    dk_recon: dict | None = None,  # reconstruction cache (rt.dk_recon)
+    group_ids: jax.Array | None = None,  # [L] selection-group per layer
 ):
     """One decode step for [B] sequences.
     Returns (k_cache, v_cache, h [B,H], quest_meta, kv_scales,
-    query_cache)."""
+    query_cache, dk_recon)."""
     cos, sin = rope
     tokens = plan["token_ids"]  # [B]
     positions = plan["positions"]
@@ -617,14 +623,30 @@ def decode_forward(
         extra["_is_full"] = is_full_layer
     if rt.deltakv:
         extra["_sparse_slot"] = sparse_slot
+    if rt.dk_recon:
+        if dk_recon is None or group_ids is None:
+            raise ValueError("rt.dk_recon requires dk_recon state and "
+                             "group_ids")
+        extra["_group_id"] = group_ids
 
     sel0 = jnp.ones((b, k_tokens), dtype=bool)
     page_size = k_cache.shape[2]
     dk_t = max(min(rt.dk_topk, mp_bucket * page_size), 1)
     topk0 = jnp.zeros((b, dk_t), jnp.int32)
+    if rt.dk_recon:
+        t_cache = dk_recon["slot_tok"].shape[2]
+        pad_rc = min(rt.dk_recon_pad, t_cache)
+        rc0 = (
+            dk_recon["kv"], dk_recon["slot_tok"],
+            jnp.full((b, pad_rc), -(2 ** 30), jnp.int32),  # cur new toks
+            jnp.full((b, pad_rc), t_cache, jnp.int32),  # cur new slots
+            jnp.zeros((b,), bool),  # cur overflow
+        )
+    else:
+        rc0 = None
 
     def body(carry, xs):
-        h, kc, vc, sel, have_sel, meta, qcache, topk = carry
+        h, kc, vc, sel, have_sel, meta, qcache, topk, rc = carry
         li = xs["_layer_idx"]
         # cache-layer index (global pool: all layers at cache index 0;
         # tables still per-layer — see StepRuntime.global_pool)
@@ -790,6 +812,21 @@ def decode_forward(
                 )
                 return out, scores
 
+            def _reconstruct(idx_sel):
+                """gather records -> dequant -> up-proj -> +refs ->
+                re-RoPE for the given compressed indices."""
+                comp_layer = comp_ops.layer_slice(dk_comp, sl)
+                return dk_ops.reconstruct(
+                    dk, sl, comp_layer, rt.dk_arch, row_ids, idx_sel,
+                    comp_counts,
+                    jnp.full((b,), rt.dk_comp_base, jnp.int32),
+                    cos, sin,
+                    stride=rt.dk_stride, nkv=spec.num_kv_heads,
+                    dh=spec.head_dim, latent_bits=rt.dk_latent_bits,
+                    latent_group=rt.dk_group,
+                    latent_dim=rt.dk_latent_dim, neighbors=rt.dk_nn,
+                )
+
             def sparse_attn(q):
                 # raw resident window (sink + tail) through the SAME paged
                 # kernel as every other read; the previous XLA gather of
@@ -803,20 +840,53 @@ def decode_forward(
                     q, kc, vc, cli, tbl, ctx_r, sm_scale=sm_scale,
                     return_stats=True, kv_scales=kv_scales, impl=rt.impl,
                 )
-                comp_layer = comp_ops.layer_slice(dk_comp, sl)
-                k_hat, v_hat, hv = dk_ops.reconstruct(
-                    dk, sl, comp_layer, rt.dk_arch, row_ids, topk,
-                    comp_counts,
-                    jnp.full((b,), rt.dk_comp_base, jnp.int32),
-                    cos, sin,
-                    stride=rt.dk_stride, nkv=spec.num_kv_heads,
-                    dh=spec.head_dim, latent_bits=rt.dk_latent_bits,
-                    latent_group=rt.dk_group,
-                    latent_dim=rt.dk_latent_dim, neighbors=rt.dk_nn,
-                )
-                out_h, m_h, l_h = dk_ops.reconstructed_attention_stats(
-                    q, k_hat, v_hat, hv, sm_scale=sm_scale,
-                )
+                if rt.dk_recon:
+                    rc_kv, slot_all, cur_nt, cur_ns, cur_of = rc
+                    g = xs["_group_id"]
+                    stok = jax.lax.dynamic_index_in_dim(
+                        slot_all, g, 0, keepdims=False
+                    )[row_ids]  # [B, Tc]
+
+                    def do_incr(rckv):
+                        kh, vh, _ = _reconstruct(cur_nt)
+                        return dk_ops.recon_scatter(
+                            rckv, sl, row_ids, cur_ns,
+                            dk_ops.recon_pack(kh, vh, rckv.dtype),
+                        )
+
+                    def do_full(rckv):
+                        kh, vh, _ = _reconstruct(stok)
+                        tc = stok.shape[1]
+                        slots = jnp.broadcast_to(
+                            jnp.arange(tc, dtype=jnp.int32)[None, :],
+                            (b, tc),
+                        )
+                        return dk_ops.recon_scatter(
+                            rckv, sl, row_ids, slots,
+                            dk_ops.recon_pack(kh, vh, rckv.dtype),
+                        )
+
+                    # NOTE do_full scatters slot s <- stok[s]: after an
+                    # overflow refresh slot_tok IS the raw new selection,
+                    # so the identity layout matches the slot map.
+                    rc_kv = jax.lax.cond(
+                        jnp.any(cur_of), do_full, do_incr, rc_kv
+                    )
+                    slab = jax.lax.dynamic_index_in_dim(
+                        rc_kv, sl, 0, keepdims=False
+                    )[row_ids]  # [B, Tc, KV]
+                    out_h, m_h, l_h = dk_ops.recon_cached_attention_stats(
+                        q, slab, stok, comp_counts,
+                        nkv=spec.num_kv_heads, dh=spec.head_dim,
+                        sm_scale=sm_scale,
+                    )
+                    rc2 = (rc_kv, slot_all, cur_nt, cur_ns, cur_of)
+                else:
+                    k_hat, v_hat, hv = _reconstruct(topk)
+                    out_h, m_h, l_h = dk_ops.reconstructed_attention_stats(
+                        q, k_hat, v_hat, hv, sm_scale=sm_scale,
+                    )
+                    rc2 = rc
                 out, m_all, l_all = attn_ops.merge_attention_stats(
                     out_r, m_r, l_r, out_h, m_h, l_h
                 )
@@ -825,9 +895,15 @@ def decode_forward(
                         out, m_all, l_all, q, k_cur, v_cur,
                         sm_scale=sm_scale,
                     )
-                return out, jnp.zeros((b, kfull), jnp.float32)
+                return out, jnp.zeros((b, kfull), jnp.float32), rc2
 
-            out, scores = jax.lax.cond(is_full, full_attn, sparse_attn, q)
+            def full_attn_rc(q):
+                out, scores = full_attn(q)
+                return out, scores, rc
+
+            out, scores, rc = jax.lax.cond(
+                is_full, full_attn_rc, sparse_attn, q
+            )
 
             def refresh(_):
                 # top-k compressed indices from full-layer token scores
@@ -839,9 +915,43 @@ def decode_forward(
                 )
                 cand = jnp.where(in_comp, scores, NEG_INF)
                 _, idx = jax.lax.top_k(cand, dk_t)
-                return (idx - rt.dk_comp_base).astype(jnp.int32)
+                idx = (idx - rt.dk_comp_base).astype(jnp.int32)
+                if not rt.dk_recon:
+                    return idx, rc
+                # group refresh: diff the new selection against the cache
+                # content ONCE here; every sparse layer of the group
+                # consumes the same drift plan (ops/deltakv.py recon cache)
+                rc_kv, slot_all, _nt, _ns, _of = rc
+                g = xs["_group_id"]
+                tc = slot_all.shape[2]
+                if tc > dk_t:
+                    # stable junk keys pad the selection to the cache
+                    # width: distinct, never valid, identical across steps
+                    # (so junk slots are never churned)
+                    junk = (
+                        jnp.int32(-(2 ** 30) + 1)
+                        + jnp.arange(tc - dk_t, dtype=jnp.int32)
+                    )[None, :]
+                    idx_p = jnp.concatenate(
+                        [idx, jnp.broadcast_to(junk, (b, tc - dk_t))],
+                        axis=-1,
+                    )
+                else:
+                    idx_p = idx
+                prev = jax.lax.dynamic_index_in_dim(
+                    slot_all, g, 0, keepdims=False
+                )[row_ids]
+                st, nt, ns_, of = dk_ops.recon_group_refresh(
+                    prev, idx_p, pad_rc
+                )
+                st = jnp.where(of[:, None], idx_p, st)
+                slot_all = slot_all.at[g, row_ids].set(st, mode="drop")
+                return idx, (rc_kv, slot_all, nt, ns_, of)
 
-            topk = jax.lax.cond(is_full, refresh, lambda _: topk, None)
+            def keep(_):
+                return topk, rc
+
+            topk, rc = jax.lax.cond(is_full, refresh, keep, None)
         elif rt.quest:
             meta = quest_ops.update_page_meta(
                 meta, kc, li, xs["_dest"] // page_size
@@ -940,15 +1050,18 @@ def decode_forward(
         h = h + attn_out
         x2 = rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
         h = h + _ffn(x2, xs, spec, rt.moe_dispatch)
-        return (h, kc, vc, sel, have_sel, meta, qcache, topk), step_scales
+        return (h, kc, vc, sel, have_sel, meta, qcache, topk,
+                rc), step_scales
 
     (h, k_cache, v_cache, _, _, quest_meta,
-     query_cache, _), step_scales = jax.lax.scan(
+     query_cache, _, rc_out), step_scales = jax.lax.scan(
         body,
         (h, k_cache, v_cache, sel0, jnp.zeros((), bool), quest_meta,
-         query_cache, topk0),
+         query_cache, topk0, rc0),
         _layer_xs(params, spec, extra),
     )
+    if rt.dk_recon:
+        dk_recon = {"kv": rc_out[0], "slot_tok": rc_out[1]}
     if rt.kv_quant and rt.kv_quant_bits == 2:
         # batched post-scan writes: current token -> raw tail buffer;
         # flushed-page channel scales -> scale arrays (payload pages were
@@ -978,7 +1091,8 @@ def decode_forward(
             kv_scales, step_scales, plan["dest_slot"]
         )
     h = rms_norm(h, params["final_norm"], spec.rms_norm_eps)
-    return k_cache, v_cache, h, quest_meta, kv_scales, query_cache
+    return (k_cache, v_cache, h, quest_meta, kv_scales, query_cache,
+            dk_recon)
 
 
 def compute_logits(params, hidden: jax.Array, spec: ModelSpec) -> jax.Array:

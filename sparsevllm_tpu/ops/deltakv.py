@@ -423,3 +423,129 @@ def reconstructed_attention_stats(
         m.reshape(b, nq),
         l.reshape(b, nq),
     )
+
+
+# ===================================================== reconstruction cache
+#
+# TPU-native answer to the reference's fused reconstruct+writeback kernel
+# family (/root/reference/src/sparsevllm/triton_kernel/deltakv_kernels.py:
+# 2568-3488): instead of re-running gather->dequant->up-proj->+ref->re-RoPE
+# over the WHOLE top-k set every decode step (the r4 lane's ~25 ms/step
+# reconstruct wall, PERF_NOTES "DeltaKV measured lane"), keep a persistent
+# per-sparse-layer scratch of reconstructed (already re-RoPE'd) K∥V for the
+# CURRENT selection and re-reconstruct only the tokens newly entering it.
+# Records and centers are immutable once written (compression appends), so
+# cached reconstructions are exact — the incremental path is bit-identical
+# to the full rebuild. Selection drift between adjacent decode steps is
+# tiny, so per-step work drops from O(topk) to O(drift).
+
+
+def init_recon_cache(num_sparse: int, ngroups: int, rows: int, t: int,
+                     nkv: int, dh: int, dtype) -> dict:
+    """kv: [NS, rows, T, Nkv*2*Dh] (k_hat flat ∥ v_hat flat, k re-RoPE'd);
+    slot_tok: [NG, rows, T] compressed-token id held by each slot (-1 =
+    empty; selection groups = full/observation layers, shared by every
+    sparse layer in the group)."""
+    return {
+        "kv": jnp.zeros((num_sparse, rows, t, nkv * 2 * dh), dtype),
+        "slot_tok": jnp.full((ngroups, rows, t), -1, jnp.int32),
+    }
+
+
+def recon_group_refresh(prev_tok: jax.Array, new_tok: jax.Array, pad: int):
+    """Set-diff the new selection against the cache content (one call per
+    observation-layer refresh; shared by all sparse layers of the group).
+
+    prev_tok [B, T]: token per slot (may be -1-filled after invalidation);
+    new_tok [B, T]: this step's top-k (distinct positions by construction
+    of lax.top_k). Returns:
+      slot_tok [B, T]  — updated slot contents (incremental assignment)
+      new_toks [B, pad] — compacted newly-entering tokens (pad tail: junk)
+      new_slots [B, pad] — their assigned slots (pad tail: T = dropped)
+      overflow [B] — drift exceeded ``pad`` (or degenerate duplicate
+        content): caller must take the full-rebuild path for the batch.
+    """
+    b, t = new_tok.shape
+    prev_s = jnp.sort(prev_tok, axis=-1)
+    new_s = jnp.sort(new_tok, axis=-1)
+
+    def member(sorted_a, x):
+        j = jnp.clip(
+            jax.vmap(jnp.searchsorted)(sorted_a, x), 0, t - 1
+        )
+        return jnp.take_along_axis(sorted_a, j, axis=-1) == x
+
+    is_new = ~member(prev_s, new_tok)  # [B, T] over new entries
+    evict = ~member(new_s, prev_tok)  # [B, T] over slots
+    n_new = is_new.sum(-1)
+    n_evict = evict.sum(-1)
+    # duplicate prev content (e.g. all -1 after invalidation) breaks the
+    # n_new == n_evict set invariant -> full rebuild
+    overflow = (n_new > pad) | (n_new != n_evict)
+
+    rows_ix = jnp.arange(b, dtype=jnp.int32)[:, None]
+    slot_ids = jnp.broadcast_to(
+        jnp.arange(t, dtype=jnp.int32)[None, :], (b, t)
+    )
+    # rank r -> slot id of the r-th evicted slot
+    evict_rank = jnp.cumsum(evict, -1) - 1
+    sbr = jnp.full((b, t), t, jnp.int32).at[
+        rows_ix, jnp.where(evict, evict_rank, t)
+    ].set(slot_ids, mode="drop")
+    # compact the first ``pad`` new tokens (and their topk positions)
+    new_rank = jnp.cumsum(is_new, -1) - 1
+    tgt = jnp.where(is_new & (new_rank < pad), new_rank, pad)
+    pos_of_rank = jnp.full((b, pad), t, jnp.int32).at[
+        rows_ix, tgt
+    ].set(slot_ids, mode="drop")
+    filled = pos_of_rank < t  # [B, pad]
+    new_toks = jnp.take_along_axis(
+        new_tok, jnp.clip(pos_of_rank, 0, t - 1), axis=-1
+    )
+    new_toks = jnp.where(filled, new_toks, jnp.int32(-(2 ** 30)))
+    new_slots = jnp.where(filled, sbr[:, :pad], t)
+    slot_tok = prev_tok.at[
+        rows_ix, jnp.where(filled, new_slots, t)
+    ].set(new_toks, mode="drop")
+    return slot_tok, new_toks, new_slots, overflow
+
+
+def recon_pack(k_hat: jax.Array, v_hat: jax.Array, dtype) -> jax.Array:
+    """[B, P, Nkv, Dh] x2 -> [B, P, Nkv*2*Dh] (k flat ∥ v flat)."""
+    b, p = k_hat.shape[:2]
+    return jnp.concatenate(
+        [k_hat.reshape(b, p, -1), v_hat.reshape(b, p, -1)], axis=-1
+    ).astype(dtype)
+
+
+def recon_scatter(rc_kv: jax.Array, sl, rows: jax.Array,
+                  slots: jax.Array, packed: jax.Array) -> jax.Array:
+    """Write packed reconstructions into the layer's scratch rows.
+
+    slots entries == T (pad sentinel) drop; row writes are full
+    (sublane, 128)-tile rows, so the scan-carried update stays in place
+    (PERF_NOTES layout rule 1)."""
+    b, p = slots.shape
+    ridx = jnp.broadcast_to(rows[:, None], (b, p))
+    slx = jnp.broadcast_to(jnp.asarray(sl, jnp.int32), (b, p))
+    return rc_kv.at[slx, ridx, slots].set(packed, mode="drop")
+
+
+def recon_cached_attention_stats(
+    q: jax.Array,  # [B, Nq, Dh]
+    kv_slab: jax.Array,  # [B, T, Nkv*2*Dh] cached k_hat ∥ v_hat
+    slot_tok: jax.Array,  # [B, T]
+    comp_counts: jax.Array,  # [B]
+    *,
+    nkv: int,
+    dh: int,
+    sm_scale: float,
+):
+    """Stats-form attention over the cached reconstructed top-k."""
+    b, t = kv_slab.shape[:2]
+    k_hat = kv_slab[..., : nkv * dh].reshape(b, t, nkv, dh)
+    v_hat = kv_slab[..., nkv * dh:].reshape(b, t, nkv, dh)
+    valid = (slot_tok >= 0) & (slot_tok < comp_counts[:, None])
+    return reconstructed_attention_stats(
+        q, k_hat, v_hat, valid, sm_scale=sm_scale
+    )

@@ -51,6 +51,38 @@ def quantize(w: jax.Array) -> tuple[jax.Array, jax.Array]:
     )
 
 
+def quantize_param_tree_zeros(
+    layers: dict, names=None
+) -> tuple[dict, dict]:
+    """fp8 tree for ZERO-initialized synthetic weights WITHOUT reading the
+    bf16 originals.
+
+    On the axon TPU backend a ``jnp.zeros`` buffer materializes lazily;
+    once committed (first read) and then freed, its HBM is NEVER
+    reclaimed by the allocator (scripts/probe_real_hbm.py). Running
+    ``quantize_param_tree`` over a synthetic zeros tree therefore leaked
+    the whole bf16 tree (~14 GiB at 7B) — the r4 7B north-star lane's
+    first-prefill ResourceExhausted. This constructor builds the fp8
+    payload + unit sinv directly (zeros quantize to zeros), so the bf16
+    leaves are never read and stay virtual until garbage-collected."""
+    names = names or GENERIC_WEIGHT_NAMES
+    out = dict(layers)
+    shapes: dict[str, tuple[int, int]] = {}
+    for name in names:
+        w = out.get(name)
+        if w is None:
+            continue
+        *lead, i, o = w.shape
+        ip = -(-i // BLOCK) * BLOCK
+        op = -(-o // BLOCK) * BLOCK
+        out[name] = jnp.zeros((*lead, ip, op), jnp.float8_e4m3fn)
+        out[name + "_sinv"] = jnp.ones(
+            (*lead, ip // BLOCK, op // BLOCK), jnp.float32
+        )
+        shapes[name] = (i, o)
+    return out, shapes
+
+
 def dequant(
     w8: jax.Array,  # [..., Ip, Op] float8_e4m3fn
     sinv: jax.Array,  # [..., Ip/128, Op/128] float32
