@@ -374,16 +374,20 @@ class Config:
                      "data_parallel_size"):
             if getattr(self, name) < 1:
                 raise ValueError(f"{name} must be >= 1")
-        # EP rides the mesh 'model' axis (experts shard alongside TP,
-        # parallel/mesh.py moe_* rules — the reference's separate EP group
-        # with replicated KV collapses under GSPMD). The knob therefore
-        # must agree with TP; an independent EP degree is unimplemented.
-        if self.expert_parallel_size not in (1, self.tensor_parallel_size):
+        # EP == TP rides the mesh 'model' axis (experts shard alongside
+        # TP, parallel/mesh.py moe_* rules). An INDEPENDENT EP degree gets
+        # its own 'expert' mesh axis with everything non-expert replicated
+        # across it — the reference's EP=N/TP=1 "ep_replicated_kv" group
+        # (method_registry.py:59-79), which also requires TP=1 there.
+        if (self.expert_parallel_size not in (1, self.tensor_parallel_size)
+                and self.tensor_parallel_size != 1):
             raise NotImplementedError(
-                f"expert_parallel_size ({self.expert_parallel_size}) must "
-                f"be 1 or equal tensor_parallel_size "
-                f"({self.tensor_parallel_size}): experts shard over the "
-                f"same mesh axis as TP"
+                f"independent expert_parallel_size "
+                f"({self.expert_parallel_size}) requires "
+                f"tensor_parallel_size=1 (got {self.tensor_parallel_size})"
+                f" — mirroring the reference's ep_replicated_kv matrix; "
+                f"EP may otherwise be 1 or equal TP (experts on the model "
+                f"axis)"
             )
         # KIVI fidelity knobs. int8/int4 quantize per (token, kv-head) row
         # with the current token held exactly via deferred-scale merge —

@@ -178,13 +178,15 @@ class LLMEngine:
             eos_ids = tuple(eos) if isinstance(eos, (list, tuple)) else (eos,)
         self.spec = spec
 
-        # --- mesh (TP x DP over ICI; SURVEY §2.5 TPU-native equivalent) ---
+        # --- mesh (TP x EP x DP over ICI; SURVEY §2.5 TPU-native
+        # equivalent; independent EP gets its own axis) ---
         mesh = None
         tp, dp = config.tensor_parallel_size, config.data_parallel_size
-        if tp * dp > 1:
+        ep = config.expert_parallel_size
+        if tp * dp * ep > 1:  # build_mesh folds ep in {1, tp} into 2 axes
             from ..parallel.mesh import build_mesh
 
-            mesh = build_mesh(tp=tp, dp=dp)
+            mesh = build_mesh(tp=tp, dp=dp, ep=ep)
 
         # --- KV sizing (analytic) ----------------------------------------
         num_pages, max_rows = self._derive_kv_capacity(params)

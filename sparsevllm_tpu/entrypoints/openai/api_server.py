@@ -313,14 +313,48 @@ class OpenAIServer:
         created = proto.now()
 
         if req.stream:
+            # full Responses streaming event ladder with sequence numbers
+            # (reference entrypoints/openai/serving/responses.py:1-671:
+            # created -> in_progress -> output_item.added ->
+            # content_part.added -> output_text.delta* ->
+            # output_text.done -> content_part.done -> output_item.done
+            # -> completed; each event carries sequence_number).
             resp = web.StreamResponse(headers=_SSE_HEADERS)
             await resp.prepare(request)
-            await resp.write(_sse({
+            seq = 0
+            item_id = f"msg_{req.request_id}"
+
+            async def emit(payload: dict):
+                nonlocal seq
+                payload["sequence_number"] = seq
+                seq += 1
+                await resp.write(_sse(payload))
+
+            await emit({
                 "type": "response.created",
                 "response": proto.response_object(
                     req.request_id, self.served_model, "", "in_progress",
                     created),
-            }))
+            })
+            await emit({
+                "type": "response.in_progress",
+                "response": proto.response_object(
+                    req.request_id, self.served_model, "", "in_progress",
+                    created),
+            })
+            await emit({
+                "type": "response.output_item.added",
+                "output_index": 0,
+                "item": {"id": item_id, "type": "message",
+                         "role": "assistant", "status": "in_progress",
+                         "content": []},
+            })
+            await emit({
+                "type": "response.content_part.added",
+                "item_id": item_id, "output_index": 0,
+                "content_index": 0,
+                "part": {"type": "output_text", "text": ""},
+            })
             parts: list[str] = []
             try:
                 async for text, delta in self._generate(
@@ -328,18 +362,40 @@ class OpenAIServer:
                 ):
                     if text:
                         parts.append(text)
-                        await resp.write(_sse({
+                        await emit({
                             "type": "response.output_text.delta",
+                            "item_id": item_id, "output_index": 0,
+                            "content_index": 0,
                             "delta": text,
-                        }))
-                await resp.write(_sse({
+                        })
+                full = "".join(parts)
+                await emit({
+                    "type": "response.output_text.done",
+                    "item_id": item_id, "output_index": 0,
+                    "content_index": 0, "text": full,
+                })
+                await emit({
+                    "type": "response.content_part.done",
+                    "item_id": item_id, "output_index": 0,
+                    "content_index": 0,
+                    "part": {"type": "output_text", "text": full},
+                })
+                await emit({
+                    "type": "response.output_item.done",
+                    "output_index": 0,
+                    "item": {"id": item_id, "type": "message",
+                             "role": "assistant", "status": "completed",
+                             "content": [{"type": "output_text",
+                                          "text": full}]},
+                })
+                await emit({
                     "type": "response.completed",
                     "response": proto.response_object(
-                        req.request_id, self.served_model, "".join(parts),
+                        req.request_id, self.served_model, full,
                         "completed", created),
-                }))
+                })
             except RuntimeError as e:
-                await resp.write(_sse({"type": "error", "error": str(e)}))
+                await emit({"type": "error", "error": str(e)})
             await resp.write_eof()
             return resp
 

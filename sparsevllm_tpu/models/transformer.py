@@ -257,15 +257,19 @@ def _moe_sorted_ep(x, lp, spec: ModelSpec):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from ..parallel.mesh import DATA, MODEL, get_current_mesh
+    from ..parallel.mesh import DATA, get_current_mesh, expert_axis
 
     mesh = get_current_mesh()
+    # experts shard over the dedicated 'expert' axis when the mesh has an
+    # INDEPENDENT EP degree (reference EP=N/TP=1 replicated-KV group,
+    # method_registry.py:59-79), else over 'model' (EP == TP collapse)
+    EAX = expert_axis(mesh)
     *lead, h = x.shape
     xt = x.reshape(-1, h)  # [T, H]
     t = xt.shape[0]
     k = spec.num_experts_per_tok
     e = spec.num_experts
-    n_model = mesh.shape[MODEL]
+    n_model = mesh.shape[EAX]
     e_local = e // n_model
 
     logits = xt @ lp["router"]  # [T, E] (router replicated)
@@ -285,7 +289,7 @@ def _moe_sorted_ep(x, lp, spec: ModelSpec):
 
     def local(xt, top_w, top_i, wg, wu, wd):
         tl = xt.shape[0]
-        ax = jax.lax.axis_index(MODEL)
+        ax = jax.lax.axis_index(EAX)
         lo = ax * e_local
         t_idx = jnp.repeat(jnp.arange(tl), k)  # [T*K]
         e_idx = top_i.reshape(-1) - lo
@@ -306,13 +310,13 @@ def _moe_sorted_ep(x, lp, spec: ModelSpec):
         comb = jnp.zeros((tl, h), out.dtype).at[t_idx[order]].add(
             out * w[:, None].astype(out.dtype)
         )
-        return jax.lax.psum(comb, MODEL)
+        return jax.lax.psum(comb, EAX)
 
     out = shard_map(
         local, mesh=mesh,
         in_specs=(tok_spec, tok_spec, tok_spec,
-                  P(MODEL, None, None), P(MODEL, None, None),
-                  P(MODEL, None, None)),
+                  P(EAX, None, None), P(EAX, None, None),
+                  P(EAX, None, None)),
         out_specs=tok_spec,
         check_vma=False,
     )(xt, top_w, top_i, wg, wu, wd)

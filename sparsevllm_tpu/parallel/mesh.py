@@ -32,6 +32,12 @@ from ..utils.log import logger
 
 DATA = "data"
 MODEL = "model"
+# independent expert-parallel axis (reference method_registry.py:59-79
+# "ep_replicated_kv": EP=N with TP=1, experts sharded, everything else
+# incl. KV replicated). Present in the mesh only when
+# expert_parallel_size differs from tensor_parallel_size; when EP == TP
+# experts ride the model axis as before.
+EXPERT = "expert"
 
 # Process-wide current mesh: the executor registers its mesh here so model
 # code (e.g. the shard_map MoE dispatch in models/transformer.py) can bind
@@ -79,22 +85,42 @@ _TOP_RULES: dict[str, P] = {
 }
 
 
-def build_mesh(tp: int = 1, dp: int = 1, devices=None) -> Mesh:
-    """(data, model) mesh over the first tp*dp devices.
+def build_mesh(tp: int = 1, dp: int = 1, ep: int = 1,
+               devices=None) -> Mesh:
+    """(data[, expert], model) mesh over the first tp*dp*ep devices.
 
     Axis order puts ``model`` innermost so TP collectives ride the
-    fastest/nearest ICI links (scaling-book recipe: contiguous inner axis).
+    fastest/nearest ICI links (scaling-book recipe: contiguous inner
+    axis). An ``expert`` axis appears only for an INDEPENDENT EP degree
+    (ep not in {1, tp} — the reference's EP=N/TP=1 replicated-KV group,
+    method_registry.py:59-79); expert-stacked weights shard over it and
+    every other array replicates across it.
     """
     if devices is None:
         devices = jax.devices()
-    need = tp * dp
+    if ep in (1, tp):
+        need = tp * dp
+        if len(devices) < need:
+            raise ValueError(
+                f"mesh needs {need} devices (tp={tp} x dp={dp}); "
+                f"only {len(devices)} visible"
+            )
+        arr = np.asarray(devices[:need]).reshape(dp, tp)
+        return Mesh(arr, (DATA, MODEL))
+    need = tp * dp * ep
     if len(devices) < need:
         raise ValueError(
-            f"mesh needs {need} devices (tp={tp} x dp={dp}); "
+            f"mesh needs {need} devices (tp={tp} x dp={dp} x ep={ep}); "
             f"only {len(devices)} visible"
         )
-    arr = np.asarray(devices[:need]).reshape(dp, tp)
-    return Mesh(arr, (DATA, MODEL))
+    arr = np.asarray(devices[:need]).reshape(dp, ep, tp)
+    return Mesh(arr, (DATA, EXPERT, MODEL))
+
+
+def expert_axis(mesh: Mesh) -> str:
+    """The mesh axis experts shard over: the dedicated ``expert`` axis
+    when present, else ``model`` (EP == TP collapse)."""
+    return EXPERT if EXPERT in mesh.axis_names else MODEL
 
 
 def _fit(spec: P, shape: tuple[int, ...], mesh: Mesh, what: str) -> P:
@@ -121,6 +147,14 @@ def _fit(spec: P, shape: tuple[int, ...], mesh: Mesh, what: str) -> P:
     return P(*out)
 
 
+def _layer_rule(name: str, mesh: Mesh) -> P:
+    rule = _LAYER_RULES.get(name, P())
+    if name.startswith("moe_") and expert_axis(mesh) == EXPERT:
+        # independent EP: expert-stacked weights move to the expert axis
+        rule = P(*(EXPERT if a == MODEL else a for a in rule))
+    return rule
+
+
 def param_shardings(params, mesh: Mesh):
     """NamedSharding pytree matching the params pytree."""
     out: dict = {}
@@ -133,9 +167,9 @@ def param_shardings(params, mesh: Mesh):
             out[k] = {
                 lk: NamedSharding(
                     mesh, _fit(
-                        _LAYER_RULES.get(
+                        _layer_rule(
                             lk.removesuffix("_sinv") if lk.endswith("_sinv")
-                            else lk, P()
+                            else lk, mesh
                         ), lv.shape, mesh, f"layers.{lk}"
                     )
                 )

@@ -189,3 +189,35 @@ def test_moe_sorted_matches_dense_dispatch():
     dense = tfm._moe(x, lp, spec)
     sorted_ = tfm._moe_sorted(x, lp, spec)
     np.testing.assert_allclose(sorted_, dense, atol=1e-5)
+
+
+def test_moe_independent_ep_degree():
+    """INDEPENDENT EP (EP=4, TP=1 — the reference's ep_replicated_kv
+    group, method_registry.py:59-79): experts shard over a dedicated
+    'expert' mesh axis, KV/attention replicate across it, and tokens are
+    identical to the single-device engine."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(3, 500, 24).tolist() for _ in range(4)]
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+    engine = LLM(expert_parallel_size=4, data_parallel_size=2, **BASE)
+    assert engine.executor.mesh.shape["expert"] == 4
+    shard = engine.executor.params["layers"]["moe_w_gate"].sharding
+    assert "expert" in str(shard.spec)
+    # attention weights replicate over the expert axis
+    wq_spec = str(engine.executor.params["layers"]["wq"].sharding.spec)
+    assert "expert" not in wq_spec
+    outs = engine.generate(prompt_token_ids=prompts, sampling_params=sp)
+    engine.exit()
+    single = LLM(**BASE)
+    souts = single.generate(prompt_token_ids=prompts, sampling_params=sp)
+    assert [o.output_token_ids for o in outs] == \
+        [o.output_token_ids for o in souts]
+
+
+def test_independent_ep_requires_tp1():
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="independent"):
+        LLM(expert_parallel_size=2, tensor_parallel_size=4, **BASE)

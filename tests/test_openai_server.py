@@ -329,3 +329,66 @@ def test_concurrent_stress_64(client):
     results = loop.run_until_complete(go())
     assert len(results) == 64
     assert all(r >= 1 for r in results)
+
+
+def test_responses_sse_stream_event_ladder(engine):
+    """Streamed /v1/responses must emit the full event ladder with
+    monotonically increasing sequence numbers (reference
+    entrypoints/openai/serving/responses.py streamed events)."""
+    from sparsevllm_tpu.entrypoints.openai.api_server import OpenAIServer
+
+    class _CharTok:
+        def encode(self, text):
+            return [ord(c) % 200 + 5 for c in text]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(int(i) % 90 + 33) for i in ids)
+
+        def apply_chat_template(self, messages, tokenize=True,
+                                add_generation_prompt=True):
+            return self.encode(" ".join(m["content"] for m in messages))
+
+    server = OpenAIServer(engine, served_model="tiny")
+    server.tokenizer = _CharTok()
+    app = server.build_app()
+
+    async def go():
+        c = TestClient(TestServer(app))
+        await c.start_server()
+        resp = await c.post("/v1/responses", json={
+            "input": "hello", "stream": True, "max_output_tokens": 6,
+        })
+        assert resp.status == 200
+        raw = await resp.content.read()
+        await c.close()
+        return raw.decode()
+
+    loop = asyncio.new_event_loop()
+    raw = loop.run_until_complete(go())
+    server.dispatcher.shutdown()
+    loop.close()
+
+    events = []
+    for line in raw.splitlines():
+        if line.startswith("data: ") and line != "data: [DONE]":
+            events.append(json.loads(line[len("data: "):]))
+    kinds = [e["type"] for e in events]
+    assert kinds[:4] == [
+        "response.created", "response.in_progress",
+        "response.output_item.added", "response.content_part.added",
+    ]
+    assert "response.output_text.delta" in kinds
+    assert kinds[-4:] == [
+        "response.output_text.done", "response.content_part.done",
+        "response.output_item.done", "response.completed",
+    ]
+    seqs = [e["sequence_number"] for e in events]
+    assert seqs == list(range(len(events)))
+    # deltas concatenate to the final text
+    deltas = "".join(e["delta"] for e in events
+                     if e["type"] == "response.output_text.delta")
+    done = [e for e in events if e["type"] == "response.output_text.done"]
+    assert done[0]["text"] == deltas
+    final = [e for e in events if e["type"] == "response.completed"]
+    assert final[0]["response"]["status"] == "completed"
+    assert final[0]["response"]["output_text"] == deltas
