@@ -253,3 +253,71 @@ class ClusterKVCache:
             torch.cat(parts_v, dim=1),
             torch.cat(parts_p),
         )
+
+
+# ---------------------------------------------------------------------------
+# Precision-matched quantized oracle caches (VERDICT r4 #7)
+#
+# Torch ports of the ENGINE's KV quantization recipes (ops/quant.py —
+# which themselves re-express reference triton_kernel/quant.py), so the
+# int4/int8 engine lanes have an independent second implementation to
+# token-check against (reference KiviQuantizedRawCache +
+# DeltaCompressedQuantKivi* variants, cache_pipeline.py:891-1014).
+# ---------------------------------------------------------------------------
+
+
+def quant_roundtrip_rows(x: torch.Tensor, bits: int) -> torch.Tensor:
+    """Quantize-dequantize per (token, head) row, matching ops/quant.py:
+    int8 symmetric absmax/127; int4 asymmetric min/max over the head_dim
+    row, q in [0, 15]. torch.round = round-half-even = jnp.rint."""
+    xf = x.float()
+    if bits == 8:
+        absmax = xf.abs().amax(dim=-1)
+        scale = torch.where(absmax > 0, absmax / 127.0,
+                            torch.ones_like(absmax))
+        q = torch.clamp(torch.round(xf / scale[..., None]), -127, 127)
+        return (q * scale[..., None]).to(x.dtype)
+    if bits == 4:
+        lo = xf.amin(dim=-1)
+        hi = xf.amax(dim=-1)
+        scale = torch.where(hi > lo, (hi - lo) / 15.0, torch.ones_like(lo))
+        q = torch.clamp(torch.round((xf - lo[..., None]) / scale[..., None]),
+                        0, 15)
+        return (q * scale[..., None] + lo[..., None]).to(x.dtype)
+    raise ValueError(f"quant_roundtrip_rows: bits must be 4 or 8, got {bits}")
+
+
+class QuantizedRawKVCache:
+    """Dense raw cache whose PAST is row-quantized (engine int4/int8 pool
+    semantics): each update's view is [quantized past | current EXACT]
+    — the engine's deferred-scale merge keeps the current step exact and
+    reads everything older through the fused-dequant kernels — and the
+    current tokens commit quantized afterwards.
+
+    K must be passed POST-RoPE (the engine pools rotated K)."""
+
+    def __init__(self, num_layers: int, bits: int = 4):
+        self.bits = bits
+        self.k = [None] * num_layers  # committed (round-tripped)
+        self.v = [None] * num_layers
+        self.pos = [None] * num_layers
+
+    def update(self, layer: int, k: torch.Tensor, v: torch.Tensor,
+               pos: torch.Tensor):
+        if self.k[layer] is None:
+            view = (k, v, pos)
+        else:
+            view = (
+                torch.cat([self.k[layer], k], dim=1),
+                torch.cat([self.v[layer], v], dim=1),
+                torch.cat([self.pos[layer], pos]),
+            )
+        kq = quant_roundtrip_rows(k, self.bits)
+        vq = quant_roundtrip_rows(v, self.bits)
+        if self.k[layer] is None:
+            self.k[layer], self.v[layer], self.pos[layer] = kq, vq, pos
+        else:
+            self.k[layer] = torch.cat([self.k[layer], kq], dim=1)
+            self.v[layer] = torch.cat([self.v[layer], vq], dim=1)
+            self.pos[layer] = torch.cat([self.pos[layer], pos])
+        return view

@@ -103,3 +103,74 @@ def test_omnikv_token_select_math():
     assert sel[0, 28:].all()  # recent
     assert sel[0, 20] and sel[0, 10]
     assert sel[0].sum() == 4 + 4 + 2
+
+
+def test_quant_roundtrip_matches_engine_math():
+    """torch quant_roundtrip_rows == jax quantize/dequantize_rows(_u4)
+    bit-for-bit (rounding choice is accuracy-visible — reference
+    quant.py:19-27 round-half-even)."""
+    import jax.numpy as jnp
+    import torch
+
+    from sparsevllm_tpu.hf.deltakv_cache import quant_roundtrip_rows
+    from sparsevllm_tpu.ops import quant as q
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(5, 3, 64)).astype(np.float32)
+    # int8 symmetric
+    qq, sc = q.quantize_rows(jnp.asarray(x))
+    ref8 = np.asarray(q.dequantize_rows(qq, sc))
+    got8 = quant_roundtrip_rows(torch.tensor(x), 8).numpy()
+    np.testing.assert_array_equal(got8, ref8.astype(np.float32))
+    # int4 asymmetric
+    p4, s4, z4 = q.quantize_rows_u4(jnp.asarray(x))
+    ref4 = np.asarray(q.dequantize_rows_u4(p4, s4, z4))
+    got4 = quant_roundtrip_rows(torch.tensor(x), 4).numpy()
+    np.testing.assert_array_equal(got4, ref4.astype(np.float32))
+
+
+@pytest.mark.parametrize("bits,dtype", [(4, "int4"), (8, "int8")])
+def test_hf_quantized_oracle_matches_engine(prompt, bits, dtype):
+    """Precision-matched second implementation of the quantized-KV lanes
+    (VERDICT r4 #7; reference KiviQuantizedRawCache,
+    cache_pipeline.py:891-989 + the regression harness's teacher-forced
+    logits block): the independent torch loop round-trips stored KV with
+    the engine's exact per-row recipe and, teacher-forced along the
+    engine's greedy path, must agree on the engine's top-5 logprobs to
+    float tolerance. (Free-running greedy comparison is ill-posed: the
+    tiny-random model produces statistical ties — measured top-3 within
+    7e-4 nats — that flip argmax on reduction-order noise.)"""
+    from sparsevllm_tpu.hf.generate_api import _hf_generate_quantized
+    from sparsevllm_tpu.utils.tiny_random import (
+        build_tiny_hf_model, tiny_config,
+    )
+    import torch
+
+    eng = get_generate_api(backend="engine", tiny_random=True,
+                           kv_cache_dtype=dtype, **ENGINE_KW)
+    from sparsevllm_tpu.sampling_params import SamplingParams
+
+    (out,) = eng.engine.generate(
+        prompt_token_ids=[list(prompt)],
+        sampling_params=SamplingParams(temperature=0.0, max_tokens=8,
+                                       ignore_eos=True, logprobs=5),
+    )
+    etoks = out.output_token_ids
+    _, hf_model = build_tiny_hf_model(tiny_config(None), 0)
+    htoks, hlogits = _hf_generate_quantized(
+        hf_model, list(prompt), 8,
+        dict(kv_quant_bits=bits,
+             chunk_prefill_size=ENGINE_KW["chunk_prefill_size"],
+             force_tokens=etoks, collect_logits=True),
+    )
+    assert htoks == etoks  # teacher-forced: trivially equal
+    worst = 0.0
+    for step, top in enumerate(out.top_logprobs):
+        hl = torch.log_softmax(hlogits[step].float(), dim=-1)
+        for tok, lp in top.items():
+            worst = max(worst, abs(float(hl[tok]) - lp))
+    # int8 measures ~1e-4; int4 ~4e-3 (chunk-boundary exact-vs-quantized
+    # windows differ between the engine's fused kernels and this loop).
+    # Both sit far inside the reference's own logits bar (p99 < 0.1,
+    # benchmark/sparsevllm_regression/manifest.json "logits").
+    assert worst < 0.02, f"max top-5 logprob delta {worst}"
