@@ -77,7 +77,7 @@ def oracle_spec():
 
 
 def build_recall_case(rng, seq_len: int, depth: float, n_pairs: int = 8,
-                      n_queries: int = 1):
+                      n_queries: int = 1, filler_alphabet=None):
     """Associative recall: ``n_pairs`` (key -> value) needles scattered
     through filler; ``n_queries`` query blocks ``[Q key A val]`` at the
     end. The FIRST queried pair is embedded at relative position
@@ -88,7 +88,16 @@ def build_recall_case(rng, seq_len: int, depth: float, n_pairs: int = 8,
     induction-circuit formation. Returns (tokens [L], ans_starts, vals):
     position i in ``ans_starts`` is where query i's value token sits."""
     n_fill = seq_len - 4 * n_pairs - 4 * n_queries
-    toks = rng.integers(FILLER_LO, FILLER_HI, n_fill).tolist()
+    if filler_alphabet is not None:
+        # quest-premise variant: filler drawn from a TINY alphabet so each
+        # page's key set is a few fixed directions — pages get tight
+        # min/max boxes (quest's clustering premise; see
+        # tests/test_quest_selection.py docstring). With the full random
+        # alphabet every page's box UB exceeds the needle's exact q·k and
+        # ANY box-bound selection fails (the diagnosed 0.58 row).
+        toks = rng.choice(np.asarray(filler_alphabet), n_fill).tolist()
+    else:
+        toks = rng.integers(FILLER_LO, FILLER_HI, n_fill).tolist()
     keys = rng.choice(
         np.arange(KEY_LO, KEY_HI), size=n_pairs, replace=False
     )
@@ -275,6 +284,15 @@ def method_configs(ctx: int):
         "quest": dict(sparse_method="quest", decode_keep_tokens=keep,
                       sink_keep_tokens=32, recent_keep_tokens=64,
                       quest_skip_layers=1),
+        # premise-satisfying quest lane (VERDICT r4 #8): identical engine
+        # config, cases built with an 8-token filler alphabet so page key
+        # boxes are tight (quest's clustering premise). ~1.0 here +
+        # 0.58 on the adversarial random-code cases decomposes the grid
+        # row into premise-violation, not selection-machinery loss.
+        "quest_premise": dict(sparse_method="quest",
+                              decode_keep_tokens=keep,
+                              sink_keep_tokens=32, recent_keep_tokens=64,
+                              quest_skip_layers=1),
         "rkv": dict(sparse_method="rkv", prefill_keep_tokens=keep,
                     snapkv_obs_window=32, sink_keep_tokens=32,
                     recent_keep_tokens=64),
@@ -397,11 +415,16 @@ def run_part_a(args, art):
     # held-out cases at eval ctx; prompts END at the ANS marker
     rng = np.random.default_rng(123)
     cases = []
+    premise_cases = []  # tiny filler alphabet (quest_premise lane)
+    alphabet = np.arange(FILLER_LO, FILLER_LO + 8)
     for depth in (0.1, 0.5, 0.9):
         for _ in range(args.samples):
             full, ans_starts, vals = build_recall_case(rng, args.ctx, depth)
             # prompt ends at the KEY (ANS_MARK + value are generated)
             cases.append((full[: ans_starts[0] - 1], depth, vals[0]))
+            pf, pa, pv = build_recall_case(rng, args.ctx, depth,
+                                           filler_alphabet=alphabet)
+            premise_cases.append((pf[: pa[0] - 1], depth, pv[0]))
 
     # deltakv gets compressors trained on the oracle's own KV. Two lanes:
     # 4x compression (the deployed posture — a HARD stress here: the
@@ -448,9 +471,10 @@ def run_part_a(args, art):
         if (name.startswith("deltakv") and dk_ckpt is None
                 and kw.get("deltakv_compressor_arch") != "origin"):
             continue
+        lane_cases = premise_cases if name == "quest_premise" else cases
         for kv_dtype in args.kv_dtypes.split(","):
             try:
-                acc, by_depth = eval_oracle(params, spec, kw, cases,
+                acc, by_depth = eval_oracle(params, spec, kw, lane_cases,
                                             kv_dtype, args.ctx, dk_ckpt)
             except (ValueError, NotImplementedError) as e:
                 print(f"  A {name}/{kv_dtype}: skipped ({e})",

@@ -268,6 +268,30 @@ class LLMEngine:
             * self.config.page_size * per_slot
         )
 
+    def _kv_padded_factor(self) -> float:
+        """HBM multiplier the TPU tiled layout imposes when the cache's
+        trailing dims under-fill a (sublane, 128) tile. Production shapes
+        (Dh=128, flat-lane int4) are exactly tile-aligned (1.0); tiny
+        debug models (Dh=16, Nkv=2, f32) pad 8-32x — sizing the auto pool
+        on LOGICAL bytes handed them a multi-GiB committed pool whose
+        cache-sized prefill copies wedged the TPU (PERF_NOTES r1 issue 6).
+        """
+        s, c = self.spec, self.config
+
+        def ceil_to(x, m):
+            return -(-x // m) * m
+
+        dtype = c.kv_cache_dtype
+        if dtype == "int4":
+            # flat-lane [L, pages, P, Nkv*Dh//2] int8 storage
+            p, lane = c.page_size, s.num_kv_heads * s.head_dim // 2
+            return (ceil_to(p, 32) * ceil_to(lane, 128)) / max(p * lane, 1)
+        sub = {"float32": 8, "bfloat16": 16, "float16": 16}.get(c.dtype, 8)
+        if dtype in ("int8", "int2"):
+            sub = 32
+        return (ceil_to(s.num_kv_heads, sub) * ceil_to(s.head_dim, 128)
+                ) / max(s.num_kv_heads * s.head_dim, 1)
+
     def _derive_kv_capacity(self, params) -> tuple[int, int]:
         config, spec = self.config, self.spec
         max_rows = min(
@@ -305,8 +329,15 @@ class LLMEngine:
                 config.chunk_prefill_size // config.page_size + 1, "bfloat16"
             ) // max(getattr(self.spec, "num_kv_layers", self.spec.num_layers),
                      1) // tp
-        page_bytes = max(self._kv_bytes(1) // tp, 1)
+        factor = self._kv_padded_factor()
+        page_bytes = max(int(self._kv_bytes(1) * factor) // tp, 1)
         num_pages = max(budget // page_bytes, 0)
+        if factor > 1.5:
+            # pathologically padded (tiny-debug) layouts ALSO materialize
+            # cache-sized prefill copies (PERF_NOTES r1 issue 6), so the
+            # pool must leave copy headroom: cap its PADDED footprint at
+            # 2 GiB — orders of magnitude above any debug config's demand
+            num_pages = min(num_pages, max((2 << 30) // page_bytes, 2))
         # cap at the addressable demand: every row at max_model_len plus an
         # equal allowance of prefix-cache blocks. Without this, tiny debug
         # models get a multi-GiB pool whose cache-sized copies wedge the

@@ -246,6 +246,10 @@ def shard_executor_state(ex) -> None:
         # via the step plans, not the state rows)
         ex.dk_state = jax.device_put(ex.dk_state, replicated(mesh))
         ex.dk_comp = jax.device_put(ex.dk_comp, replicated(mesh))
+    if getattr(ex, "dk_recon", None) is not None:
+        # reconstruction cache follows dk_state's placement (row-table
+        # indexed: rows are not sharded)
+        ex.dk_recon = jax.device_put(ex.dk_recon, replicated(mesh))
     if getattr(ex, "query_cache", None) is not None:
         # [L, R, Qc, Nq, Dh] — q heads on the model axis
         ex.query_cache = jax.device_put(
