@@ -181,35 +181,58 @@ def build_engine(batch: int, steps: int, ctx: int, keep: int, impl: str,
         full_n = 1 if spec.num_layers <= 2 else 2
         sparse_n = spec.num_layers - full_n
         growthp = -(-growth // page) + 2
-        # beyond ~192K the dense resident-prefill peak (L x prompt pages)
-        # cannot fit next to the weights: route through the STREAMED tier
-        # (host KV archive; device holds only the full observation layers
-        # + each sparse layer's sink/recent) over the GLOBAL page pool —
-        # the reference's raw-kv-offload posture at its 512K headline
-        # (plot_throughput_chart.py:18).
-        deltakv_streamed = ctx > 196608
         sparse_cost = 1 + -(-512 // page) + growthp + 4
+        # residency ledger (VERDICT r4 #3): weights + per-row dk_state
+        # (exact records are irreducible: ~336 B/token at 3B) + pools must
+        # fit HBM. When the RESIDENT dense-prefill peak cannot, route
+        # through the STREAMED tier (host KV archive; device holds only
+        # the full observation layers + each sparse layer's sink/recent)
+        # over the GLOBAL page pool — the reference's raw-kv-offload
+        # posture at its 512K headline (plot_throughput_chart.py:18).
+        w_bytes = sum(
+            x.nbytes for x in __import__("jax").tree_util.tree_leaves(
+                params)
+        )
+        io = 2 * spec.num_kv_heads * spec.head_dim
+        lat = (io // 4)
+        rec = -(-(lat // 2 + 8 * (4 * max(lat // 64, 1) // 4) + 16)
+                // 128) * 128  # int4 payload + scales/zeros + fathers
+        stride = 32
+        dk_row = sparse_n * (ctx * rec + (ctx // stride) * io * 2)
+        # int4 K+V bytes per (token, layer): nkv*dh/2 each for K and V
+        tok_b = spec.num_kv_heads * spec.head_dim
+        resident_pages = (
+            spec.num_layers * (prompt_pages + growthp)
+            + (batch - 1) * full_n * (prompt_pages + growthp)
+            + batch * sparse_n * sparse_cost + 16
+        ) if batch > 1 else (
+            batch * (prompt_pages + -(-growth // page) + 2) + 8
+        )
+        budget = _hbm_gib() * 2**30 * 0.92
+        need = (w_bytes + batch * dk_row
+                + resident_pages * page * tok_b * (
+                    spec.num_layers if batch == 1 else 1))
+        deltakv_streamed = ctx > 196608 or need > budget
         if deltakv_streamed:
             num_pages = (
                 batch * full_n * (prompt_pages + growthp)
                 + batch * sparse_n * sparse_cost + 16
             )
+            print(f"deltakv resident plan {need/2**30:.1f} GiB > "
+                  f"{budget/2**30:.1f} budget -> streamed prefill",
+                  file=sys.stderr)
         elif batch > 1:
             # batch >1 resident: GLOBAL pool — one in-flight dense prefill
             # (all layers) + every other row's full-layer residency +
             # sparse tails. A per-layer pool would cost
             # batch x prompt_pages on EVERY layer.
-            num_pages = (
-                spec.num_layers * (prompt_pages + growthp)
-                + (batch - 1) * full_n * (prompt_pages + growthp)
-                + batch * sparse_n * sparse_cost + 16
-            )
+            num_pages = resident_pages
         else:
             # per-layer pool demand = max over layers: full (observation)
             # layers hold every row's whole prompt + decode growth; the
             # sparse layers' in-flight dense-prefill peak (one prompt,
             # bs=1 long bucket) is <= that for batch >= 1
-            num_pages = batch * (prompt_pages + -(-growth // page) + 2) + 8
+            num_pages = resident_pages
     else:
         # full residency per row (vanilla/omnikv keep everything)
         num_pages = batch * (prompt_pages + -(-growth // page)) + 8
