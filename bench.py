@@ -38,7 +38,7 @@ import time
 
 import numpy as np
 
-_ = os  # (env tweaks not needed; int4 prefill uses block_s=64 to fit VMEM)
+
 
 BASELINE_TOK_S = 338.8  # reference SnapKV @128K (plot_throughput_chart.py:16)
 
@@ -276,6 +276,9 @@ def build_engine(batch: int, steps: int, ctx: int, keep: int, impl: str,
         extra["long_prefill_offload_threshold"] = chunk
     if weight_quant != "none":
         extra["weight_quantization"] = weight_quant
+    if method == "deltakv":
+        extra["deltakv_recon_cache"] = os.environ.get(
+            "BENCH_DK_RECON", "auto")
     mode = "staged" if use_staging else (
         "streamed" if streamed else "resident")
     print(f"model={name} method={method} kv={kv_dtype} prefill={mode} "
