@@ -26,6 +26,7 @@ def main() -> None:
     ap.add_argument("--weight-quant", default="fp8")
     ap.add_argument("--method", default="deltakv")
     ap.add_argument("--kv-dtype", default="int4")
+    ap.add_argument("--chunk", type=int, default=8192)
     args = ap.parse_args()
 
     import jax
@@ -35,7 +36,7 @@ def main() -> None:
 
     engine, spec, name, mode, k_disp, _ = bench.build_engine(
         1, args.steps, 131072, 4608, "auto", kv_dtype=args.kv_dtype,
-        method=args.method, staging="none",
+        method=args.method, staging="none", chunk=args.chunk,
         model_class=args.model_class, weight_quant=args.weight_quant)
     print(f"engine up: {name} mode={mode}", flush=True)
 

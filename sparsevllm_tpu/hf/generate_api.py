@@ -189,6 +189,30 @@ def _hf_generate_deltakv(model, prompt_ids, max_tokens, cfg):
         rot = torch.cat([-x2, x1], dim=-1)
         return x * cos + rot * sin
 
+    def derope(y, pos):
+        # exact inverse rotation (reference reverse_rotary_emb)
+        cos, sin = base.rotary_emb(y, pos.view(1, -1))
+        cos, sin = cos[:, :, None], sin[:, :, None]
+        y1, y2 = y[..., : dh // 2], y[..., dh // 2:]
+        rot_inv = torch.cat([y2, -y1], dim=-1)
+        return y * cos + rot_inv * sin
+
+    # deltakv+KIVI oracle variant (VERDICT r4 #7; reference
+    # DeltaCompressedQuantKivi* caches, cache_pipeline.py:992-1014): the
+    # engine's kivi lane stores POST-RoPE K row-quantized in the int4
+    # pool and compresses from the DEQUANTIZED (de-RoPE'd) values — so
+    # the oracle round-trips K in rotated space then de-rotates back for
+    # (pre-RoPE) storage; V round-trips directly.
+    kivi_bits = int(cfg.get("deltakv_kivi_bits", 0) or 0)
+
+    def kivi_kv(k, v, pos):
+        if not kivi_bits:
+            return k, v
+        from .deltakv_cache import quant_roundtrip_rows as rt
+
+        return (derope(rt(rope(k, pos), kivi_bits), pos),
+                rt(v, kivi_bits))
+
     def attend(q, k, v, qpos, kpos):
         # q [1, Sq, Nq, D]; k/v [1, Sk, Nkv, D]; returns out + probs
         g = nq // nkv
@@ -216,16 +240,25 @@ def _hf_generate_deltakv(model, prompt_ids, max_tokens, cfg):
                 k = lyr.self_attn.k_norm(k)
             qr = rope(q, pos)
             if li in full:
+                # current chunk attends itself EXACTLY; stored copy is
+                # the kivi round-trip (engine deferred-scale semantics)
+                ks, vs = kivi_kv(k, v, pos)
                 if raw_k[li] is None:
-                    raw_k[li], raw_v[li], raw_pos[li] = k, v, pos
+                    kv_view = (k, v, pos)
+                    raw_k[li], raw_v[li], raw_pos[li] = ks, vs, pos
                 else:
-                    raw_k[li] = torch.cat([raw_k[li], k], dim=1)
-                    raw_v[li] = torch.cat([raw_v[li], v], dim=1)
+                    kv_view = (
+                        torch.cat([raw_k[li], k], dim=1),
+                        torch.cat([raw_v[li], v], dim=1),
+                        torch.cat([raw_pos[li], pos]),
+                    )
+                    raw_k[li] = torch.cat([raw_k[li], ks], dim=1)
+                    raw_v[li] = torch.cat([raw_v[li], vs], dim=1)
                     raw_pos[li] = torch.cat([raw_pos[li], pos])
-                kv_view = (raw_k[li], raw_v[li], raw_pos[li])
             else:
                 idx = sel_idx[0] if decode else None
-                cache.update(li, k, v, pos)
+                ks, vs = kivi_kv(k, v, pos)
+                cache.update(li, ks, vs, pos)
                 kv_view = cache.view(li, idx)
             kk, vv, kpos = kv_view
             out, probs = attend(qr, rope(kk, kpos), vv, pos, kpos)

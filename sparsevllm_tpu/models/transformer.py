@@ -638,13 +638,21 @@ def decode_forward(
     dk_t = max(min(rt.dk_topk, mp_bucket * page_size), 1)
     topk0 = jnp.zeros((b, dk_t), jnp.int32)
     if rt.dk_recon:
+        # rc_kv is READ-ONLY inside the layer scan (closure input) and
+        # batch-scattered AFTER it from per-layer ys — the kv_scales
+        # pattern: an in-scan carry that is both slab-read and scattered
+        # at a traced layer index makes XLA copy the whole array per
+        # layer (measured 8.2 tok/s vs 18.9 baseline; PERF_NOTES rule).
+        rc_kv_in = dk_recon["kv"]
         t_cache = dk_recon["slot_tok"].shape[2]
         pad_rc = min(rt.dk_recon_pad, t_cache)
+        kvdim_rc = rc_kv_in.shape[-1]
         rc0 = (
-            dk_recon["kv"], dk_recon["slot_tok"],
-            jnp.full((b, pad_rc), -(2 ** 30), jnp.int32),  # cur new toks
-            jnp.full((b, pad_rc), t_cache, jnp.int32),  # cur new slots
-            jnp.zeros((b,), bool),  # cur overflow
+            dk_recon["slot_tok"],
+            jnp.full((b, pad_rc), -(2 ** 30), jnp.int32),  # admitted toks
+            jnp.full((b, pad_rc), t_cache, jnp.int32),  # admitted slots
+            jnp.zeros((b, t_cache), bool),  # admitted-this-step slots
+            jnp.ones((b,), bool),  # lag (until the first refresh)
         )
     else:
         rc0 = None
@@ -749,6 +757,7 @@ def decode_forward(
             kc, vc = attn_ops.store_kv_layer(kc, vc, cli, k, v, xs["_dest"])
             k_cur = v_cur = None
             step_scales = None
+        recon_ys = None  # set by the deltakv recon-cache branch
 
         def attend(q, table_a, ctx_a, select_mask=None, page_pos=None):
             """Dense-family decode attention incl. the int8 current-token
@@ -845,52 +854,55 @@ def decode_forward(
                     return_stats=True, kv_scales=kv_scales, impl=rt.impl,
                 )
                 if rt.dk_recon:
-                    rc_kv, slot_all, cur_nt, cur_ns, cur_of = rc
+                    slot_all, cur_nt, cur_ns, cur_adm, cur_lag = rc
                     g = xs["_group_id"]
                     stok = jax.lax.dynamic_index_in_dim(
                         slot_all, g, 0, keepdims=False
                     )[row_ids]  # [B, Tc]
+                    # reconstruct THIS layer's kv for the admitted tokens:
+                    # attended via the fresh branch this step, scattered
+                    # into the cache after the layer scan (ys)
+                    kh, vh, fresh_valid = _reconstruct(cur_nt)
+                    packed = dk_ops.recon_pack(kh, vh, rc_kv_in.dtype)
 
-                    def do_incr(rckv):
-                        kh, vh, _ = _reconstruct(cur_nt)
-                        return dk_ops.recon_scatter(
-                            rckv, sl, row_ids, cur_ns,
-                            dk_ops.recon_pack(kh, vh, rckv.dtype),
+                    def cached_path(q):
+                        slab = jax.lax.dynamic_index_in_dim(
+                            rc_kv_in, sl, 0, keepdims=False
+                        )[row_ids]  # [B, Tc, KV]
+                        oc, mc, lc = dk_ops.recon_cached_attention_stats(
+                            q, slab, stok, comp_counts,
+                            nkv=spec.num_kv_heads, dh=spec.head_dim,
+                            sm_scale=sm_scale, stale=cur_adm,
+                        )
+                        of_, mf, lf = (
+                            dk_ops.reconstructed_attention_stats(
+                                q, kh, vh, fresh_valid, sm_scale=sm_scale,
+                            )
+                        )
+                        return attn_ops.merge_attention_stats(
+                            oc, mc, lc, of_, mf, lf
                         )
 
-                    def do_full(rckv):
-                        kh, vh, _ = _reconstruct(stok)
-                        tc = stok.shape[1]
-                        slots = jnp.broadcast_to(
-                            jnp.arange(tc, dtype=jnp.int32)[None, :],
-                            (b, tc),
-                        )
-                        return dk_ops.recon_scatter(
-                            rckv, sl, row_ids, slots,
-                            dk_ops.recon_pack(kh, vh, rckv.dtype),
+                    def lag_path(q):
+                        # cache lags the selection (first step after
+                        # invalidation / drift burst): exact full
+                        # reconstruct while the PAD-per-step admissions
+                        # catch the cache up in the background
+                        k2, v2, hv2 = _reconstruct(topk)
+                        return dk_ops.reconstructed_attention_stats(
+                            q, k2, v2, hv2, sm_scale=sm_scale,
                         )
 
-                    # NOTE do_full scatters slot s <- stok[s]: after an
-                    # overflow refresh slot_tok IS the raw new selection,
-                    # so the identity layout matches the slot map.
-                    rc_kv = jax.lax.cond(
-                        jnp.any(cur_of), do_full, do_incr, rc_kv
+                    out_h, m_h, l_h = jax.lax.cond(
+                        jnp.any(cur_lag), lag_path, cached_path, q
                     )
-                    slab = jax.lax.dynamic_index_in_dim(
-                        rc_kv, sl, 0, keepdims=False
-                    )[row_ids]  # [B, Tc, KV]
-                    out_h, m_h, l_h = dk_ops.recon_cached_attention_stats(
-                        q, slab, stok, comp_counts,
-                        nkv=spec.num_kv_heads, dh=spec.head_dim,
-                        sm_scale=sm_scale,
-                    )
-                    rc2 = (rc_kv, slot_all, cur_nt, cur_ns, cur_of)
+                    rys = (packed, cur_ns)
                 else:
                     k_hat, v_hat, hv = _reconstruct(topk)
                     out_h, m_h, l_h = dk_ops.reconstructed_attention_stats(
                         q, k_hat, v_hat, hv, sm_scale=sm_scale,
                     )
-                    rc2 = rc
+                    rys = None
                 out, m_all, l_all = attn_ops.merge_attention_stats(
                     out_r, m_r, l_r, out_h, m_h, l_h
                 )
@@ -899,13 +911,22 @@ def decode_forward(
                         out, m_all, l_all, q, k_cur, v_cur,
                         sm_scale=sm_scale,
                     )
-                return out, jnp.zeros((b, kfull), jnp.float32), rc2
+                return out, jnp.zeros((b, kfull), jnp.float32), rys
 
             def full_attn_rc(q):
                 out, scores = full_attn(q)
-                return out, scores, rc
+                if rt.dk_recon:
+                    # full layers write nothing: slot Tc drops in the
+                    # post-scan scatter (ys shapes must match per layer)
+                    rys = (
+                        jnp.zeros((b, pad_rc, kvdim_rc), rc_kv_in.dtype),
+                        jnp.full((b, pad_rc), t_cache, jnp.int32),
+                    )
+                else:
+                    rys = None
+                return out, scores, rys
 
-            out, scores, rc = jax.lax.cond(
+            out, scores, recon_ys = jax.lax.cond(
                 is_full, full_attn_rc, sparse_attn, q
             )
 
@@ -925,7 +946,7 @@ def decode_forward(
                 # group refresh: diff the new selection against the cache
                 # content ONCE here; every sparse layer of the group
                 # consumes the same drift plan (ops/deltakv.py recon cache)
-                rc_kv, slot_all, _nt, _ns, _of = rc
+                slot_all, _nt, _ns, _adm, _lag = rc
                 g = xs["_group_id"]
                 tc = slot_all.shape[2]
                 if tc > dk_t:
@@ -945,12 +966,11 @@ def decode_forward(
                 prev = jax.lax.dynamic_index_in_dim(
                     slot_all, g, 0, keepdims=False
                 )[row_ids]
-                st, nt, ns_, of = dk_ops.recon_group_refresh(
+                st, nt, ns_, adm, lag = dk_ops.recon_group_refresh(
                     prev, idx_p, pad_rc
                 )
-                st = jnp.where(of[:, None], idx_p, st)
                 slot_all = slot_all.at[g, row_ids].set(st, mode="drop")
-                return idx, (rc_kv, slot_all, nt, ns_, of)
+                return idx, (slot_all, nt, ns_, adm, lag)
 
             def keep(_):
                 return topk, rc
@@ -1055,17 +1075,31 @@ def decode_forward(
         x2 = rms_norm(h, xs["post_attn_norm"], spec.rms_norm_eps)
         h = h + _ffn(x2, xs, spec, rt.moe_dispatch)
         return (h, kc, vc, sel, have_sel, meta, qcache, topk,
-                rc), step_scales
+                rc), (step_scales, recon_ys)
 
     (h, k_cache, v_cache, _, _, quest_meta,
-     query_cache, _, rc_out), step_scales = jax.lax.scan(
+     query_cache, _, rc_out), (step_scales, recon_ys_all) = jax.lax.scan(
         body,
         (h, k_cache, v_cache, sel0, jnp.zeros((), bool), quest_meta,
          query_cache, topk0, rc0),
         _layer_xs(params, spec, extra),
     )
     if rt.dk_recon:
-        dk_recon = {"kv": rc_out[0], "slot_tok": rc_out[1]}
+        # ONE batched scatter of every layer's admitted reconstructions
+        # (kv_scales pattern: rc_kv is read-only inside the layer scan).
+        # Full layers emitted slot Tc -> dropped; padded batch lanes carry
+        # row max_rows -> dropped.
+        packed_all, slots_all = recon_ys_all  # [L, B, PAD, KV], [L, B, PAD]
+        lix = jnp.broadcast_to(
+            sparse_slot[:, None, None], slots_all.shape
+        ).astype(jnp.int32)
+        ridx = jnp.broadcast_to(
+            plan["row_ids"][None, :, None], slots_all.shape
+        )
+        rc_kv = rc_kv_in.at[lix, ridx, slots_all].set(
+            packed_all, mode="drop"
+        )
+        dk_recon = {"kv": rc_kv, "slot_tok": rc_out[0]}
     if rt.kv_quant and rt.kv_quant_bits == 2:
         # batched post-scan writes: current token -> raw tail buffer;
         # flushed-page channel scales -> scale arrays (payload pages were

@@ -458,12 +458,18 @@ def recon_group_refresh(prev_tok: jax.Array, new_tok: jax.Array, pad: int):
 
     prev_tok [B, T]: token per slot (may be -1-filled after invalidation);
     new_tok [B, T]: this step's top-k (distinct positions by construction
-    of lax.top_k). Returns:
-      slot_tok [B, T]  — updated slot contents (incremental assignment)
-      new_toks [B, pad] — compacted newly-entering tokens (pad tail: junk)
-      new_slots [B, pad] — their assigned slots (pad tail: T = dropped)
-      overflow [B] — drift exceeded ``pad`` (or degenerate duplicate
-        content): caller must take the full-rebuild path for the batch.
+    of lax.top_k). Admits AT MOST ``pad`` newly-entering tokens into
+    evicted slots (rank-aligned); when drift exceeds ``pad`` (or
+    degenerate duplicate content shrinks the evictable set) the cache
+    LAGS the selection and catches up ``pad`` tokens per step — lagging
+    steps must attend via the full reconstruct path. Returns:
+      slot_tok [B, T] — updated slot contents
+      new_toks [B, pad] — admitted tokens (tail: junk sentinel)
+      new_slots [B, pad] — their slots (tail: T = dropped by scatters)
+      admitted [B, T] — True at slots whose CONTENT is admitted this step
+        (their cached kv rows are stale until the post-scan scatter; the
+        fresh-branch stats cover those tokens within the step)
+      lag [B] — cache does not yet hold the full selection
     """
     b, t = new_tok.shape
     prev_s = jnp.sort(prev_tok, axis=-1)
@@ -479,9 +485,8 @@ def recon_group_refresh(prev_tok: jax.Array, new_tok: jax.Array, pad: int):
     evict = ~member(new_s, prev_tok)  # [B, T] over slots
     n_new = is_new.sum(-1)
     n_evict = evict.sum(-1)
-    # duplicate prev content (e.g. all -1 after invalidation) breaks the
-    # n_new == n_evict set invariant -> full rebuild
-    overflow = (n_new > pad) | (n_new != n_evict)
+    admit_n = jnp.minimum(jnp.minimum(n_new, n_evict), pad)  # [B]
+    lag = n_new > admit_n
 
     rows_ix = jnp.arange(b, dtype=jnp.int32)[:, None]
     slot_ids = jnp.broadcast_to(
@@ -492,9 +497,9 @@ def recon_group_refresh(prev_tok: jax.Array, new_tok: jax.Array, pad: int):
     sbr = jnp.full((b, t), t, jnp.int32).at[
         rows_ix, jnp.where(evict, evict_rank, t)
     ].set(slot_ids, mode="drop")
-    # compact the first ``pad`` new tokens (and their topk positions)
+    # compact the first ``admit_n`` new tokens (and their topk positions)
     new_rank = jnp.cumsum(is_new, -1) - 1
-    tgt = jnp.where(is_new & (new_rank < pad), new_rank, pad)
+    tgt = jnp.where(is_new & (new_rank < admit_n[:, None]), new_rank, pad)
     pos_of_rank = jnp.full((b, pad), t, jnp.int32).at[
         rows_ix, tgt
     ].set(slot_ids, mode="drop")
@@ -507,7 +512,10 @@ def recon_group_refresh(prev_tok: jax.Array, new_tok: jax.Array, pad: int):
     slot_tok = prev_tok.at[
         rows_ix, jnp.where(filled, new_slots, t)
     ].set(new_toks, mode="drop")
-    return slot_tok, new_toks, new_slots, overflow
+    admitted = jnp.zeros((b, t), bool).at[
+        rows_ix[:, :1].repeat(pad, 1), new_slots
+    ].set(filled, mode="drop")
+    return slot_tok, new_toks, new_slots, admitted, lag
 
 
 def recon_pack(k_hat: jax.Array, v_hat: jax.Array, dtype) -> jax.Array:
@@ -540,12 +548,17 @@ def recon_cached_attention_stats(
     nkv: int,
     dh: int,
     sm_scale: float,
+    stale: jax.Array | None = None,  # [B, T] slots admitted THIS step
+    #   (their cached rows lag the post-scan scatter; the fresh branch
+    #   covers those tokens within the step)
 ):
     """Stats-form attention over the cached reconstructed top-k."""
     b, t = kv_slab.shape[:2]
     k_hat = kv_slab[..., : nkv * dh].reshape(b, t, nkv, dh)
     v_hat = kv_slab[..., nkv * dh:].reshape(b, t, nkv, dh)
     valid = (slot_tok >= 0) & (slot_tok < comp_counts[:, None])
+    if stale is not None:
+        valid = valid & ~stale
     return reconstructed_attention_stats(
         q, k_hat, v_hat, valid, sm_scale=sm_scale
     )

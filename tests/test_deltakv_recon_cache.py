@@ -31,36 +31,38 @@ from sparsevllm_tpu.ops import deltakv as dk_ops  # noqa: E402
 
 
 def refresh_np(prev, new, pad):
-    st, nt, ns, of = dk_ops.recon_group_refresh(
+    st, nt, ns, adm, lag = dk_ops.recon_group_refresh(
         jnp.asarray(prev, jnp.int32), jnp.asarray(new, jnp.int32), pad
     )
     return (np.asarray(st), np.asarray(nt), np.asarray(ns),
-            np.asarray(of))
+            np.asarray(adm), np.asarray(lag))
 
 
 def test_refresh_identity_selection_no_churn():
     prev = np.array([[5, 9, 2, 7]])
-    st, nt, ns, of = refresh_np(prev, prev, pad=2)
-    assert not of[0]
+    st, nt, ns, adm, lag = refresh_np(prev, prev, pad=2)
+    assert not lag[0]
     assert (ns == 4).all()  # no slots assigned
+    assert not adm.any()
     assert (st == prev).all()
 
 
 def test_refresh_single_swap_assigns_evicted_slot():
     prev = np.array([[5, 9, 2, 7]])
     new = np.array([[5, 9, 11, 7]])  # 2 -> 11
-    st, nt, ns, of = refresh_np(prev, new, pad=2)
-    assert not of[0]
+    st, nt, ns, adm, lag = refresh_np(prev, new, pad=2)
+    assert not lag[0]
     assert nt[0, 0] == 11 and ns[0, 0] == 2  # slot that held token 2
     assert ns[0, 1] == 4  # pad sentinel
+    assert adm[0].tolist() == [False, False, True, False]
     assert st[0].tolist() == [5, 9, 11, 7]
 
 
 def test_refresh_multi_swap_ranks_align():
     prev = np.array([[10, 20, 30, 40, 50, 60]])
     new = np.array([[10, 21, 30, 41, 50, 61]])
-    st, nt, ns, of = refresh_np(prev, new, pad=4)
-    assert not of[0]
+    st, nt, ns, adm, lag = refresh_np(prev, new, pad=4)
+    assert not lag[0]
     assert sorted(st[0].tolist()) == sorted(new[0].tolist())
     # each new token sits in a slot that previously held an evicted one
     for tok, slot in zip(nt[0, :3], ns[0, :3]):
@@ -68,11 +70,17 @@ def test_refresh_multi_swap_ranks_align():
         assert st[0, slot] == tok
 
 
-def test_refresh_overflow_on_excess_drift():
+def test_refresh_lag_on_excess_drift_partial_admit():
+    """Drift beyond pad: admit exactly pad tokens, flag lag; a following
+    refresh with the same selection admits the rest and clears lag."""
     prev = np.array([[1, 2, 3, 4]])
     new = np.array([[5, 6, 7, 8]])
-    _, _, _, of = refresh_np(prev, new, pad=2)
-    assert of[0]
+    st, nt, ns, adm, lag = refresh_np(prev, new, pad=2)
+    assert lag[0]
+    assert adm[0].sum() == 2
+    st2, _, _, _, lag2 = refresh_np(st, new, pad=2)
+    assert not lag2[0]
+    assert sorted(st2[0].tolist()) == [5, 6, 7, 8]
 
 
 def test_refresh_invalidated_cache_rebuilds_when_pad_allows():
@@ -80,32 +88,35 @@ def test_refresh_invalidated_cache_rebuilds_when_pad_allows():
     new token is assigned — a correct in-place rebuild, no overflow."""
     prev = np.full((1, 4), -1)
     new = np.array([[5, 6, 7, 8]])
-    st, nt, ns, of = refresh_np(prev, new, pad=4)
-    assert not of[0]
+    st, nt, ns, adm, lag = refresh_np(prev, new, pad=4)
+    assert not lag[0]
     assert sorted(st[0].tolist()) == [5, 6, 7, 8]
 
 
-def test_refresh_overflow_on_duplicate_rank_mismatch():
-    """Duplicate prev content that breaks the n_new == n_evict set
-    invariant must flag overflow (full-rebuild path)."""
+def test_refresh_lag_on_duplicate_rank_mismatch():
+    """Duplicate prev content shrinks the evictable set below the new
+    count: admit what fits, flag lag (full-attend path this step)."""
     prev = np.array([[5, 5, 6, 7]])
     new = np.array([[5, 6, 7, 8]])
-    _, _, _, of = refresh_np(prev, new, pad=4)
-    assert of[0]
+    _, _, _, _, lag = refresh_np(prev, new, pad=4)
+    assert lag[0]
 
 
-def test_refresh_invalidated_cache_overflows_past_pad():
+def test_refresh_invalidated_cache_lags_past_pad_then_catches_up():
     prev = np.full((1, 6), -1)
     new = np.array([[1, 2, 3, 4, 5, 6]])
-    _, _, _, of = refresh_np(prev, new, pad=4)
-    assert of[0]
+    st, _, _, adm, lag = refresh_np(prev, new, pad=4)
+    assert lag[0] and adm[0].sum() == 4
+    st2, _, _, _, lag2 = refresh_np(st, new, pad=4)
+    assert not lag2[0]
+    assert sorted(st2[0].tolist()) == [1, 2, 3, 4, 5, 6]
 
 
 def test_refresh_batch_rows_independent():
     prev = np.array([[1, 2, 3, 4], [5, 6, 7, 8]])
     new = np.array([[1, 2, 3, 9], [5, 6, 7, 8]])
-    st, nt, ns, of = refresh_np(prev, new, pad=2)
-    assert not of.any()
+    st, nt, ns, adm, lag = refresh_np(prev, new, pad=2)
+    assert not lag.any()
     assert st[1].tolist() == [5, 6, 7, 8]
     assert 9 in st[0].tolist() and 4 not in st[0].tolist()
 
