@@ -106,6 +106,22 @@ def aot_report(label: str, fn, args) -> None:
     try:
         lowered = fn.lower(*args)
         compiled = lowered.compile()
+        if os.environ.get("LEDGER_DUMP_BUFFERS"):
+            # largest buffer-assignment entries straight from the
+            # compiled executable text (finds individual temp monsters
+            # the aggregate numbers hide)
+            try:
+                txt = compiled.as_text()
+                import re
+
+                sizes = re.findall(
+                    r"allocation \d+: size (\d+)", txt) or re.findall(
+                    r"size=(\d+)", txt)
+                top = sorted((int(s) for s in sizes), reverse=True)[:12]
+                print(f"  top allocations: "
+                      f"{[f'{t/2**20:.0f}MiB' for t in top]}")
+            except Exception as e:  # noqa: BLE001
+                print(f"  buffer dump unavailable: {type(e).__name__}")
         ma = compiled.memory_analysis()
         if ma is None:
             print(f"== {label}: memory_analysis unavailable ==")

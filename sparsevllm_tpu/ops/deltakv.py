@@ -317,8 +317,13 @@ def reconstruct(
     # identical semantics to the mean over the gathered rows.
     nnb = fathers.shape[-1]
     fa = jnp.clip(fathers, 0, ncmax - 1)
-    if ncmax <= 2048:
-        # small center tables: one-hot MXU matmul
+    # one-hot whenever the [T, NC] matrix is modest: small center tables
+    # (any T) or PAD-sized selections (any table — the recon cache's
+    # per-step drift reconstructs <=512 tokens, where the flat-take path's
+    # row gathers are the wall: 4 takes x 26 layers traced ~1 ms/layer
+    # while the [512, NC]x[NC, KV] matmul is ~0.1 ms of MXU)
+    if ncmax <= 2048 or t <= 1024:
+        # one-hot MXU matmul
         cen = ce_sl[rows].reshape(b, ncmax, kvdim)
         onehot = (
             fa[..., None]
