@@ -196,7 +196,8 @@ def build_engine(batch: int, steps: int, ctx: int, keep: int, impl: str,
         io = 2 * spec.num_kv_heads * spec.head_dim
         lat = (io // 4)
         rec = -(-(lat // 2 + 8 * (4 * max(lat // 64, 1) // 4) + 16)
-                // 128) * 128  # int4 payload + scales/zeros + fathers
+                // 512) * 512  # int4 payload + scales/zeros + fathers,
+        # padded to 128 f32 WORDS (ops/deltakv._record_geometry)
         stride = 32
         dk_row = sparse_n * (ctx * rec + (ctx // stride) * io * 2)
         # int4 K+V bytes per (token, layer): nkv*dh/2 each for K and V
@@ -208,8 +209,12 @@ def build_engine(batch: int, steps: int, ctx: int, keep: int, impl: str,
         ) if batch > 1 else (
             batch * (prompt_pages + -(-growth // page) + 2) + 8
         )
-        budget = _hbm_gib() * 2**30 * 0.92
-        need = (w_bytes + batch * dk_row
+        # recon-cache scratch (executor auto-enables it under 1.5 GiB)
+        rc_b = sparse_n * batch * keep * io * 2
+        if rc_b > (1536 << 20):
+            rc_b = 0
+        budget = _hbm_gib() * 2**30 * 0.86  # true usable ~15.0 + temps
+        need = (w_bytes + batch * dk_row + rc_b
                 + resident_pages * page * tok_b * (
                     spec.num_layers if batch == 1 else 1))
         deltakv_streamed = ctx > 196608 or need > budget
@@ -280,7 +285,8 @@ def build_engine(batch: int, steps: int, ctx: int, keep: int, impl: str,
         extra["deltakv_recon_cache"] = os.environ.get(
             "BENCH_DK_RECON", "auto")
     mode = "staged" if use_staging else (
-        "streamed" if streamed else "resident")
+        "streamed" if streamed or (method == "deltakv" and deltakv_streamed)
+        else "resident")
     print(f"model={name} method={method} kv={kv_dtype} prefill={mode} "
           f"ctx={ctx} batch={batch}", file=sys.stderr)
     engine = LLMEngine(

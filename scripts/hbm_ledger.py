@@ -156,6 +156,9 @@ def main() -> None:
     ap.add_argument("--weight-quant", default="fp8")
     ap.add_argument("--staging", default="none")
     ap.add_argument("--skip-largest", action="store_true")
+    ap.add_argument("--decode", action="store_true",
+                    help="AOT the decode megastep and hunt relayout copies")
+    ap.add_argument("--skip-prefill", action="store_true")
     args = ap.parse_args()
 
     import bench
@@ -177,13 +180,14 @@ def main() -> None:
     rope = _avals(ex.rope)
 
     # first prefill bucket (where the 7B lane died)
-    bb, sb, mp = ex._prefill_buckets(args.batch, args.chunk, args.chunk)
-    plan = _prefill_plan_avals(ex, bb, sb, quest)
-    fn = ex._get_prefill_fn(bb, sb, mp, "greedy", -1, False)
-    aot_report(f"prefill bucket bb={bb} sb={sb} mp={mp} (first chunk)",
-               fn, (*core[:1], *core[1:6], plan, rope))
+    if not args.skip_prefill:
+        bb, sb, mp = ex._prefill_buckets(args.batch, args.chunk, args.chunk)
+        plan = _prefill_plan_avals(ex, bb, sb, quest)
+        fn = ex._get_prefill_fn(bb, sb, mp, "greedy", -1, False)
+        aot_report(f"prefill bucket bb={bb} sb={sb} mp={mp} (first chunk)",
+                   fn, (*core[:1], *core[1:6], plan, rope))
 
-    if not args.skip_largest:
+    if not args.skip_largest and not args.skip_prefill:
         bb2, sb2, mp2 = ex._prefill_buckets(
             args.batch, args.chunk, args.ctx)
         if (bb2, sb2, mp2) != (bb, sb, mp):
@@ -192,6 +196,54 @@ def main() -> None:
             aot_report(
                 f"prefill bucket bb={bb2} sb={sb2} mp={mp2} (deepest, "
                 f"emit_obs)", fn2, (*core[:1], *core[1:6], plan2, rope))
+
+    if args.decode:
+        # AOT the decode megastep and locate whole-table relayout copies
+        # (the 2.84 GiB latents copy that broke the recon-v2.1 compile)
+        ex._rt = ex._rt  # noqa: B018
+        bb2, mp2 = ex._decode_buckets(args.batch, -(-args.ctx // args.page))
+        k = engine.config.decode_steps_per_dispatch
+        mpr = mp2
+        if ex._rt.deltakv:
+            mpr = min(engine.config.context_bucket_pages(8), mp2)
+        fn = ex._get_decode_fn(bb2, mp2, k, "greedy", mpr, -1)
+        dplan = {
+            "token_ids0": np.zeros(bb2, np.int32),
+            "positions0": np.zeros(bb2, np.int32),
+            "row_ids": np.zeros(bb2, np.int32),
+            "dest": np.zeros((spec.num_layers, bb2, k), np.int32),
+            "ctx_start": np.zeros((spec.num_layers, bb2), np.int32),
+            "step": np.asarray(0, np.int32),
+            "temps": np.zeros(bb2, np.float32),
+            "top_k": np.zeros(bb2, np.int32),
+            "top_p": np.ones(bb2, np.float32),
+        }
+        if ex._rt.deltakv:
+            dplan["comp_counts"] = np.zeros(bb2, np.int32)
+        dplan = _avals(ex._put_plan(dplan, "decode"))
+        try:
+            lowered = fn.lower(
+                _avals(ex.params), _avals(ex.k_cache), _avals(ex.v_cache),
+                _avals(ex.quest_meta), _avals(ex.kv_scales),
+                _avals(ex.query_cache), _avals(ex.dk_state),
+                _avals(ex.dk_comp), _avals(ex.dk_recon),
+                _avals(ex.tables), dplan, _avals(ex.rope))
+            compiled = lowered.compile()
+            ma = compiled.memory_analysis()
+            print(f"== decode megastep bb={bb2} mp={mp2} k={k}: temps "
+                  f"{_gib(ma.temp_size_in_bytes)} ==")
+            txt = compiled.as_text()
+            import re
+
+            for m in re.finditer(
+                r"^\s*%?(copy[.\w]*) = (\S*f32\[26[^\]]*\][^ ]*) "
+                r"copy\(([^)]*)\)(.*)$", txt, re.M,
+            ):
+                print("  RELAYOUT:", m.group(1), m.group(2),
+                      m.group(4)[:300])
+        except Exception as e:  # noqa: BLE001
+            print(f"decode AOT failed: {type(e).__name__}: "
+                  f"{str(e)[:2000]}")
 
     print(f"\nstatic total: {_gib(static)}; add the TEMPS line of the "
           f"active bucket for the true HBM requirement.")

@@ -82,7 +82,13 @@ def _record_geometry(latent_dim: int, latent_bits: int, latent_group: int,
     zr_off = sc_off + 4 * ngrp  # f32 scales
     fa_off = zr_off + 4 * ngrp  # f32 zeros
     end = fa_off + 4 * neighbors  # int32 fathers
-    rec = -(-end // 128) * 128
+    # pad to 128 f32 WORDS (512 bytes): the storage array is f32-typed, so
+    # its LANE axis is rec//4 — a 128-BYTE pad left 96-word lanes, a
+    # sub-128 minor dim on a GiB-scale table (PERF_NOTES rule 4): XLA
+    # assigned transposed layouts per consumer and materialized whole-table
+    # relayout copies inside the decode megastep (2.84 GiB of HLO temps at
+    # 128K — the recon-v2.1 compile OOM's #1/#2 allocations).
+    rec = -(-end // 512) * 512
     return ngrp, lat_b, sc_off, zr_off, fa_off, rec
 
 
