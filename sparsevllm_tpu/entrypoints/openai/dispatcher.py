@@ -98,7 +98,12 @@ class AsyncEngineDispatcher:
             self._by_rid.pop(rid, None)
 
     def abort(self, request_id: str) -> None:
-        self._abort_q.put(request_id)
+        # resolve rid -> request HERE: submit()'s finally aborts and then
+        # pops _by_rid, so a rid-keyed lookup on the engine thread could
+        # miss and silently leak the running request (client-disconnect
+        # abort race; caught by test_dispatcher.py)
+        req = self._by_rid.get(request_id)
+        self._abort_q.put(req if req is not None else request_id)
 
     @property
     def healthy(self) -> bool:
@@ -144,10 +149,11 @@ class AsyncEngineDispatcher:
     def _apply_aborts(self) -> None:
         while True:
             try:
-                rid = self._abort_q.get_nowait()
+                item = self._abort_q.get_nowait()
             except queue.Empty:
                 return
-            req = self._by_rid.get(rid)
+            req = (item if isinstance(item, _Request)
+                   else self._by_rid.get(item))
             if req is None or req.aborted:
                 continue
             req.aborted = True
