@@ -19,7 +19,7 @@ deltakv_base.py + deltakv_less_memory.py + triton_kernel/deltakv_kernels.py):
 State pytree ``dk`` (executor-owned, read-only in decode):
     latents   [Ls, R, Cmax, REC/4] f32-typed RECORD rows — packed latent ∥
               f32 group scales/zeros ∥ int32 fathers (_record_geometry)
-    centers   [Ls, R, NC, Nkv, 2*Dh] compute-dtype (pre-RoPE K ∥ V)
+    centers   [Ls, R, NC, Nkv*2*Dh] compute-dtype (pre-RoPE K ∥ V, flat)
 """
 
 from __future__ import annotations
@@ -130,7 +130,15 @@ def init_state(num_sparse: int, rows: int, cmax: int, ncmax: int,
         # gathered rows bitcast back to bytes.
         "latents": jnp.zeros((num_sparse, rows, cmax, rec // 4),
                              jnp.float32),
-        "centers": jnp.zeros((num_sparse, rows, ncmax, nkv, 2 * dh), dtype),
+        # FLAT kv dim: [.., NC, Nkv*2Dh] — lanes are an exact 128
+        # multiple and the sublane dim is NC, so tiled commitment equals
+        # logical bytes. The head-split [.., NC, Nkv, 2Dh] form put Nkv
+        # (4-8) on the sublane axis: bf16 (16,128) tiles padded it 2-4x
+        # IN COMMITTED HBM (the 7B lane's phantom residency) and the
+        # decode megastep kept a whole-table relayout copy (compile-OOM
+        # report item 4).
+        "centers": jnp.zeros((num_sparse, rows, ncmax, nkv * 2 * dh),
+                             dtype),
     }
 
 
@@ -183,14 +191,15 @@ def compress_layer(
     nidx_w = jnp.where(center_valid, nidx, ncmax)
     rnidx = jnp.broadcast_to(rows[:, None], (b, nc))
     centers_arr = dk["centers"].at[sl, rnidx, nidx_w].set(
-        centers.astype(dk["centers"].dtype), mode="drop"
+        centers.reshape(b, nc, kvdim).astype(dk["centers"].dtype),
+        mode="drop",
     )
 
     # 2) nearest-causal-center fathers (l2 over K∥V; argmax 2x·c − |c|²)
     cen_all = jax.lax.dynamic_index_in_dim(
         centers_arr, sl, 0, keepdims=False
-    )[rows]  # [B, NCmax, Nkv, 2Dh]
-    cf = cen_all.reshape(b, ncmax, kvdim).astype(jnp.float32)
+    )[rows]  # [B, NCmax, KV]
+    cf = cen_all.astype(jnp.float32)
     dot = jnp.einsum("bck,bnk->bcn", kvf, cf,
                      preferred_element_type=jnp.float32)
     cn2 = jnp.sum(cf * cf, axis=-1)  # [B, NCmax]
@@ -330,7 +339,7 @@ def reconstruct(
     # while the [512, NC]x[NC, KV] matmul is ~0.1 ms of MXU)
     if ncmax <= 2048 or t <= 1024:
         # one-hot MXU matmul
-        cen = ce_sl[rows].reshape(b, ncmax, kvdim)
+        cen = ce_sl[rows]  # [B, NCmax, KV] (flat storage)
         onehot = (
             fa[..., None]
             == jnp.arange(ncmax, dtype=jnp.int32)[None, None, None, :]
