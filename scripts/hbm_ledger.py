@@ -232,7 +232,27 @@ def main() -> None:
             ma = compiled.memory_analysis()
             print(f"== decode megastep bb={bb2} mp={mp2} k={k}: temps "
                   f"{_gib(ma.temp_size_in_bytes)} ==")
+            try:
+                ca = compiled.cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                ba = ca.get("bytes accessed", 0.0)
+                print(f"  cost: {ca.get('flops', 0.0)/1e9:.1f} GFLOP, "
+                      f"{ba/2**30:.2f} GiB accessed "
+                      f"(/step: {ba/k/2**20:.1f} MiB, "
+                      f"BW floor {ba/k/747e9*1e3:.2f} ms @747GB/s)")
+                for key, v in sorted(ca.items(), key=lambda kv: -kv[1]):
+                    if key.startswith("bytes accessed") and v > 50 * 2**20 \
+                            and key != "bytes accessed":
+                        print(f"    {key:28s} {v/2**20:8.1f} MiB")
+            except Exception as e:  # noqa: BLE001
+                print(f"  cost_analysis unavailable: {type(e).__name__}")
             txt = compiled.as_text()
+            dump = os.environ.get("LEDGER_HLO_OUT")
+            if dump:
+                with open(dump, "w") as f:
+                    f.write(txt)
+                print(f"  HLO dumped to {dump} ({len(txt)/2**20:.1f} MiB)")
             import re
 
             for m in re.finditer(
